@@ -1,0 +1,34 @@
+from spmm_denseblock_tpu.ops.csr_spmm import csr_spmm, csr_spmm_plan, bcoo_spmm_plan
+from spmm_denseblock_tpu.ops.bsr_spmm_xla import bsr_spmm_xla, bsr_spmm_xla_plan
+from spmm_denseblock_tpu.ops.bsr_spmm_pallas import (
+    bsr_spmm_pallas,
+    bsr_spmm_pallas_plan,
+)
+from spmm_denseblock_tpu.ops.hybrid_spmm import hybrid_spmm, hybrid_spmm_plan
+from spmm_denseblock_tpu.ops.dense_block_gemm import dense_block_gemm
+from spmm_denseblock_tpu.ops.dispatch import spmm_plan, PLANNERS
+from spmm_denseblock_tpu.ops.reference import (
+    spmm_scipy,
+    spmm_dense_jnp,
+    assert_allclose,
+    CHECK_EPS,
+)
+
+__all__ = [
+    "csr_spmm",
+    "csr_spmm_plan",
+    "bcoo_spmm_plan",
+    "bsr_spmm_xla",
+    "bsr_spmm_xla_plan",
+    "bsr_spmm_pallas",
+    "bsr_spmm_pallas_plan",
+    "hybrid_spmm",
+    "hybrid_spmm_plan",
+    "dense_block_gemm",
+    "spmm_plan",
+    "PLANNERS",
+    "spmm_scipy",
+    "spmm_dense_jnp",
+    "assert_allclose",
+    "CHECK_EPS",
+]

@@ -1,0 +1,68 @@
+"""Implementation registry + the user-facing spmm_plan entry point.
+
+The analog of the reference's per-driver impl dispatch strings
+('cusparseScsrmm' / 'cusparseScsrmm2' / 'gespmm' in run_csrmm.cu:47-50,
+'rocsparse' / 'cusparse' in run_bsrmm.cu) — but as one registry.
+
+    plan = spmm_plan(matrix, impl="bsr_pallas")   # host prep + jit, once
+    C = plan(B)                                   # hot call
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax.numpy as jnp
+
+from spmm_denseblock_tpu.formats.csr import CSR
+from spmm_denseblock_tpu.formats.bsr import BSR
+from spmm_denseblock_tpu.formats.hybrid import Hybrid
+from spmm_denseblock_tpu.convert.csr2bsr import csr_to_bsr
+from spmm_denseblock_tpu.ops.csr_spmm import csr_spmm_plan, bcoo_spmm_plan
+from spmm_denseblock_tpu.ops.bsr_spmm_xla import bsr_spmm_xla_plan
+from spmm_denseblock_tpu.ops.bsr_spmm_pallas import bsr_spmm_pallas_plan
+from spmm_denseblock_tpu.ops.hybrid_spmm import hybrid_spmm_plan
+from spmm_denseblock_tpu.ops.reference import spmm_dense_jnp
+
+
+def _dense_plan(mat, **kw):
+    a = jnp.asarray(mat.to_dense())
+
+    def run(dense):
+        return spmm_dense_jnp(a, dense)
+
+    return run
+
+
+PLANNERS: Dict[str, Callable] = {
+    # CSR tier
+    "csr_xla": lambda m, **kw: csr_spmm_plan(m if isinstance(m, CSR) else m),
+    "bcoo": lambda m, **kw: bcoo_spmm_plan(m),
+    # BSR tier
+    "bsr_xla": lambda m, **kw: bsr_spmm_xla_plan(m, **kw),
+    "bsr_pallas": lambda m, **kw: bsr_spmm_pallas_plan(m, **kw),
+    # hybrid tier
+    "hybrid": lambda m, **kw: hybrid_spmm_plan(m, **kw),
+    # oracle tier
+    "dense": _dense_plan,
+}
+
+
+def spmm_plan(matrix, impl: str = "auto", block_size: int = 128, **kw):
+    """Build an SpMM executor for `matrix`.
+
+    impl='auto': CSR inputs route to bsr_pallas after csr_to_bsr packing
+    when on TPU (the framework's thesis: blocks on the MXU), else csr_xla.
+    """
+    if impl == "auto":
+        if isinstance(matrix, Hybrid):
+            impl = "hybrid"
+        elif isinstance(matrix, BSR):
+            impl = "bsr_pallas"
+        else:
+            impl = "bsr_pallas"
+    if impl.startswith("bsr") and isinstance(matrix, CSR):
+        matrix = csr_to_bsr(matrix, block_size)
+    if impl not in PLANNERS:
+        raise KeyError(f"unknown impl {impl!r}; have {sorted(PLANNERS)}")
+    return PLANNERS[impl](matrix, **kw)

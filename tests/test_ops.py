@@ -1,0 +1,114 @@
+"""Cross-oracle SpMM tests — the check_result.cu discipline (eps 1e-4,
+seeded inputs) across every implementation tier."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from spmm_denseblock_tpu.formats import CSR, random_csr
+from spmm_denseblock_tpu.convert import csr_to_bsr, divide
+from spmm_denseblock_tpu.ops import (
+    spmm_plan,
+    spmm_scipy,
+    assert_allclose,
+    dense_block_gemm,
+)
+
+
+def _fixture(n=256, m=192, density=0.02, dim=64, seed=0):
+    mat = sp.random(n, m, density=density, random_state=seed, format="csr")
+    csr = CSR.from_scipy(mat)
+    rng = np.random.default_rng(seed + 1)
+    dense = rng.standard_normal((m, dim)).astype(np.float32)
+    want = spmm_scipy(csr, dense)
+    return csr, dense, want
+
+
+@pytest.mark.parametrize("impl", ["csr_xla", "bcoo", "dense"])
+def test_csr_tier_matches_oracle(impl):
+    csr, dense, want = _fixture()
+    got = spmm_plan(csr, impl=impl)(dense)
+    assert_allclose(got, want, msg=impl)
+
+
+@pytest.mark.parametrize("b", [8, 32])
+def test_bsr_xla_matches_oracle(b):
+    csr, dense, want = _fixture(seed=b)
+    got = spmm_plan(csr, impl="bsr_xla", block_size=b)(dense)
+    assert_allclose(got, want, msg=f"bsr_xla b={b}")
+
+
+@pytest.mark.parametrize("b,dim", [(8, 128), (16, 64), (32, 256)])
+def test_bsr_pallas_matches_oracle(b, dim):
+    csr, dense, want = _fixture(dim=dim, seed=b + dim)
+    got = spmm_plan(csr, impl="bsr_pallas", block_size=b)(dense)
+    assert_allclose(got, want, msg=f"bsr_pallas b={b} dim={dim}")
+
+
+def test_bsr_pallas_nonmultiple_shapes():
+    # shapes not multiples of b, feature dim not a multiple of 128
+    csr, dense, want = _fixture(n=250, m=187, dim=50, seed=9)
+    got = spmm_plan(csr, impl="bsr_pallas", block_size=16)(dense)
+    assert got.shape == (250, 50)
+    assert_allclose(got, want, msg="pallas ragged edges")
+
+
+def test_bsr_pallas_empty_block_rows():
+    # rows 64..127 empty: kernel must still write those output tiles as 0
+    dense_a = np.zeros((128, 64), np.float32)
+    dense_a[:32, :32] = np.arange(32 * 32, dtype=np.float32).reshape(32, 32) / 100
+    csr = CSR.from_scipy(sp.csr_matrix(dense_a))
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((64, 64)).astype(np.float32)
+    got = spmm_plan(csr, impl="bsr_pallas", block_size=16)(x)
+    assert_allclose(got, dense_a @ x, msg="empty rows")
+    assert np.all(np.asarray(got[32:]) == 0)
+
+
+def test_bsr_pallas_bf16_inputs():
+    # b=128 is the MXU-native bf16 config (smaller b has lane dim < 128,
+    # which Mosaic rejects for bf16 — small-b matrices get repacked to 128).
+    csr, dense, want = _fixture(dim=128, seed=4)
+    got = spmm_plan(csr, impl="bsr_pallas", block_size=128, dtype=jnp.bfloat16)(dense)
+    # bf16 inputs, f32 accumulate: looser gate
+    assert_allclose(got, want, eps=2e-2, msg="pallas bf16")
+
+
+# fixture element density 0.05 -> per-block occupancy ~ N(0.05, 0.014) for
+# 16x16 blocks; thresholds straddle it so both parts are nonempty.
+@pytest.mark.parametrize("density", [0.04, 0.06])
+def test_hybrid_matches_oracle(density):
+    csr, dense, want = _fixture(density=0.05, seed=21)
+    hyb = divide(csr, 16, density)
+    assert hyb.dense.nnzb > 0 and hyb.remainder.nnz > 0
+    for impl in ("pallas", "xla"):
+        got = spmm_plan(hyb, impl="hybrid", dense_impl=impl)(dense)
+        assert_allclose(got, want, msg=f"hybrid {impl} thr={density}")
+
+
+def test_dense_block_gemm_scatter_semantics():
+    csr = random_csr(0.05, 64, seed=33)
+    b = 8
+    bsr = csr_to_bsr(csr, b)
+    rng = np.random.default_rng(2)
+    dim = 32
+    dense = rng.standard_normal((64, dim)).astype(np.float32)
+    out = dense_block_gemm(
+        jnp.asarray(bsr.block_rows),
+        jnp.asarray(bsr.block_cols),
+        jnp.asarray(bsr.blocks),
+        jnp.asarray(dense.reshape(8, b, dim)),
+        bsr.n_block_rows,
+    )
+    got = np.asarray(out).reshape(64, dim)
+    assert_allclose(got, spmm_scipy(csr, dense), msg="dense_block_gemm")
+
+
+def test_duplicate_edges_sum():
+    edges = np.array([[0, 1], [0, 1], [2, 3]])
+    csr = CSR.from_edges(edges, n_rows=4)
+    x = np.eye(4, dtype=np.float32)
+    got = spmm_plan(csr, impl="csr_xla")(x)
+    assert float(got[0, 1]) == 2.0
