@@ -1,0 +1,23 @@
+from spmm_denseblock_tpu.analyze.metrics import (
+    calculate_nnzb,
+    block_metrics,
+    fill_histogram,
+    DEFAULT_BLOCK_SIZES,
+)
+from spmm_denseblock_tpu.analyze.heatmap import (
+    heatmap,
+    dump_heatmap,
+    load_heatmap,
+    plot_heatmap,
+)
+
+__all__ = [
+    "calculate_nnzb",
+    "block_metrics",
+    "fill_histogram",
+    "DEFAULT_BLOCK_SIZES",
+    "heatmap",
+    "dump_heatmap",
+    "load_heatmap",
+    "plot_heatmap",
+]

@@ -1,0 +1,121 @@
+"""Graph / matrix text I/O — the reference's inter-layer file contract.
+
+The reference's layers communicate via text files on disk (SURVEY.md §1):
+- edge list `tmp/<ds>_1.txt`: `n nnz` header then one `src dst` per line
+  (download_ogb.py:23-27, loadGraphFromFile load_data.cc:167-184)
+- CSR dumps `<name>_indptr.txt` / `<name>_indices.txt`: first line is the
+  element count, then one value per line (dumpCSRToFile
+  load_data.cc:125-141, loadCSRFromFile :143-165)
+- permutation files: one integer per line (rabbit_reorder.cc:10-19)
+
+We keep the exact formats so artifacts are interchangeable with the
+reference pipeline, and add a binary .npz cache (orders of magnitude
+faster for ogbn-scale graphs).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from spmm_denseblock_tpu.formats.csr import CSR
+
+
+def dump_edge_list(csr: CSR, path: str) -> None:
+    rows = csr.row_ids()
+    cols = np.asarray(csr.indices)
+    with open(path, "w") as f:
+        f.write(f"{csr.n_rows} {csr.nnz}\n")
+        for s, d in zip(rows, cols):
+            f.write(f"{s} {d}\n")
+
+
+def load_edge_list(path: str) -> CSR:
+    """`n nnz` header + edge pairs; neighbors end up sorted (the
+    loadGraphFromFile contract)."""
+    with open(path) as f:
+        n, nnz = map(int, f.readline().split())
+        data = np.loadtxt(f, dtype=np.int64, max_rows=nnz)
+    data = data.reshape(-1, 2)
+    if data.shape[0] != nnz:
+        raise ValueError(f"{path}: expected {nnz} edges, got {data.shape[0]}")
+    return CSR.from_edges(data, n_rows=n)
+
+
+def dump_csr(csr: CSR, prefix: str) -> None:
+    """Writes `<prefix>_indptr.txt` + `<prefix>_indices.txt` in the
+    reference's count-header format."""
+    indptr = np.asarray(csr.indptr)
+    indices = np.asarray(csr.indices)
+    with open(prefix + "_indptr.txt", "w") as f:
+        f.write(f"{indptr.shape[0]}\n")
+        f.write("\n".join(str(int(x)) for x in indptr))
+        f.write("\n")
+    with open(prefix + "_indices.txt", "w") as f:
+        f.write(f"{indices.shape[0]}\n")
+        f.write("\n".join(str(int(x)) for x in indices))
+        f.write("\n")
+
+
+def load_csr(prefix: str, n_cols: Optional[int] = None) -> CSR:
+    with open(prefix + "_indptr.txt") as f:
+        cnt = int(f.readline())
+        indptr = np.loadtxt(f, dtype=np.int64, max_rows=cnt)
+    with open(prefix + "_indices.txt") as f:
+        cnt = int(f.readline())
+        indices = np.loadtxt(f, dtype=np.int64, max_rows=cnt).reshape(-1)
+    n = indptr.shape[0] - 1
+    return CSR(
+        indptr=indptr.astype(np.int32),
+        indices=indices.astype(np.int32),
+        data=None,
+        shape=(n, n_cols if n_cols is not None else n),
+    )
+
+
+def dump_permutation(old2new: np.ndarray, path: str) -> None:
+    with open(path, "w") as f:
+        f.write("\n".join(str(int(x)) for x in old2new))
+        f.write("\n")
+
+
+def load_permutation(path: str) -> np.ndarray:
+    return np.loadtxt(path, dtype=np.int64).reshape(-1)
+
+
+# -- binary cache (the TPU build's fast path) --------------------------------
+
+
+def save_npz(csr: CSR, path: str) -> None:
+    np.savez_compressed(
+        path,
+        indptr=np.asarray(csr.indptr),
+        indices=np.asarray(csr.indices),
+        data=np.zeros(0) if csr.data is None else np.asarray(csr.data),
+        shape=np.asarray(csr.shape),
+    )
+
+
+def load_npz(path: str) -> CSR:
+    z = np.load(path)
+    data = z["data"]
+    return CSR(
+        indptr=z["indptr"].astype(np.int32),
+        indices=z["indices"].astype(np.int32),
+        data=None if data.shape[0] == 0 else data.astype(np.float32),
+        shape=tuple(int(x) for x in z["shape"]),
+    )
+
+
+def cached(cache_dir: str, name: str, builder) -> CSR:
+    """Generate-once-then-reuse, like the reference's tmp/ text cache
+    (load_data.cc:63-67)."""
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, name + ".npz")
+    if os.path.exists(path):
+        return load_npz(path)
+    csr = builder()
+    save_npz(csr, path)
+    return csr

@@ -1,0 +1,109 @@
+import numpy as np
+import scipy.sparse as sp
+
+from spmm_denseblock_tpu.formats import CSR
+from spmm_denseblock_tpu.convert import csr_to_bsr
+from spmm_denseblock_tpu.analyze import (
+    calculate_nnzb,
+    block_metrics,
+    fill_histogram,
+    heatmap,
+    dump_heatmap,
+    load_heatmap,
+)
+from spmm_denseblock_tpu.io import (
+    dump_csr,
+    load_csr,
+    dump_edge_list,
+    load_edge_list,
+    dump_permutation,
+    load_permutation,
+    save_npz,
+    load_npz,
+    synthetic_powerlaw,
+)
+
+
+def _csr(n=128, seed=0):
+    return CSR.from_scipy(
+        sp.random(n, n, density=0.05, random_state=seed, format="csr")
+    )
+
+
+def test_nnzb_matches_converter():
+    csr = _csr()
+    for b in (4, 16):
+        assert calculate_nnzb(csr, b) == csr_to_bsr(csr, b).nnzb
+
+
+def test_block_metrics_formulas():
+    csr = _csr()
+    m = block_metrics(csr, (8,))[8]
+    nnzb = calculate_nnzb(csr, 8)
+    assert m["nnzb"] == nnzb
+    assert abs(m["density"] - nnzb / (16 * 16)) < 1e-12
+    assert abs(m["utilization"] - csr.nnz / (nnzb * 64)) < 1e-12
+    assert abs(m["average"] - csr.nnz / nnzb) < 1e-12
+
+
+def test_fill_histogram_counts_all_blocks():
+    csr = _csr(seed=3)
+    h = fill_histogram(csr, 8)
+    assert h.sum() == calculate_nnzb(csr, 8)
+    # fully dense block lands in the last bucket
+    dense = CSR.from_scipy(sp.csr_matrix(np.ones((8, 8), np.float32)))
+    h2 = fill_histogram(dense, 8)
+    assert h2[-1] == 1 and h2.sum() == 1
+
+
+def test_heatmap_roundtrip(tmp_path):
+    csr = _csr(seed=4)
+    h = heatmap(csr, 32)
+    assert h.sum() == csr.nnz
+    p = str(tmp_path / "hm.txt")
+    dump_heatmap(h, p)
+    np.testing.assert_array_equal(load_heatmap(p), h)
+
+
+def test_csr_text_roundtrip(tmp_path):
+    csr = synthetic_powerlaw(100, 600, seed=2)
+    prefix = str(tmp_path / "g")
+    dump_csr(csr, prefix)
+    back = load_csr(prefix)
+    np.testing.assert_array_equal(np.asarray(back.indptr), np.asarray(csr.indptr))
+    np.testing.assert_array_equal(np.asarray(back.indices), np.asarray(csr.indices))
+    # reference format: first line is the count
+    with open(prefix + "_indptr.txt") as f:
+        assert int(f.readline()) == csr.n_rows + 1
+
+
+def test_edge_list_roundtrip(tmp_path):
+    csr = synthetic_powerlaw(60, 300, seed=5)
+    p = str(tmp_path / "edges.txt")
+    dump_edge_list(csr, p)
+    back = load_edge_list(p)
+    np.testing.assert_allclose(back.to_dense(), csr.to_dense())
+
+
+def test_permutation_file_roundtrip(tmp_path):
+    perm = np.random.default_rng(0).permutation(50)
+    p = str(tmp_path / "perm.txt")
+    dump_permutation(perm, p)
+    np.testing.assert_array_equal(load_permutation(p), perm)
+
+
+def test_npz_cache_roundtrip(tmp_path):
+    csr = _csr(seed=6)
+    p = str(tmp_path / "m.npz")
+    save_npz(csr, p)
+    back = load_npz(p)
+    np.testing.assert_allclose(back.to_dense(), csr.to_dense())
+
+
+def test_synthetic_powerlaw_deterministic_and_symmetric():
+    a = synthetic_powerlaw(256, 2048, seed=9)
+    b = synthetic_powerlaw(256, 2048, seed=9)
+    np.testing.assert_array_equal(np.asarray(a.indices), np.asarray(b.indices))
+    d = a.to_dense()
+    np.testing.assert_array_equal(d, d.T)
+    assert np.all(np.diag(d) == 0)
