@@ -1,0 +1,101 @@
+"""Headline benchmark: BSR SpMM GFLOP/s on the flagship Pallas kernel.
+
+Config mirrors the reference's synthetic sweep point scaled to MXU tiles
+(test_bsrmm.cu:46-182 at m=2^17 with GFLOP/s = nnzb*b^2*dim/1e6/ms,
+/root/reference/test_bsrmm.cu:168): a 2^17 x 2^17 matrix as a 1024x1024
+grid of 128x128 blocks at block density 2e-3, dense operand dim 512.
+
+The reference publishes no numbers (BASELINE.md), so `vs_baseline` is the
+speedup of the hand-scheduled Pallas kernel over the XLA-compiled
+batched-matmul formulation of the SAME computation on the SAME chip —
+the compiler-baseline discipline of the reference's cusparse-vs-custom
+comparisons (run_bsrmm.cu rocsparse vs cusparse).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+
+import jax.numpy as jnp
+
+_scale = jax.jit(lambda x: x * jnp.float32(1e-2))
+_sum = jax.jit(lambda x: jnp.sum(x))
+
+
+def _time_fn(fn, x0, iters=10):
+    """Chained marginal-cost timing. Three defenses against the axon
+    relay's measurement hazards (validated empirically; naive total/iters
+    was off by 100x):
+
+    1. CHAIN: iteration i+1 consumes iteration i's output (rescaled), so
+       every call has distinct inputs and a true data dependency — no
+       caching or overlap of identical calls.
+    2. READBACK BARRIER: block_until_ready returns early through the
+       relay; fetching a device-computed scalar (sum) is a real barrier.
+    3. MARGINAL: time chains of depth n and 6n, divide the difference —
+       cancels the constant dispatch/sync overhead.
+
+    Requires fn: (N, F) -> (N, F) (square operand), which the headline
+    config satisfies.
+    """
+    float(_sum(_scale(fn(x0))))  # warm/compile every op in the chain
+
+    def chain(n):
+        x = x0
+        t0 = time.perf_counter()
+        for _ in range(n):
+            x = _scale(fn(x))
+        float(_sum(x))
+        return time.perf_counter() - t0
+
+    n1, n2 = iters, 6 * iters
+    t1, t2 = chain(n1), chain(n2)
+    return (t2 - t1) / (n2 - n1)
+
+
+def main():
+    from spmm_denseblock_tpu.formats.bsr import random_bsr
+    from spmm_denseblock_tpu.ops import bsr_spmm_pallas_plan, bsr_spmm_xla_plan
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        nb, b, f, p = 1024, 128, 512, 2e-3  # 2^17 x 2^17, reference scale
+    else:  # CPU smoke config (interpret-mode Pallas is slow)
+        nb, b, f, p = 32, 32, 64, 2e-2
+
+    bsr = random_bsr(p, nb, nb, block_size=b, seed=1234)
+    rng = np.random.default_rng(1234)
+    dense = rng.standard_normal((bsr.shape[1], f)).astype(np.float32)
+    dense_dev = jax.device_put(dense)
+
+    flops = 2.0 * bsr.nnzb * b * b * f
+
+    pallas = bsr_spmm_pallas_plan(bsr, grad=False)
+    xla = bsr_spmm_xla_plan(bsr)
+
+    t_pallas = _time_fn(pallas, dense_dev, iters=10 if on_tpu else 2)
+    t_xla = _time_fn(xla, dense_dev, iters=10 if on_tpu else 2)
+
+    gflops = flops / t_pallas / 1e9
+    vs = t_xla / t_pallas  # >1 means Pallas beats the compiler baseline
+    print(
+        json.dumps(
+            {
+                "metric": "bsr_spmm_pallas_gflops",
+                "value": round(gflops, 2),
+                "unit": "GFLOP/s",
+                "vs_baseline": round(vs, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -153,6 +153,18 @@ class BSR:
             dense[r : r + b, c : c + b] += blocks[k]
         return dense[: self.shape[0], : self.shape[1]]
 
+    def transpose(self) -> "BSR":
+        """A^T as BSR: swap block row/col ids, transpose each block. Used
+        by the SpMM backward pass (dB = A^T @ dC)."""
+        nnzb = self.nnzb
+        return BSR.from_parts(
+            np.asarray(self.block_cols[:nnzb]),
+            np.asarray(self.block_rows[:nnzb]),
+            np.asarray(self.blocks[:nnzb]).transpose(0, 2, 1),
+            (self.shape[1], self.shape[0]),
+            self.block_size,
+        )
+
     def device_put(self, dtype=None, sharding=None) -> "BSR":
         put = lambda x: jax.device_put(x, sharding) if sharding else jnp.asarray(x)
         blocks = np.asarray(self.blocks)

@@ -1,0 +1,39 @@
+from spmm_denseblock_tpu.models.graph import (
+    add_self_loops,
+    sym_norm_adjacency,
+    mean_adjacency,
+)
+from spmm_denseblock_tpu.models.gnn import (
+    MODELS,
+    init_gcn,
+    gcn_apply,
+    init_sage,
+    sage_apply,
+    init_gin,
+    gin_apply,
+    init_linear,
+    linear,
+)
+from spmm_denseblock_tpu.models.train import (
+    masked_cross_entropy,
+    accuracy,
+    make_train_step,
+)
+
+__all__ = [
+    "add_self_loops",
+    "sym_norm_adjacency",
+    "mean_adjacency",
+    "MODELS",
+    "init_gcn",
+    "gcn_apply",
+    "init_sage",
+    "sage_apply",
+    "init_gin",
+    "gin_apply",
+    "init_linear",
+    "linear",
+    "masked_cross_entropy",
+    "accuracy",
+    "make_train_step",
+]

@@ -139,6 +139,7 @@ def bsr_spmm_pallas_plan(
     dtype=None,
     f_tile: Optional[int] = None,
     interpret: Optional[bool] = None,
+    grad: bool = True,
 ):
     """Host layout prep once -> jitted C = f(B).
 
@@ -146,7 +147,38 @@ def bsr_spmm_pallas_plan(
     always f32 (preferred_element_type), matching the reference's f32
     numerics gate. interpret=None auto-enables interpreter mode off-TPU so
     tests run on the CPU mesh.
+
+    grad=True (default) attaches a custom VJP so models can train through
+    the kernel: dB = A^T @ dC runs the same Pallas kernel on the
+    transposed block layout (built once at plan time). Pass grad=False for
+    inference/bench plans to skip the transpose copy in device memory.
     """
+    if grad:
+        fwd = bsr_spmm_pallas_plan(
+            bsr, dtype=dtype, f_tile=f_tile, interpret=interpret, grad=False
+        )
+        bwd = bsr_spmm_pallas_plan(
+            bsr.transpose(),
+            dtype=dtype,
+            f_tile=f_tile,
+            interpret=interpret,
+            grad=False,
+        )
+
+        @jax.custom_vjp
+        def f(dense):
+            return fwd(dense)
+
+        def f_fwd(dense):
+            # zero-size residual carries only the primal dtype
+            return fwd(dense), jnp.zeros((0,), jnp.asarray(dense).dtype)
+
+        def f_bwd(res, g):
+            return (bwd(g).astype(res.dtype),)
+
+        f.defvjp(f_fwd, f_bwd)
+        return f
+
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     covered = _ensure_covering(bsr)

@@ -1,0 +1,195 @@
+"""Host-side sharding of sparse formats across a device mesh.
+
+The sparse matrix A is partitioned by contiguous **block-row stripes**:
+shard s owns block-rows [s*rows_per, (s+1)*rows_per). Each shard's block
+list is padded to a common nnzb so the stacked arrays have static shapes
+(the multi-device analog of BSR.pad_to). Padding blocks are all-zero and
+point at the shard's last local block-row, so they contribute nothing.
+
+The reference has no distributed layer; the per-shard nnz imbalance this
+padding absorbs is the distributed analog of the per-warp nnz imbalance
+the reference's kernels fight (/root/reference/gespmm_csrmm.h:96-166) —
+reordered graphs cluster nonzeros deliberately, so stripes are uneven.
+`shard_stats` reports the imbalance so benchmarks can quantify it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+from spmm_denseblock_tpu.formats.bsr import BSR
+from spmm_denseblock_tpu.formats.csr import CSR
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedBSR:
+    """Stacked per-shard flat-BSR arrays (host numpy until device_put).
+
+    local_rows : (n_shards, m) int32 — block-row ids local to the stripe
+    block_cols : (n_shards, m) int32 — GLOBAL block-col ids (into the
+                 column space padded to n_shards * col_chunk blocks)
+    blocks     : (n_shards, m, b, b)
+    """
+
+    local_rows: np.ndarray
+    block_cols: np.ndarray
+    blocks: np.ndarray
+    shape: Tuple[int, int]  # logical dense shape of A
+    block_size: int
+    rows_per_shard: int  # block-rows per stripe
+    col_chunk: int  # block-cols per ring chunk (= per-shard B stripe)
+    nnzb: int  # real (unpadded) total
+
+    @property
+    def n_shards(self) -> int:
+        return int(self.local_rows.shape[0])
+
+    @property
+    def b(self) -> int:
+        return self.block_size
+
+
+def shard_bsr(bsr: BSR, n_shards: int) -> ShardedBSR:
+    """Partition into `n_shards` equal block-row stripes, pad each stripe's
+    block list to the max stripe nnzb."""
+    b = bsr.b
+    nbr = bsr.n_block_rows
+    rows_per = _cdiv(nbr, n_shards)
+    col_chunk = _cdiv(bsr.n_block_cols, n_shards)
+
+    rows = np.asarray(bsr.block_rows[: bsr.nnzb])
+    cols = np.asarray(bsr.block_cols[: bsr.nnzb])
+    blocks = np.asarray(bsr.blocks[: bsr.nnzb])
+
+    owner = rows // rows_per
+    counts = np.bincount(owner, minlength=n_shards)
+    m = max(int(counts.max(initial=0)), 1)
+
+    lr = np.full((n_shards, m), rows_per - 1, dtype=np.int32)
+    bc = np.zeros((n_shards, m), dtype=np.int32)
+    bv = np.zeros((n_shards, m, b, b), dtype=np.asarray(blocks).dtype)
+    for s in range(n_shards):
+        sel = owner == s
+        k = int(counts[s])
+        if k:
+            lr[s, :k] = rows[sel] - s * rows_per
+            bc[s, :k] = cols[sel]
+            bv[s, :k] = blocks[sel]
+    return ShardedBSR(
+        local_rows=lr,
+        block_cols=bc,
+        blocks=bv,
+        shape=bsr.shape,
+        block_size=b,
+        rows_per_shard=rows_per,
+        col_chunk=col_chunk,
+        nnzb=bsr.nnzb,
+    )
+
+
+def bucket_by_col_chunk(sh: ShardedBSR) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Re-bucket each shard's blocks by which ring chunk their block-col
+    falls in, for the ppermute-ring schedule (parallel/spmm.py).
+
+    Returns (local_rows, chunk_cols, blocks) with shape
+    (n_shards, n_chunks, mb, ...); chunk_cols are block-col ids LOCAL to
+    the chunk. Padding entries are zero blocks at (last local row, col 0).
+    """
+    n, cpc, rows_per, b = sh.n_shards, sh.col_chunk, sh.rows_per_shard, sh.b
+    chunk_of = np.asarray(sh.block_cols) // cpc  # (n, m)
+
+    # count real blocks per (shard, chunk): padding entries in sh are zero
+    # blocks, harmless to include in whatever bucket they land in (chunk 0).
+    mb = 1
+    per = np.zeros((n, n), dtype=np.int64)
+    for s in range(n):
+        per[s] = np.bincount(chunk_of[s], minlength=n)[:n]
+    mb = max(int(per.max(initial=0)), 1)
+
+    lr = np.full((n, n, mb), rows_per - 1, dtype=np.int32)
+    cc = np.zeros((n, n, mb), dtype=np.int32)
+    bv = np.zeros((n, n, mb, b, b), dtype=sh.blocks.dtype)
+    for s in range(n):
+        for c in range(n):
+            sel = chunk_of[s] == c
+            k = int(per[s, c])
+            if k:
+                rows_sc = sh.local_rows[s, sel]
+                order = np.argsort(rows_sc, kind="stable")
+                lr[s, c, :k] = rows_sc[order]
+                cc[s, c, :k] = (sh.block_cols[s, sel] - c * cpc)[order]
+                bv[s, c, :k] = sh.blocks[s, sel][order]
+    return lr, cc, bv
+
+
+def shard_stats(sh: ShardedBSR) -> dict:
+    """Per-shard load-balance diagnostics (nnzb-weighted)."""
+    pad_row = sh.rows_per_shard - 1
+    real = ~(
+        (sh.local_rows == pad_row)
+        & (sh.block_cols == 0)
+        & (np.abs(sh.blocks).sum(axis=(-1, -2)) == 0)
+    )
+    per = real.sum(axis=1)
+    mean = float(per.mean())
+    return {
+        "nnzb_per_shard": per.tolist(),
+        "imbalance": float(per.max() / mean) if mean else 1.0,
+        "padded_m": int(sh.local_rows.shape[1]),
+    }
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedCSR:
+    """Stacked per-shard COO-view arrays for row-partitioned CSR SpMM.
+
+    local_rows : (n_shards, m) int32 — row ids local to the stripe
+    col_ids    : (n_shards, m) int32 — global column ids
+    vals       : (n_shards, m) float32 (padding entries are 0.0)
+    """
+
+    local_rows: np.ndarray
+    col_ids: np.ndarray
+    vals: np.ndarray
+    shape: Tuple[int, int]
+    rows_per_shard: int
+    nnz: int
+
+    @property
+    def n_shards(self) -> int:
+        return int(self.local_rows.shape[0])
+
+
+def shard_csr(csr: CSR, n_shards: int) -> ShardedCSR:
+    rows_per = _cdiv(csr.n_rows, n_shards)
+    rows = csr.row_ids()
+    cols = np.asarray(csr.indices)
+    vals = csr.values()
+    owner = rows // rows_per
+    counts = np.bincount(owner, minlength=n_shards)
+    m = max(int(counts.max(initial=0)), 1)
+    lr = np.full((n_shards, m), rows_per - 1, dtype=np.int32)
+    ci = np.zeros((n_shards, m), dtype=np.int32)
+    va = np.zeros((n_shards, m), dtype=np.float32)
+    for s in range(n_shards):
+        sel = owner == s
+        k = int(counts[s])
+        if k:
+            lr[s, :k] = rows[sel] - s * rows_per
+            ci[s, :k] = cols[sel]
+            va[s, :k] = vals[sel]
+    return ShardedCSR(
+        local_rows=lr,
+        col_ids=ci,
+        vals=va,
+        shape=csr.shape,
+        rows_per_shard=rows_per,
+        nnz=csr.nnz,
+    )

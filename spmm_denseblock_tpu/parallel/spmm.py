@@ -1,0 +1,206 @@
+"""Distributed SpMM over a jax.sharding Mesh via shard_map.
+
+The reference is single-GPU; this layer realizes the target's north-star
+design (BASELINE.json): row/block-partition A across devices, exchange
+the dense operand's rows over ICI collectives, overlap with local block
+GEMMs.
+
+Two strategies (both produce C = A @ B with A row-striped over `axis`):
+
+  allgather — B is row-sharded; one tiled all_gather materializes the
+      full padded B per device, then the local stripe of A multiplies it.
+      One collective, maximal overlap left to XLA. Memory: O(K·F) per
+      device. The right choice while B fits in HBM.
+
+  ring — B stays sharded in n chunks; at step s each device multiplies
+      the blocks whose block-col lands in its currently-held chunk, then
+      ppermutes the chunk to its ring neighbor. XLA overlaps the ppermute
+      (ICI) with the step's block GEMMs (MXU) — the halo-exchange/compute
+      overlap the reference could never express. Memory: O(K·F / n).
+
+Local per-stripe compute is the flat-BSR batched-matmul + segment-sum
+formulation (ops/bsr_spmm_xla.py); accumulation is f32.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from spmm_denseblock_tpu.formats.bsr import BSR
+from spmm_denseblock_tpu.formats.csr import CSR
+from spmm_denseblock_tpu.parallel.mesh import make_mesh_1d
+from spmm_denseblock_tpu.parallel.shard import (
+    bucket_by_col_chunk,
+    shard_bsr,
+    shard_csr,
+)
+
+
+def _local_bsr_spmm(local_rows, cols, blocks, b_blocked, n_seg):
+    """One stripe: gather B tiles, batched MXU matmul, segment-sum.
+
+    b_blocked: (n_bc, b, F) blocked view of the dense operand."""
+    gathered = jnp.take(b_blocked, cols, axis=0)  # (m, b, F)
+    prod = jax.lax.dot_general(
+        blocks,
+        gathered,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jax.ops.segment_sum(prod, local_rows, num_segments=n_seg)
+
+
+def dist_bsr_spmm_plan(
+    bsr: BSR,
+    mesh: Optional[Mesh] = None,
+    axis: str = "row",
+    strategy: str = "allgather",
+    dtype=None,
+    feature_axis: Optional[str] = None,
+):
+    """Host shard prep once -> jitted C = f(B) over the mesh.
+
+    B may be passed with any sharding (it is constrained to the row-
+    sharded layout on entry); C comes back row-sharded over `axis`.
+    With feature_axis set (2D mesh), B's feature dim is additionally
+    sharded over that axis (tensor parallelism): every collective stays
+    within its own mesh axis, so the "row" exchange never touches the
+    feature-parallel groups.
+    """
+    if mesh is None:
+        mesh = make_mesh_1d()
+    n = int(mesh.shape[axis])
+    b = bsr.b
+    sh = shard_bsr(bsr, n)
+    rows_per, cpc = sh.rows_per_shard, sh.col_chunk
+    k_padded = n * cpc * b
+    n_rows, n_cols = bsr.shape
+
+    stripe = NamedSharding(mesh, P(axis))
+    cast = (lambda x: x.astype(dtype)) if dtype is not None else (lambda x: x)
+    b_spec = P(axis, feature_axis)
+    b_sharding = NamedSharding(mesh, b_spec)
+
+    if strategy == "allgather":
+        lr = jax.device_put(sh.local_rows, stripe)
+        bc = jax.device_put(sh.block_cols, stripe)
+        bv = jax.device_put(cast(jnp.asarray(sh.blocks)), stripe)
+
+        def stripe_fn(lr, bc, bv, b_local):
+            # (1, m) locals -> (m,); B local stripe (k_padded/n, F)
+            b_full = jax.lax.all_gather(b_local, axis, tiled=True)
+            b_blocked = b_full.reshape(n * cpc, b, b_full.shape[1])
+            out = _local_bsr_spmm(lr[0], bc[0], bv[0], b_blocked, rows_per)
+            return out.reshape(rows_per * b, b_full.shape[1])
+
+        spec_in = (P(axis), P(axis), P(axis), b_spec)
+        fn = jax.shard_map(
+            stripe_fn, mesh=mesh, in_specs=spec_in, out_specs=b_spec
+        )
+
+        @jax.jit
+        def run(dense):
+            dense = cast(jnp.asarray(dense))
+            dense = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
+            dense = jax.lax.with_sharding_constraint(dense, b_sharding)
+            return fn(lr, bc, bv, dense)[:n_rows].astype(jnp.float32)
+
+        return run
+
+    if strategy == "ring":
+        lr_b, cc_b, bv_b = bucket_by_col_chunk(sh)  # (n, n, mb, ...)
+        lr = jax.device_put(lr_b, stripe)
+        cc = jax.device_put(cc_b, stripe)
+        bv = jax.device_put(cast(jnp.asarray(bv_b)), stripe)
+        perm = [(i, (i + 1) % n) for i in range(n)]
+
+        def stripe_fn(lr, cc, bv, b_local):
+            lr, cc, bv = lr[0], cc[0], bv[0]  # (n, mb[, b, b])
+            me = jax.lax.axis_index(axis)
+            f_dim = b_local.shape[1]
+            acc0 = jnp.zeros((rows_per, b, f_dim), jnp.float32)
+            # mark the carry as device-varying so the fori_loop carry type
+            # matches its (axis_index-dependent) output (shard_map vma rule);
+            # it varies over the feature axis too when B is tp-sharded
+            vary = (axis,) + ((feature_axis,) if feature_axis else ())
+            acc0 = jax.lax.pcast(acc0, vary, to="varying")
+
+            def step(s, carry):
+                b_chunk, acc = carry
+                c = jax.lax.rem(me - s + n, n)  # chunk currently held
+                b_blocked = b_chunk.reshape(cpc, b, f_dim)
+                acc = acc + _local_bsr_spmm(
+                    jnp.take(lr, c, axis=0),
+                    jnp.take(cc, c, axis=0),
+                    jnp.take(bv, c, axis=0),
+                    b_blocked,
+                    rows_per,
+                )
+                b_chunk = jax.lax.ppermute(b_chunk, axis, perm)
+                return b_chunk, acc
+
+            _, acc = jax.lax.fori_loop(0, n, step, (b_local, acc0))
+            return acc.reshape(rows_per * b, f_dim)
+
+        spec_in = (P(axis), P(axis), P(axis), b_spec)
+        fn = jax.shard_map(
+            stripe_fn, mesh=mesh, in_specs=spec_in, out_specs=b_spec
+        )
+
+        @jax.jit
+        def run(dense):
+            dense = cast(jnp.asarray(dense))
+            dense = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
+            dense = jax.lax.with_sharding_constraint(dense, b_sharding)
+            return fn(lr, cc, bv, dense)[:n_rows].astype(jnp.float32)
+
+        return run
+
+    raise ValueError(f"unknown strategy {strategy!r}; use 'allgather' or 'ring'")
+
+
+def dist_csr_spmm_plan(
+    csr: CSR, mesh: Optional[Mesh] = None, axis: str = "row"
+):
+    """Row-partitioned element-sparse SpMM: per-stripe gather + segment-sum
+    after a tiled all_gather of B. The CSR tier of the distributed layer."""
+    if mesh is None:
+        mesh = make_mesh_1d()
+    n = int(mesh.shape[axis])
+    sh = shard_csr(csr, n)
+    rows_per = sh.rows_per_shard
+    n_rows, n_cols = csr.shape
+    k_padded = -(-n_cols // n) * n
+
+    stripe = NamedSharding(mesh, P(axis))
+    lr = jax.device_put(sh.local_rows, stripe)
+    ci = jax.device_put(sh.col_ids, stripe)
+    va = jax.device_put(sh.vals, stripe)
+
+    def stripe_fn(lr, ci, va, b_local):
+        b_full = jax.lax.all_gather(b_local, axis, tiled=True)
+        gathered = jnp.take(b_full, ci[0], axis=0) * va[0][:, None]
+        return jax.ops.segment_sum(gathered, lr[0], num_segments=rows_per)
+
+    fn = jax.shard_map(
+        stripe_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis, None)),
+        out_specs=P(axis, None),
+    )
+
+    @jax.jit
+    def run(dense):
+        dense = jnp.asarray(dense)
+        dense = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
+        dense = jax.lax.with_sharding_constraint(dense, stripe)
+        return fn(lr, ci, va, dense)[:n_rows].astype(jnp.float32)
+
+    return run

@@ -1,0 +1,124 @@
+"""Model family tests: forward parity vs dense-math oracle, training step
+convergence (single-chip and over the 8-device mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from spmm_denseblock_tpu.formats.csr import random_csr
+from spmm_denseblock_tpu.models import (
+    MODELS,
+    accuracy,
+    gcn_apply,
+    init_gcn,
+    make_train_step,
+    mean_adjacency,
+    sym_norm_adjacency,
+)
+from spmm_denseblock_tpu.ops import spmm_plan
+from spmm_denseblock_tpu.parallel import make_mesh
+from spmm_denseblock_tpu.parallel.train import make_dist_train_step, random_problem
+
+
+def _graph(n=96, p=0.06, seed=2):
+    return random_csr(p, n, seed=seed, values="ones")
+
+
+def test_sym_norm_adjacency_rows():
+    csr = _graph()
+    a = sym_norm_adjacency(csr)
+    d = a.to_dense()
+    # symmetric normalization of a symmetric-ish matrix keeps values in [0,1]
+    assert d.min() >= 0.0 and d.max() <= 1.0 + 1e-6
+    # self loops present
+    assert np.all(np.diag(d) > 0)
+
+
+def test_mean_adjacency_rows_sum_to_one():
+    a = mean_adjacency(_graph(), self_loops=True)
+    s = a.to_dense().sum(axis=1)
+    np.testing.assert_allclose(s, np.ones_like(s), atol=1e-5)
+
+
+@pytest.mark.parametrize("name", ["gcn", "sage", "gin"])
+def test_model_forward_matches_dense_oracle(name, rng):
+    csr = _graph()
+    norm = {
+        "gcn": sym_norm_adjacency(csr),
+        "sage": mean_adjacency(csr, self_loops=True),
+        "gin": csr,
+    }[name]
+    dims = [12, 16, 5]
+    init_fn, apply_fn = MODELS[name]
+    params = init_fn(jax.random.PRNGKey(0), dims)
+    x = rng.standard_normal((csr.n_rows, dims[0])).astype(np.float32)
+
+    a_dense = jnp.asarray(norm.to_dense())
+    spmm_oracle = lambda h: a_dense @ h
+    spmm_fast = spmm_plan(norm, impl="bsr_xla", block_size=16)
+
+    want = np.asarray(apply_fn(params, spmm_oracle, x))
+    got = np.asarray(apply_fn(params, spmm_fast, x))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_train_step_reduces_loss(rng):
+    csr = _graph(n=64)
+    norm = sym_norm_adjacency(csr)
+    dims = [8, 16, 3]
+    params = init_gcn(jax.random.PRNGKey(1), dims)
+    spmm = spmm_plan(norm, impl="csr_xla")
+    opt = optax.adam(5e-2)
+    step, init_state = make_train_step(gcn_apply, spmm, opt)
+    opt_state = init_state(params)
+
+    x = rng.standard_normal((64, 8)).astype(np.float32)
+    y = rng.integers(0, 3, size=64).astype(np.int32)
+    mask = np.ones(64, dtype=np.float32)
+    losses = []
+    for _ in range(60):
+        params, opt_state, m = step(params, opt_state, x, y, mask)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.6, losses[:3] + losses[-3:]
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_dist_train_step(mesh_shape, rng):
+    mesh = make_mesh(mesh_shape)
+    dims = [8, 16, 4]
+    adj, x, y, mask = random_problem(128, dims, p=0.05, seed=3)
+    params, opt_state, step = make_dist_train_step(
+        adj, mesh, dims, model="gcn", block_size=16
+    )
+    losses = []
+    for _ in range(10):
+        params, opt_state, m = step(params, opt_state, x, y, mask)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_dist_matches_single_chip(rng):
+    """Same seed, same data: the 2D-mesh step must track the single-chip
+    step (check_result discipline applied to training)."""
+    mesh = make_mesh((4, 2))
+    dims = [8, 12, 3]
+    adj, x, y, mask = random_problem(96, dims, p=0.06, seed=4)
+
+    d_params, d_opt, d_step = make_dist_train_step(
+        adj, mesh, dims, model="gcn", block_size=16, seed=7
+    )
+    s_params = init_gcn(jax.random.PRNGKey(7), dims)
+    spmm = spmm_plan(adj, impl="bsr_xla", block_size=16)
+    opt = optax.adam(1e-2)
+    s_step, s_init = make_train_step(gcn_apply, spmm, opt)
+    s_opt = s_init(s_params)
+
+    for i in range(3):
+        d_params, d_opt, dm = d_step(d_params, d_opt, x, y, mask)
+        s_params, s_opt, sm = s_step(s_params, s_opt, x, y, mask)
+        np.testing.assert_allclose(
+            float(dm["loss"]), float(sm["loss"]), rtol=1e-4, atol=1e-5
+        )

@@ -112,3 +112,22 @@ def test_duplicate_edges_sum():
     x = np.eye(4, dtype=np.float32)
     got = spmm_plan(csr, impl="csr_xla")(x)
     assert float(got[0, 1]) == 2.0
+
+
+def test_bsr_spmm_pallas_grad_matches_dense(rng):
+    """Training-path check the single-chip drive surfaced: the Pallas plan
+    must be differentiable (custom VJP = A^T @ g on the same kernel)."""
+    import jax
+    import jax.numpy as jnp
+    from spmm_denseblock_tpu.formats.bsr import random_bsr
+    from spmm_denseblock_tpu.ops import bsr_spmm_pallas_plan, assert_allclose
+
+    bsr = random_bsr(0.2, 6, 5, block_size=8, seed=9)
+    dense = jnp.asarray(
+        rng.standard_normal((bsr.shape[1], 12)).astype("float32")
+    )
+    plan = bsr_spmm_pallas_plan(bsr)
+    a = jnp.asarray(bsr.to_dense())
+    g1 = jax.grad(lambda x: jnp.sum(jnp.sin(plan(x))))(dense)
+    g2 = jax.grad(lambda x: jnp.sum(jnp.sin(a @ x)))(dense)
+    assert_allclose(g1, g2)

@@ -1,0 +1,109 @@
+"""Distributed SpMM tests on the 8-device virtual CPU mesh.
+
+The reference has no distributed layer; the oracle discipline is the same
+cross-check as check_result.cu (eps 1e-4) — scipy on the host vs the
+sharded device computation.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from spmm_denseblock_tpu.formats.bsr import random_bsr
+from spmm_denseblock_tpu.formats.csr import random_csr
+from spmm_denseblock_tpu.convert.csr2bsr import csr_to_bsr
+from spmm_denseblock_tpu.ops.reference import assert_allclose, spmm_scipy
+from spmm_denseblock_tpu.parallel import (
+    dist_bsr_spmm_plan,
+    dist_csr_spmm_plan,
+    make_mesh_1d,
+    shard_bsr,
+    shard_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh_1d(8)
+
+
+def _random_case(rng, b=8, nbr=16, nbc=16, f=24):
+    bsr = random_bsr(0.15, nbr, nbc, block_size=b, seed=7)
+    dense = rng.standard_normal((bsr.shape[1], f)).astype(np.float32)
+    want = np.asarray(bsr.to_dense(), dtype=np.float64) @ dense.astype(np.float64)
+    return bsr, dense, want.astype(np.float32)
+
+
+def test_shard_bsr_partition_roundtrip(rng):
+    bsr, _, _ = _random_case(rng)
+    sh = shard_bsr(bsr, 4)
+    # every real block appears exactly once with the right global position
+    dense = np.zeros((sh.rows_per_shard * 4 * sh.b, sh.col_chunk * 4 * sh.b))
+    for s in range(4):
+        for j in range(sh.local_rows.shape[1]):
+            r = (sh.local_rows[s, j] + s * sh.rows_per_shard) * sh.b
+            c = sh.block_cols[s, j] * sh.b
+            dense[r : r + sh.b, c : c + sh.b] += sh.blocks[s, j]
+    np.testing.assert_allclose(
+        dense[: bsr.shape[0], : bsr.shape[1]], bsr.to_dense(), atol=1e-6
+    )
+    stats = shard_stats(sh)
+    assert sum(stats["nnzb_per_shard"]) == bsr.nnzb
+
+
+@pytest.mark.parametrize("strategy", ["allgather", "ring"])
+def test_dist_bsr_spmm_matches_oracle(mesh, rng, strategy):
+    bsr, dense, want = _random_case(rng)
+    run = dist_bsr_spmm_plan(bsr, mesh=mesh, strategy=strategy)
+    got = np.asarray(run(dense))
+    assert got.shape == want.shape
+    assert_allclose(got, want)
+
+
+@pytest.mark.parametrize("strategy", ["allgather", "ring"])
+def test_dist_bsr_spmm_ragged_shapes(mesh, rng, strategy):
+    # shapes that do not divide the mesh: 13 block rows, 11 block cols
+    bsr = random_bsr(0.2, 13, 11, block_size=8, seed=3)
+    dense = rng.standard_normal((bsr.shape[1], 10)).astype(np.float32)
+    want = bsr.to_dense() @ dense
+    run = dist_bsr_spmm_plan(bsr, mesh=mesh, strategy=strategy)
+    assert_allclose(np.asarray(run(dense)), want)
+
+
+def test_dist_bsr_spmm_from_graph_csr(mesh, rng):
+    csr = random_csr(0.02, 400, 384, seed=11, values="ones")
+    bsr = csr_to_bsr(csr, 16)
+    dense = rng.standard_normal((384, 32)).astype(np.float32)
+    want = spmm_scipy(csr, dense)
+    for strategy in ("allgather", "ring"):
+        run = dist_bsr_spmm_plan(bsr, mesh=mesh, strategy=strategy)
+        assert_allclose(np.asarray(run(dense)), want)
+
+
+def test_dist_csr_spmm_matches_oracle(mesh, rng):
+    csr = random_csr(0.03, 300, 200, seed=5)
+    dense = rng.standard_normal((200, 17)).astype(np.float32)
+    want = spmm_scipy(csr, dense)
+    run = dist_csr_spmm_plan(csr, mesh=mesh)
+    assert_allclose(np.asarray(run(dense)), want)
+
+
+@pytest.mark.parametrize("strategy", ["allgather", "ring"])
+def test_dist_bsr_spmm_2d_mesh_feature_axis(rng, strategy):
+    """2D (row=4, col=2) mesh with the feature dim tensor-parallel."""
+    from spmm_denseblock_tpu.parallel import make_mesh
+
+    mesh2d = make_mesh((4, 2))
+    bsr, dense, want = _random_case(rng, b=8, nbr=16, nbc=16, f=16)
+    run = dist_bsr_spmm_plan(
+        bsr, mesh=mesh2d, strategy=strategy, feature_axis="col"
+    )
+    assert_allclose(np.asarray(run(dense)), want)
+
+
+def test_dist_output_sharding(mesh, rng):
+    """C must come back row-sharded (no host round-trip between layers)."""
+    bsr, dense, _ = _random_case(rng, b=8, nbr=16, nbc=16, f=16)
+    run = dist_bsr_spmm_plan(bsr, mesh=mesh, strategy="allgather")
+    out = run(dense)
+    assert len(out.sharding.device_set) == 8
