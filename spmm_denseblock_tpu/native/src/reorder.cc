@@ -1,0 +1,345 @@
+// Native reorder engine for spmm_denseblock_tpu.
+//
+// C++ re-implementations of the host-side reordering strategies, built
+// fresh for this framework (the reference vendors ~3k LoC of C++ for the
+// same role: Gorder/, rabbit_order/, reorder_strategy.cc — algorithms
+// re-derived, code original). The Python modules in reorder/ carry the
+// specification; every function here matches their deterministic
+// tie-breaking so `tests/test_native.py` can assert bit-equality where
+// the algorithm is order-deterministic.
+//
+// ABI: plain C, int32 CSR (indptr, indices), int64 output permutation
+// old2new (old index -> new index). Loaded via ctypes.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <queue>
+#include <unordered_map>
+#include <vector>
+
+using i32 = int32_t;
+using i64 = int64_t;
+
+namespace {
+
+// FIFO BFS numbering with lowest-unvisited restarts; adjacency visited in
+// the order given by (indptr, indices).
+void bfs_core(i64 n, const i32* indptr, const i32* indices, i64* old2new) {
+  std::fill(old2new, old2new + n, (i64)-1);
+  std::vector<i64> frontier, next;
+  i64 cnt = 0, pos = 0;
+  while (cnt < n) {
+    while (pos < n && old2new[pos] != -1) ++pos;
+    if (pos == n) break;
+    old2new[pos] = cnt++;
+    frontier.assign(1, pos);
+    while (!frontier.empty()) {
+      next.clear();
+      for (i64 u : frontier) {
+        for (i32 k = indptr[u]; k < indptr[u + 1]; ++k) {
+          i64 v = indices[k];
+          if (old2new[v] == -1) {
+            old2new[v] = cnt++;
+            next.push_back(v);
+          }
+        }
+      }
+      frontier.swap(next);
+    }
+  }
+}
+
+std::vector<i64> degrees(i64 n, const i32* indptr) {
+  std::vector<i64> deg(n);
+  for (i64 i = 0; i < n; ++i) deg[i] = indptr[i + 1] - indptr[i];
+  return deg;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Vertices by descending degree, ties by ascending id (stable).
+void sdb_degree_sort(i64 n, const i32* indptr, const i32* indices,
+                     i64* old2new) {
+  (void)indices;
+  auto deg = degrees(n, indptr);
+  std::vector<i64> order(n);
+  for (i64 i = 0; i < n; ++i) order[i] = i;
+  std::stable_sort(order.begin(), order.end(),
+                   [&](i64 a, i64 b) { return deg[a] > deg[b]; });
+  for (i64 i = 0; i < n; ++i) old2new[order[i]] = i;
+}
+
+void sdb_bfs(i64 n, const i32* indptr, const i32* indices, i64* old2new) {
+  bfs_core(n, indptr, indices, old2new);
+}
+
+// The repo-variant RCM: per-row adjacency re-sorted by (descending
+// neighbor degree, ascending id), then FIFO BFS.
+void sdb_rcm_variant(i64 n, const i32* indptr, const i32* indices,
+                     i64* old2new) {
+  auto deg = degrees(n, indptr);
+  i64 nnz = indptr[n];
+  std::vector<i32> sorted(indices, indices + nnz);
+  for (i64 i = 0; i < n; ++i) {
+    std::stable_sort(sorted.begin() + indptr[i], sorted.begin() + indptr[i + 1],
+                     [&](i32 a, i32 b) {
+                       if (deg[a] != deg[b]) return deg[a] > deg[b];
+                       return a < b;
+                     });
+  }
+  bfs_core(n, indptr, sorted.data(), old2new);
+}
+
+// Gorder (window-locality greedy, SIGMOD'16 algorithm): next vertex
+// maximizes sum over the last-w window of (adjacency + common-neighbor)
+// score. Keys move by +-1; a lazy binary heap with an authoritative key
+// table keeps pops O(log n). Hubs (deg > sqrt(n)) skip the expensive
+// common-neighbor propagation. Tie-break: highest key, then lowest id —
+// identical to reorder/gorder.py.
+void sdb_gorder(i64 n, const i32* indptr, const i32* indices, i64 window,
+                i64* old2new) {
+  if (n == 0) return;
+  auto deg = degrees(n, indptr);
+  double hub_cut = 1.0;
+  if ((double)n > 1.0) hub_cut = std::max(1.0, std::sqrt((double)n));
+  std::vector<i64> key(n, 0);
+  std::vector<char> placed(n, 0);
+  // max-heap on (key, -id): highest key first, then lowest id
+  std::priority_queue<std::pair<i64, i64>> heap;
+
+  auto bump = [&](i64 u, i64 delta) {
+    key[u] += delta;
+    if (delta > 0 && !placed[u]) heap.push({key[u], -u});
+  };
+  auto propagate = [&](i64 ve, i64 delta) {
+    for (i32 k = indptr[ve]; k < indptr[ve + 1]; ++k) {
+      i64 u = indices[k];
+      if (!placed[u]) bump(u, delta);
+    }
+    for (i32 k = indptr[ve]; k < indptr[ve + 1]; ++k) {
+      i64 w = indices[k];
+      if ((double)deg[w] > hub_cut) continue;
+      for (i32 j = indptr[w]; j < indptr[w + 1]; ++j) {
+        i64 u = indices[j];
+        if (!placed[u]) bump(u, delta);
+      }
+    }
+  };
+
+  // start at the first max-degree vertex
+  i64 v = 0;
+  for (i64 i = 1; i < n; ++i)
+    if (deg[i] > deg[v]) v = i;
+
+  std::vector<i64> win;
+  i64 scan = 0;
+  for (i64 i = 0; i < n; ++i) {
+    placed[v] = 1;
+    old2new[v] = i;
+    win.push_back(v);
+    propagate(v, +1);
+    if ((i64)win.size() > window) {
+      i64 out = win.front();
+      win.erase(win.begin());
+      propagate(out, -1);
+    }
+    if (i == n - 1) break;
+    i64 nxt = -1;
+    while (!heap.empty()) {
+      auto [k, negu] = heap.top();
+      heap.pop();
+      i64 u = -negu;
+      if (!placed[u] && k == key[u]) {
+        nxt = u;
+        break;
+      }
+    }
+    if (nxt == -1) {  // disconnected remainder: lowest unvisited id
+      while (scan < n && placed[scan]) ++scan;
+      nxt = scan;
+    }
+    v = nxt;
+  }
+}
+
+// Rabbit Order (IPDPS'16 algorithm, sequential): merge vertices in
+// ascending-degree order into the neighbor community with the best
+// modularity gain; DFS the merge forest for the permutation. Community
+// adjacencies are insertion-ordered maps so tie-breaking ("first best in
+// iteration order wins under strict >") matches reorder/rabbit.py.
+namespace rabbit_detail {
+struct OMap {  // insertion-ordered community -> weight map
+  std::unordered_map<i64, size_t> pos;
+  std::vector<std::pair<i64, double>> items;
+  void add(i64 k, double w) {
+    auto it = pos.find(k);
+    if (it == pos.end()) {
+      pos.emplace(k, items.size());
+      items.push_back({k, w});
+    } else {
+      items[it->second].second += w;
+    }
+  }
+  void erase(i64 k) {
+    auto it = pos.find(k);
+    if (it == pos.end()) return;
+    size_t idx = it->second;
+    items.erase(items.begin() + idx);
+    pos.erase(it);
+    for (auto& kv : pos)
+      if (kv.second > idx) --kv.second;
+  }
+};
+}  // namespace rabbit_detail
+
+void sdb_rabbit(i64 n, const i32* indptr, const i32* indices, i64* old2new) {
+  using rabbit_detail::OMap;
+  auto deg = degrees(n, indptr);
+  double two_m = (double)indptr[n];
+  if (two_m == 0) {
+    for (i64 i = 0; i < n; ++i) old2new[i] = i;
+    return;
+  }
+  std::vector<double> strength(n);
+  for (i64 i = 0; i < n; ++i) strength[i] = (double)deg[i];
+  std::vector<i64> parent(n, -1), comm(n);
+  std::vector<char> alive(n, 1), have(n, 0);
+  std::vector<OMap> nbrs(n);
+  std::vector<std::vector<i64>> children(n);
+  for (i64 i = 0; i < n; ++i) comm[i] = i;
+
+  auto find = [&](i64 x) {
+    i64 root = x;
+    while (comm[root] != root) root = comm[root];
+    while (comm[x] != root) {
+      i64 nx = comm[x];
+      comm[x] = root;
+      x = nx;
+    }
+    return root;
+  };
+  auto get_nbrs = [&](i64 u) -> OMap& {
+    if (!have[u]) {
+      OMap m;
+      for (i32 k = indptr[u]; k < indptr[u + 1]; ++k) {
+        i64 v = indices[k];
+        if (v != u) m.add(v, 1.0);
+      }
+      nbrs[u] = std::move(m);
+      have[u] = 1;
+    }
+    return nbrs[u];
+  };
+
+  std::vector<i64> order(n);
+  for (i64 i = 0; i < n; ++i) order[i] = i;
+  std::stable_sort(order.begin(), order.end(),
+                   [&](i64 a, i64 b) { return deg[a] < deg[b]; });
+
+  for (i64 u : order) {
+    if (!alive[u]) continue;
+    OMap& du = get_nbrs(u);
+    OMap combined;
+    for (auto& [v, w] : du.items) {
+      i64 r = find(v);
+      if (r != u) combined.add(r, w);
+    }
+    i64 best_v = -1;
+    double best_gain = 0.0;
+    for (auto& [r, w] : combined.items) {
+      double gain = w / two_m - strength[u] * strength[r] / (two_m * two_m);
+      if (gain > best_gain) {
+        best_gain = gain;
+        best_v = r;
+      }
+    }
+    if (best_v < 0) {
+      nbrs[u] = std::move(combined);
+      continue;
+    }
+    i64 v = best_v;
+    parent[u] = v;
+    children[v].push_back(u);
+    alive[u] = 0;
+    comm[u] = v;
+    OMap& dv = get_nbrs(v);
+    for (auto& [r, w] : combined.items)
+      if (r != v) dv.add(r, w);
+    dv.erase(u);
+    strength[v] += strength[u];
+    nbrs[u] = OMap();  // free
+  }
+
+  i64 cnt = 0;
+  std::vector<i64> stack;
+  for (i64 root = 0; root < n; ++root) {
+    if (parent[root] != -1) continue;
+    stack.assign(1, root);
+    while (!stack.empty()) {
+      i64 x = stack.back();
+      stack.pop_back();
+      old2new[x] = cnt++;
+      for (auto it = children[x].rbegin(); it != children[x].rend(); ++it)
+        stack.push_back(*it);
+    }
+  }
+}
+
+// Greedy max-shared-neighbor chain ("closest"): next vertex maximizes
+// |N(x) ∩ N(v)| (out-neighbor intersection, = (A A^T)[x] like the Python
+// spec's SpMV); candidates enumerated through the transpose adjacency,
+// counts reset in O(touched). First max (lowest id) wins; fallback =
+// lowest unvisited id.
+void sdb_greedy_closest(i64 n, const i32* indptr, const i32* indices,
+                        i64 start, i64* old2new) {
+  // build transpose (CSC) so "which v have w in N(v)" is a direct scan
+  i64 nnz = indptr[n];
+  std::vector<i32> t_ptr(n + 1, 0), t_idx(nnz);
+  for (i64 k = 0; k < nnz; ++k) ++t_ptr[indices[k] + 1];
+  for (i64 i = 0; i < n; ++i) t_ptr[i + 1] += t_ptr[i];
+  {
+    std::vector<i32> cur(t_ptr.begin(), t_ptr.end() - 1);
+    for (i64 u = 0; u < n; ++u)
+      for (i32 k = indptr[u]; k < indptr[u + 1]; ++k)
+        t_idx[cur[indices[k]]++] = (i32)u;
+  }
+  std::vector<i64> counts(n, 0);
+  std::vector<char> visited(n, 0);
+  std::vector<i64> touched;
+  std::fill(old2new, old2new + n, (i64)-1);
+  i64 x = start, scan = 0;
+  for (i64 i = 0; i < n; ++i) {
+    old2new[x] = i;
+    visited[x] = 1;
+    if (i == n - 1) break;
+    touched.clear();
+    for (i32 k = indptr[x]; k < indptr[x + 1]; ++k) {
+      i64 w = indices[k];
+      for (i32 j = t_ptr[w]; j < t_ptr[w + 1]; ++j) {
+        i64 v = t_idx[j];
+        if (counts[v] == 0) touched.push_back(v);
+        ++counts[v];
+      }
+    }
+    i64 best = -1, best_c = 0;
+    std::sort(touched.begin(), touched.end());
+    for (i64 v : touched) {
+      if (!visited[v] && counts[v] > best_c) {
+        best_c = counts[v];
+        best = v;
+      }
+    }
+    for (i64 v : touched) counts[v] = 0;
+    if (best < 0) {
+      while (scan < n && visited[scan]) ++scan;
+      best = scan;
+    }
+    x = best;
+  }
+}
+
+}  // extern "C"

@@ -20,11 +20,17 @@ import heapq
 import numpy as np
 
 from spmm_denseblock_tpu.formats.csr import CSR
+from spmm_denseblock_tpu import native as _native
 
 
 def gorder(csr: CSR, window: int = 5) -> np.ndarray:
     """Returns old2new. window=5 matches the reference CLI default
     (/root/reference/Gorder/main.cpp, gorder.py:1-10)."""
+    import ctypes
+
+    out = _native.run("sdb_gorder", csr, ctypes.c_int64(window))
+    if out is not None:
+        return out
     n = csr.n_rows
     indptr = np.asarray(csr.indptr)
     indices = np.asarray(csr.indices, dtype=np.int64)

@@ -16,9 +16,15 @@ from __future__ import annotations
 import numpy as np
 
 from spmm_denseblock_tpu.formats.csr import CSR
+from spmm_denseblock_tpu import native as _native
 
 
 def greedy_closest(csr: CSR, start: int = 0) -> np.ndarray:
+    import ctypes
+
+    out = _native.run("sdb_greedy_closest", csr, ctypes.c_int64(start))
+    if out is not None:
+        return out
     n = csr.n_rows
     A = csr.to_scipy()
     A.data[:] = 1.0

@@ -18,10 +18,14 @@ from __future__ import annotations
 import numpy as np
 
 from spmm_denseblock_tpu.formats.csr import CSR
+from spmm_denseblock_tpu import native as _native
 
 
 def rabbit_order(csr: CSR) -> np.ndarray:
     """Returns old2new."""
+    out = _native.run("sdb_rabbit", csr)
+    if out is not None:
+        return out
     n = csr.n_rows
     indptr = np.asarray(csr.indptr)
     indices = np.asarray(csr.indices, dtype=np.int64)

@@ -17,9 +17,13 @@ from __future__ import annotations
 import numpy as np
 
 from spmm_denseblock_tpu.formats.csr import CSR
+from spmm_denseblock_tpu import native as _native
 
 
 def max_degree_sort(csr: CSR) -> np.ndarray:
+    out = _native.run("sdb_degree_sort", csr)
+    if out is not None:
+        return out
     deg = csr.degrees()
     order = np.argsort(-deg, kind="stable")  # new2old
     old2new = np.empty(csr.n_rows, dtype=np.int64)
@@ -71,6 +75,9 @@ def _ragged_arange(lengths: np.ndarray) -> np.ndarray:
 
 
 def bfs(csr: CSR) -> np.ndarray:
+    out = _native.run("sdb_bfs", csr)
+    if out is not None:
+        return out
     return _bfs_order(np.asarray(csr.indptr), np.asarray(csr.indices), csr.n_rows)
 
 
@@ -86,6 +93,9 @@ def _sort_adjacency_by(csr: CSR, key: np.ndarray) -> tuple[np.ndarray, np.ndarra
 
 def rcm_variant(csr: CSR) -> np.ndarray:
     """The repo's 'rcmk': neighbors visited in descending-degree order."""
+    out = _native.run("sdb_rcm_variant", csr)
+    if out is not None:
+        return out
     deg = csr.degrees()
     indptr, indices = _sort_adjacency_by(csr, -deg)
     return _bfs_order(indptr, indices, csr.n_rows)
