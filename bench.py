@@ -23,41 +23,13 @@ import jax
 import numpy as np
 
 
-import jax.numpy as jnp
-
-_scale = jax.jit(lambda x: x * jnp.float32(1e-2))
-_sum = jax.jit(lambda x: jnp.sum(x))
+from spmm_denseblock_tpu.bench.timing import time_chained_square
 
 
 def _time_fn(fn, x0, iters=10):
-    """Chained marginal-cost timing. Three defenses against the axon
-    relay's measurement hazards (validated empirically; naive total/iters
-    was off by 100x):
-
-    1. CHAIN: iteration i+1 consumes iteration i's output (rescaled), so
-       every call has distinct inputs and a true data dependency — no
-       caching or overlap of identical calls.
-    2. READBACK BARRIER: block_until_ready returns early through the
-       relay; fetching a device-computed scalar (sum) is a real barrier.
-    3. MARGINAL: time chains of depth n and 6n, divide the difference —
-       cancels the constant dispatch/sync overhead.
-
-    Requires fn: (N, F) -> (N, F) (square operand), which the headline
-    config satisfies.
-    """
-    float(_sum(_scale(fn(x0))))  # warm/compile every op in the chain
-
-    def chain(n):
-        x = x0
-        t0 = time.perf_counter()
-        for _ in range(n):
-            x = _scale(fn(x))
-        float(_sum(x))
-        return time.perf_counter() - t0
-
-    n1, n2 = iters, 6 * iters
-    t1, t2 = chain(n1), chain(n2)
-    return (t2 - t1) / (n2 - n1)
+    """Chained marginal-cost timing with readback barriers — shared with
+    the sweep harness (spmm_denseblock_tpu/bench/timing.py)."""
+    return time_chained_square(fn, x0, iters=iters)
 
 
 def main():

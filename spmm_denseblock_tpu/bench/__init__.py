@@ -1,0 +1,28 @@
+from spmm_denseblock_tpu.bench.timing import time_chained, time_chained_square
+from spmm_denseblock_tpu.bench.harness import (
+    bench_synthetic_bsr,
+    bench_synthetic_csr,
+    bench_graph,
+    bench_scaling,
+)
+from spmm_denseblock_tpu.bench.sweeps import (
+    sweep_bsrmm,
+    sweep_csrmm,
+    sweep_graph,
+    sweep_scaling,
+    main,
+)
+
+__all__ = [
+    "time_chained",
+    "time_chained_square",
+    "bench_synthetic_bsr",
+    "bench_synthetic_csr",
+    "bench_graph",
+    "bench_scaling",
+    "sweep_bsrmm",
+    "sweep_csrmm",
+    "sweep_graph",
+    "sweep_scaling",
+    "main",
+]

@@ -1,0 +1,178 @@
+"""Benchmark case runners — the reference's driver set re-designed as a
+library (test_csrmm.cu, test_bsrmm.cu, run_csrmm.cu, run_bsrmm.cu,
+divide.cu drivers; SURVEY.md §2.5).
+
+Every runner returns a flat dict record with the reference's metrics
+(ms, GFLOP/s with the reference's formulas, block density/utilization)
+plus TPU roofline fields (bytes moved, arithmetic intensity, achieved
+GB/s). Records are JSON-serializable for the sweep harness.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import numpy as np
+
+from spmm_denseblock_tpu.analyze.metrics import block_metrics
+from spmm_denseblock_tpu.bench.timing import time_chained, time_chained_square
+from spmm_denseblock_tpu.convert.csr2bsr import csr_to_bsr
+from spmm_denseblock_tpu.convert.divide import divide
+from spmm_denseblock_tpu.formats.bsr import BSR, random_bsr
+from spmm_denseblock_tpu.formats.csr import CSR, random_csr
+from spmm_denseblock_tpu.io.datasets import load_dataset
+from spmm_denseblock_tpu.ops import spmm_plan
+from spmm_denseblock_tpu.reorder import reorder
+
+
+def _dense_operand(n_rows: int, dim: int, seed: int = 1234) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_rows, dim)).astype(np.float32)
+
+
+def _time(plan, x) -> float:
+    x_dev = jax.device_put(x)
+    probe = plan(x_dev)
+    if probe.shape == x_dev.shape:
+        return time_chained_square(plan, x_dev)
+    return time_chained(plan, x_dev)
+
+
+def _bsr_record(bsr: BSR, dim: int, secs: float) -> Dict:
+    b = bsr.b
+    # reference formula: nnzb*b^2*dim MAC -> 2x for FLOPs
+    # (test_bsrmm.cu:168 counts MACs; we report true FLOPs)
+    flops = 2.0 * bsr.nnzb * b * b * dim
+    bytes_moved = 4.0 * (
+        bsr.nnzb * b * b  # blocks
+        + bsr.nnzb * b * dim  # gathered B tiles
+        + bsr.n_block_rows * b * dim  # C
+    )
+    return {
+        "ms": secs * 1e3,
+        "gflops": flops / secs / 1e9,
+        "nnz_per_s": bsr.nnz_inside() / secs,
+        "block_density": bsr.block_density(),
+        "block_utilization": bsr.utilization(),
+        "bytes": bytes_moved,
+        "intensity_flop_per_byte": flops / bytes_moved,
+        "achieved_gb_s": bytes_moved / secs / 1e9,
+    }
+
+
+def bench_synthetic_bsr(
+    p: float, block_size: int, dim: int, impl: str = "bsr_pallas",
+    n_block_rows: int = 1024, dtype=None,
+) -> Dict:
+    """test_bsrmm analog: seeded random BSR, one timed SpMM."""
+    bsr = random_bsr(p, n_block_rows, block_size=block_size, seed=1234)
+    plan = spmm_plan(bsr, impl=impl, dtype=dtype) if dtype else spmm_plan(bsr, impl=impl)
+    x = _dense_operand(bsr.shape[1], dim)
+    secs = _time(plan, x)
+    rec = _bsr_record(bsr, dim, secs)
+    rec.update(
+        kind="synthetic_bsr", p=p, b=block_size, dim=dim, impl=impl,
+        n=bsr.shape[0], nnzb=bsr.nnzb,
+        dtype=str(dtype) if dtype else "float32",
+    )
+    return rec
+
+
+def bench_synthetic_csr(
+    p: float, dim: int, impl: str = "csr_xla", n_rows: int = 1 << 15
+) -> Dict:
+    """test_csrmm analog (reference uses 2^17; default 2^15 keeps the
+    segment-sum path's compile tractable through the remote compiler)."""
+    csr = random_csr(p, n_rows, seed=1234)
+    plan = spmm_plan(csr, impl=impl)
+    x = _dense_operand(csr.shape[1], dim)
+    secs = _time(plan, x)
+    flops = 2.0 * csr.nnz * dim
+    return {
+        "kind": "synthetic_csr", "p": p, "dim": dim, "impl": impl,
+        "n": csr.n_rows, "nnz": csr.nnz, "ms": secs * 1e3,
+        "gflops": flops / secs / 1e9, "nnz_per_s": csr.nnz / secs,
+    }
+
+
+def bench_graph(
+    dataset: str, strategy: str = "rcmk", block_size: int = 128,
+    dim: int = 128, impl: str = "hybrid", scale: float = 1.0,
+    density_threshold: float = 0.05, dtype=None,
+) -> Dict:
+    """run_csrmm/run_bsrmm/divide analog on a (reordered) graph."""
+    csr = load_dataset(dataset, scale=scale)
+    rcsr, _ = reorder(csr, strategy)
+    metrics = block_metrics(rcsr, [block_size])[block_size]
+
+    kw = dict(dtype=dtype) if dtype else {}
+    if impl == "hybrid":
+        hyb = divide(rcsr, block_size, density_threshold)
+        plan = spmm_plan(hyb, impl="hybrid", **kw)
+        extra = {
+            "dense_nnzb": hyb.dense.nnzb,
+            "remainder_nnz": hyb.remainder.nnz,
+            "density_threshold": density_threshold,
+        }
+    elif impl.startswith("bsr"):
+        bsr = csr_to_bsr(rcsr, block_size)
+        plan = spmm_plan(bsr, impl=impl, **kw)
+        extra = {"nnzb": bsr.nnzb}
+    else:
+        plan = spmm_plan(rcsr, impl=impl)
+        extra = {}
+
+    x = _dense_operand(rcsr.n_cols, dim)
+    secs = _time(plan, x)
+    flops = 2.0 * csr.nnz * dim
+    rec = {
+        "kind": "graph", "dataset": dataset, "strategy": strategy,
+        "b": block_size, "dim": dim, "impl": impl, "scale": scale,
+        "n": csr.n_rows, "nnz": csr.nnz, "ms": secs * 1e3,
+        "gflops": flops / secs / 1e9, "nnz_per_s": csr.nnz / secs,
+        "block_density": metrics["density"],
+        "block_utilization": metrics["utilization"],
+    }
+    rec.update(extra)
+    return rec
+
+
+def bench_scaling(
+    n_devices_list: Sequence[int],
+    p: float = 2e-3,
+    block_size: int = 64,
+    dim: int = 256,
+    n_block_rows: int = 512,
+    strategy: str = "allgather",
+) -> Dict:
+    """Distributed nnz/s scaling efficiency over 1..N devices (the
+    BASELINE.json >=80% target). Runs on whatever devices exist — the
+    8-device CPU mesh in tests, a pod slice in production."""
+    from spmm_denseblock_tpu.parallel import make_mesh_1d
+    from spmm_denseblock_tpu.parallel.spmm import dist_bsr_spmm_plan
+
+    bsr = random_bsr(p, n_block_rows, block_size=block_size, seed=1234)
+    x = _dense_operand(bsr.shape[1], dim)
+    nnz = bsr.nnz_inside()
+    points = []
+    base = None
+    for nd in n_devices_list:
+        mesh = make_mesh_1d(nd)
+        plan = dist_bsr_spmm_plan(bsr, mesh=mesh, strategy=strategy)
+        secs = _time(plan, x)
+        rate = nnz / secs
+        if base is None:
+            base = rate / nd if nd else rate
+        points.append(
+            {
+                "devices": nd,
+                "ms": secs * 1e3,
+                "nnz_per_s": rate,
+                "efficiency": rate / (nd * base) if base else 1.0,
+            }
+        )
+    return {
+        "kind": "scaling", "p": p, "b": block_size, "dim": dim,
+        "strategy": strategy, "points": points,
+    }

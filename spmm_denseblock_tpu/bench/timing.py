@@ -1,0 +1,63 @@
+"""Device timing that survives the axon relay (see verify skill notes).
+
+Three rules, validated empirically on the tunneled TPU:
+1. CHAIN — iteration i+1 must consume iteration i's output; repeated
+   identical calls get cached/overlapped somewhere in the relay (naive
+   total/iters was off by 100x).
+2. READBACK BARRIER — block_until_ready can return before device work
+   completes; fetching a device-computed scalar is the only real sync.
+3. MARGINAL COST — time chains of depth n and kn, divide the difference,
+   cancelling constant dispatch/sync overhead.
+
+The reference times with CUDA events around one call
+(/root/reference/run_csrmm.cu:125-151); events don't exist in JAX and
+single timed calls are meaningless through a relay, hence this design.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+_scale = jax.jit(lambda x: x * jnp.float32(1e-2))
+_sum = jax.jit(lambda x: jnp.sum(x))
+# x + 0-ish * sum(y): keeps a true buffer dependency on y without
+# changing x numerically (1e-30 * s underflows); the runtime scalar stops
+# XLA from folding the term away.
+_mix = jax.jit(lambda x, y: x + jnp.float32(1e-30) * jnp.sum(y))
+
+
+def time_chained_square(fn: Callable, x0, iters: int = 10, k: int = 6) -> float:
+    """Per-call seconds for fn: (N, F) -> (N, F) (output feeds input)."""
+    float(_sum(_scale(fn(x0))))  # warm every op
+
+    def chain(n):
+        x = x0
+        t0 = time.perf_counter()
+        for _ in range(n):
+            x = _scale(fn(x))
+        float(_sum(x))
+        return time.perf_counter() - t0
+
+    t1, t2 = chain(iters), chain(k * iters)
+    return max((t2 - t1) / ((k - 1) * iters), 1e-9)
+
+
+def time_chained(fn: Callable, x0, iters: int = 10, k: int = 6) -> float:
+    """Per-call seconds for fn with any output shape: the next input is
+    x0 + eps*sum(prev_output), a true data dependency."""
+    float(_sum(_mix(x0, fn(x0))))  # warm every op
+
+    def chain(n):
+        x = x0
+        t0 = time.perf_counter()
+        for _ in range(n):
+            x = _mix(x0, fn(x))
+        float(_sum(x))
+        return time.perf_counter() - t0
+
+    t1, t2 = chain(iters), chain(k * iters)
+    return max((t2 - t1) / ((k - 1) * iters), 1e-9)
