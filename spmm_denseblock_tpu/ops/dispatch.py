@@ -21,6 +21,7 @@ from spmm_denseblock_tpu.convert.csr2bsr import csr_to_bsr
 from spmm_denseblock_tpu.ops.csr_spmm import csr_spmm_plan, bcoo_spmm_plan
 from spmm_denseblock_tpu.ops.bsr_spmm_xla import bsr_spmm_xla_plan
 from spmm_denseblock_tpu.ops.bsr_spmm_pallas import bsr_spmm_pallas_plan
+from spmm_denseblock_tpu.ops.bsr_spmm_pallas_grouped import bsr_spmm_pallas_grouped_plan
 from spmm_denseblock_tpu.ops.hybrid_spmm import hybrid_spmm_plan
 from spmm_denseblock_tpu.ops.reference import spmm_dense_jnp
 
@@ -41,6 +42,7 @@ PLANNERS: Dict[str, Callable] = {
     # BSR tier
     "bsr_xla": lambda m, **kw: bsr_spmm_xla_plan(m, **kw),
     "bsr_pallas": lambda m, **kw: bsr_spmm_pallas_plan(m, **kw),
+    "bsr_pallas_g": lambda m, **kw: bsr_spmm_pallas_grouped_plan(m, **kw),
     # hybrid tier
     "hybrid": lambda m, **kw: hybrid_spmm_plan(m, **kw),
     # oracle tier
@@ -51,16 +53,22 @@ PLANNERS: Dict[str, Callable] = {
 def spmm_plan(matrix, impl: str = "auto", block_size: int = 128, **kw):
     """Build an SpMM executor for `matrix`.
 
-    impl='auto': CSR inputs route to bsr_pallas after csr_to_bsr packing
-    when on TPU (the framework's thesis: blocks on the MXU), else csr_xla.
+    impl='auto': hybrid inputs run the two-kernel path; block inputs pick
+    the BSR tier by expected feature width — measured on hardware
+    (2^17-square b=128 sweep): the Pallas flat kernel wins for wide
+    operands (dim >= ~256, 508 GB/s vs XLA's 214), the XLA gather+
+    segment-sum formulation wins for narrow ones. This shape-based
+    dispatch is the TPU analog of rocSPARSE's blockDim/WF_SIZE dispatch
+    (/root/reference/rocsparse_bsrmm.h:192-252). Pass feat_dim to steer;
+    default assumes wide (the GNN/bench regime).
     """
+    feat_dim = kw.pop("feat_dim", None)
     if impl == "auto":
         if isinstance(matrix, Hybrid):
             impl = "hybrid"
-        elif isinstance(matrix, BSR):
-            impl = "bsr_pallas"
         else:
-            impl = "bsr_pallas"
+            wide = feat_dim is None or feat_dim >= 256
+            impl = "bsr_pallas" if wide else "bsr_xla"
     if impl.startswith("bsr") and isinstance(matrix, CSR):
         matrix = csr_to_bsr(matrix, block_size)
     if impl not in PLANNERS:

@@ -78,3 +78,48 @@ def test_repack_bsr_exact():
     assert big.b == 32
     np.testing.assert_allclose(big.to_dense(), csr.to_dense(), rtol=1e-6)
     assert big.nnzb <= small.nnzb
+
+
+def test_device_csr_to_bsr_matches_host(rng):
+    """On-device conversion (cuSPARSE two-phase analog) vs the host
+    converter, same padded-BSR contract."""
+    from spmm_denseblock_tpu.formats.csr import random_csr
+    from spmm_denseblock_tpu.convert.csr2bsr import csr_to_bsr
+    from spmm_denseblock_tpu.ops.device_convert import (
+        count_nnzb_device,
+        csr_to_bsr_on_device,
+    )
+    import numpy as np
+    import jax.numpy as jnp
+
+    csr = random_csr(0.03, 100, 90, seed=8)
+    host = csr_to_bsr(csr, 16)
+    nbc = -(-csr.shape[1] // 16)
+    nnzb_dev = int(
+        count_nnzb_device(
+            jnp.asarray(csr.row_ids()),
+            jnp.asarray(np.asarray(csr.indices, np.int32)),
+            nbc,
+            16,
+        )
+    )
+    assert nnzb_dev == host.nnzb
+    dev = csr_to_bsr_on_device(csr, 16)
+    assert dev.nnzb == host.nnzb
+    np.testing.assert_allclose(dev.to_dense(), host.to_dense(), atol=1e-6)
+
+    # overfull capacity keeps the result intact (padding parked on last row)
+    dev2 = csr_to_bsr_on_device(csr, 16, nnzb_max=host.nnzb + 7)
+    np.testing.assert_allclose(dev2.to_dense(), host.to_dense(), atol=1e-6)
+
+
+def test_device_csr_to_bsr_feeds_spmm(rng):
+    from spmm_denseblock_tpu.formats.csr import random_csr
+    from spmm_denseblock_tpu.ops.device_convert import csr_to_bsr_on_device
+    from spmm_denseblock_tpu.ops import bsr_spmm_xla_plan, spmm_scipy, assert_allclose
+    import numpy as np
+
+    csr = random_csr(0.05, 64, 64, seed=2)
+    bsr = csr_to_bsr_on_device(csr, 8)
+    x = rng.standard_normal((64, 12)).astype(np.float32)
+    assert_allclose(np.asarray(bsr_spmm_xla_plan(bsr)(x)), spmm_scipy(csr, x))
