@@ -16,7 +16,11 @@ import jax
 import numpy as np
 
 from spmm_denseblock_tpu.analyze.metrics import block_metrics
-from spmm_denseblock_tpu.bench.timing import time_chained, time_chained_square
+from spmm_denseblock_tpu.bench.timing import (
+    time_chained,
+    time_chained_square,
+    time_synced,
+)
 from spmm_denseblock_tpu.convert.csr2bsr import csr_to_bsr
 from spmm_denseblock_tpu.convert.divide import divide
 from spmm_denseblock_tpu.formats.bsr import BSR, random_bsr
@@ -157,10 +161,12 @@ def bench_scaling(
     nnz = bsr.nnz_inside()
     points = []
     base = None
+    x_dev = x
     for nd in n_devices_list:
         mesh = make_mesh_1d(nd)
         plan = dist_bsr_spmm_plan(bsr, mesh=mesh, strategy=strategy)
-        secs = _time(plan, x)
+        # synced timing: deep async queues deadlock CPU-mesh collectives
+        secs = time_synced(plan, x_dev)
         rate = nnz / secs
         if base is None:
             base = rate / nd if nd else rate

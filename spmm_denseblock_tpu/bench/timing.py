@@ -61,3 +61,19 @@ def time_chained(fn: Callable, x0, iters: int = 10, k: int = 6) -> float:
 
     t1, t2 = chain(iters), chain(k * iters)
     return max((t2 - t1) / ((k - 1) * iters), 1e-9)
+
+
+def time_synced(fn: Callable, x0, iters: int = 8) -> float:
+    """Fully-synchronous chained timing: readback barrier after EVERY
+    call. Slower and includes per-call sync overhead, but never builds a
+    deep async queue — required for multi-device CPU-mesh runs, where
+    interleaved collective rendezvous from queued executions can
+    deadlock the XLA CPU runtime (observed with an 8-device ppermute
+    ring under chained dispatch)."""
+    x = _mix(x0, fn(x0))
+    float(_sum(x))  # warm every op
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x = _mix(x0, fn(x))
+        float(_sum(x))
+    return (time.perf_counter() - t0) / iters

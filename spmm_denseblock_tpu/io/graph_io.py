@@ -119,3 +119,26 @@ def cached(cache_dir: str, name: str, builder) -> CSR:
     csr = builder()
     save_npz(csr, path)
     return csr
+
+
+def dump_metis_graph(csr: CSR, path: str) -> None:
+    """METIS graph format (gen_adj.cpp parity,
+    /root/reference/gen_adj.cpp:45-53): header `n m` (m = undirected edge
+    count), then per-vertex 1-indexed neighbor lists, self-loops dropped.
+    Feed the file to external ndmetis/gpmetis; read results back with
+    reorder.load_iperm / load_partition."""
+    rows = csr.row_ids().astype(np.int64)
+    cols = np.asarray(csr.indices, dtype=np.int64)
+    keep = rows != cols
+    rows, cols = rows[keep], cols[keep]
+    n = csr.n_rows
+    order = np.lexsort((cols, rows))
+    rows, cols = rows[order], cols[order]
+    counts = np.bincount(rows, minlength=n)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    m = rows.shape[0] // 2  # symmetric input assumed (reference's graphs)
+    with open(path, "w") as f:
+        f.write(f"{n} {m}\n")
+        for v in range(n):
+            nb = cols[starts[v] : starts[v + 1]] + 1
+            f.write(" ".join(map(str, nb)) + "\n")

@@ -129,6 +129,11 @@ def _pallas_spmm(
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
+        # F tiles touch disjoint output columns (parallel); the nnzb dim
+        # revisits/accumulates output tiles (arbitrary = keep order)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
         interpret=interpret,
     )(block_rows, block_cols, blocks, dense)
     return out[:n_rows]

@@ -107,3 +107,20 @@ def test_synthetic_powerlaw_deterministic_and_symmetric():
     d = a.to_dense()
     np.testing.assert_array_equal(d, d.T)
     assert np.all(np.diag(d) == 0)
+
+
+def test_dump_metis_graph(tmp_path):
+    """gen_adj.cpp format: n m header, 1-indexed neighbor lines."""
+    import numpy as np
+    from spmm_denseblock_tpu.formats.csr import CSR
+    from spmm_denseblock_tpu.io.graph_io import dump_metis_graph
+
+    edges = np.array([[0, 1], [1, 0], [1, 2], [2, 1], [2, 2]])
+    csr = CSR.from_edges(edges, 3)
+    p = tmp_path / "g.graph"
+    dump_metis_graph(csr, str(p))
+    lines = p.read_text().strip().splitlines()
+    assert lines[0] == "3 2"  # self loop dropped, 2 undirected edges
+    assert lines[1].split() == ["2"]
+    assert lines[2].split() == ["1", "3"]
+    assert lines[3].split() == ["2"]
