@@ -42,7 +42,7 @@ from spmm_denseblock_tpu.formats.bsr import BSR
 from spmm_denseblock_tpu.convert.pack import round_up
 
 
-def _kernel(rows_ref, cols_ref, blocks_ref, dense_ref, out_ref):
+def _kernel(rows_ref, cols_ref, blocks_ref, dense_ref, out_ref, *, precision):
     j = pl.program_id(1)
     prev_row = rows_ref[jnp.maximum(j - 1, 0)]
 
@@ -50,13 +50,16 @@ def _kernel(rows_ref, cols_ref, blocks_ref, dense_ref, out_ref):
     def _zero():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    # HIGHEST keeps f32 inputs exact (reference 1e-4 gate); for bf16 inputs
-    # it is the native MXU mode (bf16 multiply, f32 accumulate).
+    # f32 inputs: HIGHEST keeps the reference 1e-4 gate exact. bf16
+    # inputs: DEFAULT is the native MXU mode (bf16 multiply, f32
+    # accumulate via preferred_element_type) — HIGHEST would request an
+    # fp32 contract on bf16 vectors, which Mosaic rejects ("Bad lhs
+    # type", seen on v5e).
     out_ref[:] += jnp.dot(
         blocks_ref[0],
         dense_ref[:],
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
 
 
@@ -122,8 +125,13 @@ def _pallas_spmm(
         + nnzb * b * f_padded * dense.dtype.itemsize
         + n_block_rows * b * f_padded * 4
     )
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if blocks.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, precision=precision),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_block_rows * b, f_padded), jnp.float32),
         cost_estimate=pl.CostEstimate(

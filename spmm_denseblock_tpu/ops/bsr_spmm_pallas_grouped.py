@@ -120,11 +120,18 @@ def _kernel(
     def _zero():
         out_ref[:] = jnp.zeros_like(out_ref)
 
+    # precision by dtype: HIGHEST for f32 exactness, DEFAULT for bf16
+    # (fp32 contract on bf16 vectors fails Mosaic compile)
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if packed_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     out_ref[:] += jnp.dot(
         packed_ref[0],
         b_buf[slot],
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     )
 
 

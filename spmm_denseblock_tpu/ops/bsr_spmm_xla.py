@@ -27,12 +27,17 @@ def _bsr_spmm_device(block_rows, block_cols, blocks, dense, n_block_rows, n_rows
     b = blocks.shape[1]
     dense_blk = dense.reshape(dense.shape[0] // b, b, dense.shape[1])
     gathered = jnp.take(dense_blk, block_cols, axis=0)  # (nnzb, b, F)
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if blocks.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     prod = jax.lax.dot_general(
         blocks,
         gathered,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     )  # (nnzb, b, F)
     out_blk = jax.ops.segment_sum(
         prod, block_rows, num_segments=n_block_rows, indices_are_sorted=True

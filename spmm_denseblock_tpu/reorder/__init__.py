@@ -20,7 +20,7 @@ from spmm_denseblock_tpu.reorder.metis import (
     load_iperm,
     load_partition,
 )
-from spmm_denseblock_tpu.reorder.registry import STRATEGIES, reorder
+from spmm_denseblock_tpu.reorder.registry import STRATEGIES, reorder, reorder_cached
 
 __all__ = [
     "permutate",
@@ -41,4 +41,5 @@ __all__ = [
     "load_partition",
     "STRATEGIES",
     "reorder",
+    "reorder_cached",
 ]

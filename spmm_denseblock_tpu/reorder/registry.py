@@ -45,3 +45,27 @@ def reorder(csr: CSR, strategy: str = "rcmk", **kw):
     old2new = STRATEGIES[strategy](csr, **kw)
     check_permutation(old2new, csr.n_rows)
     return permutate(old2new, csr), old2new
+
+
+def reorder_cached(
+    csr: CSR, strategy: str, cache_dir: str = "tmp", tag: str = "graph", **kw
+):
+    """reorder() with the reference's permutation-cache discipline
+    (rabbit_reorder.py writes tmp/<ds>_rabbit.txt and the apply step
+    reloads it): the old2new permutation is persisted as a text file
+    `<cache_dir>/<tag>_<strategy>.txt` and reused on the next run, so
+    expensive orderings (gorder, rabbit, closest) are computed once per
+    graph. Returns (reordered_csr, old2new)."""
+    import os
+
+    from spmm_denseblock_tpu.io.graph_io import dump_permutation, load_permutation
+
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"{tag}_{strategy}.txt")
+    if os.path.exists(path):
+        old2new = load_permutation(path)
+        check_permutation(old2new, csr.n_rows)
+        return permutate(old2new, csr), old2new
+    reordered, old2new = reorder(csr, strategy, **kw)
+    dump_permutation(old2new, path)
+    return reordered, old2new

@@ -171,3 +171,17 @@ def test_bsr_spmm_pallas_grouped_bf16(rng):
     # bf16 inputs, f32 accumulate: ~2-3 decimal digits
     rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
     assert rel < 2e-2, rel
+
+
+def test_bsr_spmm_pallas_flat_bf16(rng):
+    import jax.numpy as jnp
+    import numpy as np
+    from spmm_denseblock_tpu.formats.bsr import random_bsr
+    from spmm_denseblock_tpu.ops import bsr_spmm_pallas_plan
+
+    bsr = random_bsr(0.2, 8, 8, block_size=16, seed=4)
+    x = rng.standard_normal((bsr.shape[1], 32)).astype(np.float32)
+    want = bsr.to_dense() @ x
+    got = np.asarray(bsr_spmm_pallas_plan(bsr, dtype=jnp.bfloat16)(x))
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 2e-2, rel

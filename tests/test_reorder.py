@@ -129,3 +129,20 @@ def test_registry_rejects_unknown():
     with pytest.raises(KeyError):
         reorder(_graph(), "nope")
     assert "rcmk" in STRATEGIES
+
+
+def test_reorder_cached_roundtrip(tmp_path):
+    """Permutation cache: second call loads the text file (reference's
+    tmp/<ds>_<strategy>.txt discipline) and reproduces the same CSR."""
+    import numpy as np
+    from spmm_denseblock_tpu.formats.csr import random_csr
+    from spmm_denseblock_tpu.reorder import reorder_cached
+
+    csr = random_csr(0.05, 60, seed=6, values="ones")
+    r1, p1 = reorder_cached(csr, "rcmk", cache_dir=str(tmp_path), tag="t")
+    assert (tmp_path / "t_rcmk.txt").exists()
+    r2, p2 = reorder_cached(csr, "rcmk", cache_dir=str(tmp_path), tag="t")
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_array_equal(
+        np.asarray(r1.indices), np.asarray(r2.indices)
+    )
