@@ -65,3 +65,32 @@ def divide(csr: CSR, block_size: int, density: float) -> Hybrid:
     rem = ~dense_mask
     remainder = CSR.from_coo(rows[rem], cols[rem], vals[rem], csr.shape)
     return Hybrid(dense=bsr, remainder=remainder, shape=csr.shape)
+
+
+def auto_threshold(csr: CSR, block_size: int, dense_speedup: float = 4.0) -> float:
+    """Analytics-driven density threshold for divide() — the L3->L4 link
+    the reference leaves to the human (the divide.cu density argv came
+    from eyeballing block_density_dist output).
+
+    Model: routing a block through the dense path costs b^2 cell-ops on
+    the MXU but runs ~dense_speedup x faster per element than the
+    gather-bound CSR path; a block with occupancy >= 1/dense_speedup is
+    therefore cheaper dense. The returned threshold is that break-even
+    clipped to the occupancy distribution actually present (10-bucket
+    fill histogram), so a graph with no dense blocks yields a threshold
+    that routes everything to CSR rather than creating a tiny BSR part.
+    """
+    import numpy as np
+
+    from spmm_denseblock_tpu.analyze.metrics import fill_histogram
+
+    breakeven = 1.0 / dense_speedup
+    hist = fill_histogram(csr, block_size)
+    # densest occupied bucket lower edge
+    occupied = np.nonzero(hist)[0]
+    if occupied.size == 0:
+        return 1.0
+    densest_edge = occupied[-1] / hist.shape[0]
+    if densest_edge < breakeven:
+        return 1.0  # nothing qualifies: pure CSR
+    return float(breakeven)

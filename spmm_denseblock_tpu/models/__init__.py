@@ -19,6 +19,10 @@ from spmm_denseblock_tpu.models.train import (
     accuracy,
     make_train_step,
 )
+from spmm_denseblock_tpu.models.checkpoint import (
+    save_checkpoint,
+    load_checkpoint,
+)
 
 __all__ = [
     "add_self_loops",
@@ -36,4 +40,6 @@ __all__ = [
     "masked_cross_entropy",
     "accuracy",
     "make_train_step",
+    "save_checkpoint",
+    "load_checkpoint",
 ]

@@ -63,6 +63,13 @@ def spmm_plan(matrix, impl: str = "auto", block_size: int = 128, **kw):
     default assumes wide (the GNN/bench regime).
     """
     feat_dim = kw.pop("feat_dim", None)
+    repack_to = kw.pop("repack_to", None)
+    if repack_to is not None and isinstance(matrix, BSR):
+        from spmm_denseblock_tpu.convert.pack import repack_bsr
+
+        # small-b BSR -> MXU supertiles (SURVEY §7 "small blocks on a
+        # 128x128 MXU"): trades zero-fill FLOPs for full systolic tiles.
+        matrix = repack_bsr(matrix, repack_to)
     if impl == "auto":
         if isinstance(matrix, Hybrid):
             impl = "hybrid"

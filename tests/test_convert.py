@@ -123,3 +123,33 @@ def test_device_csr_to_bsr_feeds_spmm(rng):
     bsr = csr_to_bsr_on_device(csr, 8)
     x = rng.standard_normal((64, 12)).astype(np.float32)
     assert_allclose(np.asarray(bsr_spmm_xla_plan(bsr)(x)), spmm_scipy(csr, x))
+
+
+def test_auto_threshold_and_repack_dispatch(rng):
+    """Analytics-driven hybrid threshold + small-b supertile repack."""
+    import numpy as np
+    from spmm_denseblock_tpu.convert import auto_threshold, divide
+    from spmm_denseblock_tpu.formats.csr import random_csr, CSR
+    from spmm_denseblock_tpu.formats.bsr import random_bsr
+    from spmm_denseblock_tpu.ops import spmm_plan, spmm_scipy, assert_allclose
+
+    # dense diagonal band -> threshold should admit dense blocks
+    n, b = 64, 8
+    rows = np.repeat(np.arange(n), 5)
+    cols = (rows + np.tile(np.arange(5), n)) % n
+    banded = CSR.from_coo(rows, cols, None, (n, n))
+    thr = auto_threshold(banded, b)
+    assert 0 < thr <= 1
+    hyb = divide(banded, b, thr)
+    assert hyb.dense.nnzb > 0
+
+    # sparse uniform graph at b=128 -> everything CSR
+    sparse = random_csr(0.001, 256, seed=3, values="ones")
+    assert auto_threshold(sparse, 128) == 1.0
+
+    # repack_to: small-b BSR through the MXU-tile path, oracle-checked
+    small = random_bsr(0.15, 16, 16, block_size=8, seed=5)
+    x = rng.standard_normal((small.shape[1], 16)).astype(np.float32)
+    plan = spmm_plan(small, impl="bsr_xla", repack_to=32)
+    want = small.to_dense() @ x
+    assert_allclose(np.asarray(plan(x)), want)

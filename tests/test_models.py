@@ -122,3 +122,42 @@ def test_dist_matches_single_chip(rng):
         np.testing.assert_allclose(
             float(dm["loss"]), float(sm["loss"]), rtol=1e-4, atol=1e-5
         )
+
+
+def test_checkpoint_roundtrip_resumes_training(tmp_path, rng):
+    """Save mid-training, restore into fresh templates, training continues
+    bit-identically (the reference's restart-from-disk property)."""
+    import optax
+    from spmm_denseblock_tpu.models import save_checkpoint, load_checkpoint
+
+    csr = _graph(n=48)
+    norm = sym_norm_adjacency(csr)
+    dims = [6, 8, 3]
+    spmm = spmm_plan(norm, impl="csr_xla")
+    opt = optax.adam(1e-2)
+    step, init_state = make_train_step(gcn_apply, spmm, opt)
+
+    params = init_gcn(jax.random.PRNGKey(2), dims)
+    opt_state = init_state(params)
+    x = rng.standard_normal((48, 6)).astype(np.float32)
+    y = rng.integers(0, 3, size=48).astype(np.int32)
+    mask = np.ones(48, dtype=np.float32)
+
+    for _ in range(3):
+        params, opt_state, _ = step(params, opt_state, x, y, mask)
+    ckpt = str(tmp_path / "ck.npz")
+    save_checkpoint(ckpt, params, opt_state, step=3)
+
+    # continue directly
+    p_direct, o_direct = params, opt_state
+    p_direct, o_direct, m_direct = step(p_direct, o_direct, x, y, mask)
+
+    # restore into fresh templates and continue
+    t_params = init_gcn(jax.random.PRNGKey(99), dims)
+    t_opt = init_state(t_params)
+    p_rest, o_rest, at = load_checkpoint(ckpt, t_params, t_opt)
+    assert at == 3
+    p_rest, o_rest, m_rest = step(p_rest, o_rest, x, y, mask)
+    np.testing.assert_allclose(
+        float(m_rest["loss"]), float(m_direct["loss"]), rtol=1e-6
+    )
