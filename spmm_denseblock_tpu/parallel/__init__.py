@@ -12,9 +12,16 @@ from spmm_denseblock_tpu.parallel.shard import (
     bucket_by_col_chunk,
     shard_stats,
 )
+from spmm_denseblock_tpu.parallel.multihost import (
+    initialize,
+    pod_mesh,
+    is_coordinator,
+)
 from spmm_denseblock_tpu.parallel.spmm import (
     dist_bsr_spmm_plan,
     dist_csr_spmm_plan,
+    dist_hybrid_spmm_plan,
+    balanced_block_row_permutation,
 )
 
 __all__ = [
@@ -30,4 +37,9 @@ __all__ = [
     "shard_stats",
     "dist_bsr_spmm_plan",
     "dist_csr_spmm_plan",
+    "dist_hybrid_spmm_plan",
+    "balanced_block_row_permutation",
+    "initialize",
+    "pod_mesh",
+    "is_coordinator",
 ]

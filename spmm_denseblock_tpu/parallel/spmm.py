@@ -204,3 +204,59 @@ def dist_csr_spmm_plan(
         return fn(lr, ci, va, dense)[:n_rows].astype(jnp.float32)
 
     return run
+
+
+def dist_hybrid_spmm_plan(
+    hyb,
+    mesh: Optional[Mesh] = None,
+    axis: str = "row",
+    strategy: str = "allgather",
+    dtype=None,
+):
+    """Distributed hybrid: dense-block stripes + remainder-CSR stripes,
+    summed on device (divide.cu's two accumulating kernels, sharded).
+    Both parts use the same row partition, so the sum is local."""
+    if mesh is None:
+        mesh = make_mesh_1d()
+    from spmm_denseblock_tpu.formats.hybrid import Hybrid
+
+    assert isinstance(hyb, Hybrid)
+    if hyb.dense.nnzb == 0:
+        return dist_csr_spmm_plan(hyb.remainder, mesh=mesh, axis=axis)
+    bsr_run = dist_bsr_spmm_plan(
+        hyb.dense, mesh=mesh, axis=axis, strategy=strategy, dtype=dtype
+    )
+    if hyb.remainder.nnz == 0:
+        return bsr_run
+    csr_run = dist_csr_spmm_plan(hyb.remainder, mesh=mesh, axis=axis)
+
+    @jax.jit
+    def run(dense):
+        return bsr_run(dense) + csr_run(dense)
+
+    return run
+
+
+def balanced_block_row_permutation(bsr: BSR, n_shards: int) -> "np.ndarray":
+    """LPT (longest-processing-time) assignment of block-rows to stripes:
+    returns old2new over BLOCK-ROW ids such that contiguous equal-size
+    stripes of the permuted matrix have near-equal nnzb. The distributed
+    answer to per-shard nnz imbalance on community-reordered graphs
+    (SURVEY.md §7 "halo exchange overlap ... deliberately non-uniform").
+    """
+    nbr = bsr.n_block_rows
+    rows_per = -(-nbr // n_shards)
+    counts = np.bincount(
+        np.asarray(bsr.block_rows[: bsr.nnzb]), minlength=nbr
+    ).astype(np.int64)
+    order = np.argsort(-counts, kind="stable")
+    load = np.zeros(n_shards, dtype=np.int64)
+    fill = np.zeros(n_shards, dtype=np.int64)
+    assign = np.empty(nbr, dtype=np.int64)
+    for r in order:
+        open_shards = np.nonzero(fill < rows_per)[0]
+        s = open_shards[np.argmin(load[open_shards])]
+        assign[r] = s * rows_per + fill[s]
+        fill[s] += 1
+        load[s] += counts[r]
+    return assign

@@ -107,3 +107,55 @@ def test_dist_output_sharding(mesh, rng):
     run = dist_bsr_spmm_plan(bsr, mesh=mesh, strategy="allgather")
     out = run(dense)
     assert len(out.sharding.device_set) == 8
+
+
+def test_dist_hybrid_spmm_matches_oracle(mesh, rng):
+    from spmm_denseblock_tpu.convert.divide import divide
+    from spmm_denseblock_tpu.parallel import dist_hybrid_spmm_plan
+
+    csr = random_csr(0.04, 320, 256, seed=13, values="ones")
+    hyb = divide(csr, 16, 0.05)
+    assert hyb.dense.nnzb > 0 and hyb.remainder.nnz > 0  # both parts real
+    dense = rng.standard_normal((256, 24)).astype(np.float32)
+    want = spmm_scipy(csr, dense)
+    run = dist_hybrid_spmm_plan(hyb, mesh=mesh)
+    assert_allclose(np.asarray(run(dense)), want)
+
+
+def test_balanced_block_row_permutation(rng):
+    from spmm_denseblock_tpu.parallel import balanced_block_row_permutation
+    from spmm_denseblock_tpu.reorder import check_permutation
+
+    # heavily skewed: first block-rows own most blocks
+    nbr, b = 32, 8
+    rows, cols = [], []
+    r = np.random.default_rng(5)
+    for i in range(nbr):
+        k = max(1, int(40 / (i + 1)))
+        rows += [i] * k
+        cols += list(r.integers(0, nbr, size=k))
+    key = np.unique(np.array(rows) * nbr + np.array(cols))
+    rows, cols = key // nbr, key % nbr
+    from spmm_denseblock_tpu.formats.bsr import BSR
+
+    bsr = BSR.from_parts(
+        rows.astype(np.int32), cols.astype(np.int32),
+        np.ones((rows.size, b, b), np.float32), (nbr * b, nbr * b), b,
+    )
+    n_shards = 4
+    perm = balanced_block_row_permutation(bsr, n_shards)
+    check_permutation(perm, nbr)
+
+    counts = np.bincount(np.asarray(bsr.block_rows[: bsr.nnzb]), minlength=nbr)
+    rows_per = -(-nbr // n_shards)
+
+    def imbalance(assign):
+        loads = np.zeros(n_shards)
+        for rr in range(nbr):
+            loads[assign[rr] // rows_per] += counts[rr]
+        return loads.max() / max(loads.mean(), 1)
+
+    naive = imbalance(np.arange(nbr))
+    balanced = imbalance(perm)
+    assert balanced < naive
+    assert balanced < 1.3, (naive, balanced)
