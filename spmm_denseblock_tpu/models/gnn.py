@@ -46,12 +46,22 @@ def init_gcn(key, dims: Sequence[int]) -> List[dict]:
     return [init_linear(k, a, b) for k, a, b in zip(keys, dims[:-1], dims[1:])]
 
 
-def gcn_apply(params: List[dict], spmm: SpMM, x: jax.Array) -> jax.Array:
+def gcn_apply(
+    params: List[dict], spmm: SpMM, x: jax.Array, remat: bool = False
+) -> jax.Array:
+    """remat=True wraps each layer in jax.checkpoint: activations are
+    recomputed in the backward pass instead of stored — trades FLOPs for
+    HBM on deep stacks / large graphs (the standard TPU memory lever)."""
+
+    def layer(p, h, act):
+        h = linear(p, spmm(h))
+        return jax.nn.relu(h) if act else h
+
+    if remat:
+        layer = jax.checkpoint(layer, static_argnums=(2,))
     h = x
     for i, p in enumerate(params):
-        h = linear(p, spmm(h))
-        if i < len(params) - 1:
-            h = jax.nn.relu(h)
+        h = layer(p, h, i < len(params) - 1)
     return h
 
 

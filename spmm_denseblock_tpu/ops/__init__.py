@@ -10,7 +10,7 @@ from spmm_denseblock_tpu.ops.bsr_spmm_pallas_grouped import (
 )
 from spmm_denseblock_tpu.ops.hybrid_spmm import hybrid_spmm, hybrid_spmm_plan
 from spmm_denseblock_tpu.ops.dense_block_gemm import dense_block_gemm
-from spmm_denseblock_tpu.ops.dispatch import spmm_plan, PLANNERS
+from spmm_denseblock_tpu.ops.dispatch import spmm_plan, spmm_tune, PLANNERS
 from spmm_denseblock_tpu.ops.reference import (
     spmm_scipy,
     spmm_dense_jnp,
@@ -32,6 +32,7 @@ __all__ = [
     "hybrid_spmm_plan",
     "dense_block_gemm",
     "spmm_plan",
+    "spmm_tune",
     "PLANNERS",
     "spmm_scipy",
     "spmm_dense_jnp",

@@ -81,3 +81,42 @@ def spmm_plan(matrix, impl: str = "auto", block_size: int = 128, **kw):
     if impl not in PLANNERS:
         raise KeyError(f"unknown impl {impl!r}; have {sorted(PLANNERS)}")
     return PLANNERS[impl](matrix, **kw)
+
+
+def spmm_tune(
+    matrix,
+    sample_dense,
+    candidates=("bsr_pallas", "bsr_xla", "csr_xla"),
+    block_size: int = 128,
+    **kw,
+):
+    """Empirical dispatch: build each candidate plan, time it briefly on
+    the caller's representative operand, return (best_plan, report).
+
+    The runtime answer to the reference's compile-time WF_SIZE dispatch —
+    on TPU the crossover depends on density, block size, and feature
+    width together (measured: Pallas wins wide, XLA narrow), so measuring
+    beats modeling. Plans are cached work anyway; tuning costs a few
+    extra compiles once per (matrix, shape) family.
+    """
+    import numpy as np
+
+    from spmm_denseblock_tpu.bench.timing import time_synced
+
+    report = {}
+    best, best_t = None, float("inf")
+    x = jnp.asarray(np.asarray(sample_dense))
+    for name in candidates:
+        try:
+            plan = spmm_plan(matrix, impl=name, block_size=block_size, **kw)
+            t = time_synced(plan, x, iters=3)
+        except Exception as e:  # impl not applicable to this matrix/backend
+            report[name] = {"error": str(e)[:120]}
+            continue
+        report[name] = {"ms": t * 1e3}
+        if t < best_t:
+            best, best_t = plan, t
+            report["best"] = name
+    if best is None:
+        raise RuntimeError(f"no candidate worked: {report}")
+    return best, report

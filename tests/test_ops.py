@@ -185,3 +185,39 @@ def test_bsr_spmm_pallas_flat_bf16(rng):
     got = np.asarray(bsr_spmm_pallas_plan(bsr, dtype=jnp.bfloat16)(x))
     rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
     assert rel < 2e-2, rel
+
+
+def test_gcn_remat_matches(rng):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from spmm_denseblock_tpu.models import gcn_apply, init_gcn
+
+    params = init_gcn(jax.random.PRNGKey(0), [6, 8, 4])
+    a = jnp.asarray(rng.standard_normal((20, 20)).astype(np.float32))
+    spmm = lambda h: a @ h
+    x = jnp.asarray(rng.standard_normal((20, 6)).astype(np.float32))
+    base = gcn_apply(params, spmm, x)
+    rem = gcn_apply(params, spmm, x, remat=True)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(rem), atol=1e-6)
+    # gradients identical too
+    loss = lambda p, remat: jnp.sum(gcn_apply(p, spmm, x, remat=remat) ** 2)
+    g1 = jax.grad(loss)(params, False)
+    g2 = jax.grad(loss)(params, True)
+    for l1, l2 in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+
+
+def test_spmm_tune_picks_a_winner(rng):
+    import numpy as np
+    from spmm_denseblock_tpu.formats.csr import random_csr
+    from spmm_denseblock_tpu.ops import spmm_scipy, assert_allclose
+    from spmm_denseblock_tpu.ops.dispatch import spmm_tune
+
+    csr = random_csr(0.05, 96, 96, seed=3, values="ones")
+    x = rng.standard_normal((96, 16)).astype(np.float32)
+    plan, report = spmm_tune(
+        csr, x, candidates=("bsr_xla", "csr_xla"), block_size=16
+    )
+    assert report["best"] in ("bsr_xla", "csr_xla")
+    assert_allclose(np.asarray(plan(x)), spmm_scipy(csr, x))
