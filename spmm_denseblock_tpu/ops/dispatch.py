@@ -76,6 +76,22 @@ def spmm_plan(matrix, impl: str = "auto", block_size: int = 128, **kw):
         else:
             wide = feat_dim is None or feat_dim >= 256
             impl = "bsr_pallas" if wide else "bsr_xla"
+        # memory guard: a BSR-ified element-sparse graph can exceed HBM
+        # (nnzb * b^2 * 4 bytes — full ogbn-arxiv at b=128 is tens of GB).
+        # Route such inputs to the hybrid splitter instead: dense blocks
+        # on the MXU, the long element-sparse tail stays CSR.
+        if impl.startswith("bsr") and isinstance(matrix, CSR):
+            from spmm_denseblock_tpu.analyze.metrics import calculate_nnzb
+            from spmm_denseblock_tpu.convert.divide import auto_threshold, divide
+
+            budget = kw.pop("bsr_bytes_budget", 4 << 30)
+            nnzb = calculate_nnzb(matrix, block_size)
+            if nnzb * block_size * block_size * 4 > budget:
+                matrix = divide(
+                    matrix, block_size, auto_threshold(matrix, block_size)
+                )
+                impl = "hybrid"
+    kw.pop("bsr_bytes_budget", None)
     if impl.startswith("bsr") and isinstance(matrix, CSR):
         matrix = csr_to_bsr(matrix, block_size)
     if impl not in PLANNERS:

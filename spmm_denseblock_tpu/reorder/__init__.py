@@ -3,6 +3,7 @@ from spmm_denseblock_tpu.reorder.base import (
     invert_permutation,
     check_permutation,
     identity,
+    reorder_per_component,
 )
 from spmm_denseblock_tpu.reorder.simple import (
     max_degree_sort,
@@ -27,6 +28,7 @@ __all__ = [
     "invert_permutation",
     "check_permutation",
     "identity",
+    "reorder_per_component",
     "max_degree_sort",
     "bfs",
     "rcm_variant",

@@ -52,3 +52,41 @@ def check_permutation(old2new: np.ndarray, n: int) -> None:
 
 def identity(csr: CSR) -> np.ndarray:
     return np.arange(csr.n_rows, dtype=np.int64)
+
+
+def reorder_per_component(csr: CSR, strategy_fn) -> np.ndarray:
+    """Apply a reorder strategy independently inside each connected
+    component, keeping components contiguous in ascending order of their
+    minimum original vertex id — the batched-small-graphs discipline of
+    the reference's per-molecule reorder (/root/reference/ogbg_molhiv.py:
+    5-52, which re-chains each molecule's vertices independently).
+
+    For a block-diagonal adjacency of many small graphs this preserves
+    the diagonal-block structure while densifying within each block.
+    strategy_fn: CSR -> old2new (any entry of reorder.STRATEGIES).
+    """
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import connected_components
+
+    n = csr.n_rows
+    n_comp, labels = connected_components(
+        csr.to_scipy(), directed=True, connection="weak"
+    )
+    old2new = np.empty(n, dtype=np.int64)
+    offset = 0
+    # components ordered by first appearance (min original id)
+    first_seen = np.full(n_comp, n, dtype=np.int64)
+    for v in range(n - 1, -1, -1):
+        first_seen[labels[v]] = v
+    for comp in np.argsort(first_seen, kind="stable"):
+        members = np.nonzero(labels == comp)[0]
+        if members.size == 1:
+            old2new[members[0]] = offset
+            offset += 1
+            continue
+        sub = csr.to_scipy()[members][:, members].tocsr()
+        sub_csr = CSR.from_scipy(sub, keep_data=False)
+        sub_perm = strategy_fn(sub_csr)
+        old2new[members] = offset + np.asarray(sub_perm)
+        offset += members.size
+    return old2new

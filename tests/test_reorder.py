@@ -146,3 +146,43 @@ def test_reorder_cached_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(r1.indices), np.asarray(r2.indices)
     )
+
+
+def test_reorder_per_component():
+    """Block-diagonal batch of small graphs: per-component reorder keeps
+    components contiguous and intact (ogbg_molhiv discipline)."""
+    import numpy as np
+    from spmm_denseblock_tpu.formats.csr import CSR
+    from spmm_denseblock_tpu.reorder import (
+        check_permutation,
+        permutate,
+        reorder_per_component,
+    )
+    from spmm_denseblock_tpu.reorder.simple import rcm_variant
+
+    # two 4-cycles and an isolated vertex
+    e = [[0, 1], [1, 0], [1, 2], [2, 1], [2, 3], [3, 2], [3, 0], [0, 3],
+         [5, 6], [6, 5], [6, 7], [7, 6], [7, 8], [8, 7], [8, 5], [5, 8]]
+    csr = CSR.from_edges(np.array(e), 9)
+    perm = reorder_per_component(csr, rcm_variant)
+    check_permutation(perm, 9)
+    # component membership preserved: vertices 0-3 stay in positions 0-3,
+    # vertex 4 at position 4, vertices 5-8 in 5-8
+    assert sorted(perm[:4]) == [0, 1, 2, 3]
+    assert perm[4] == 4
+    assert sorted(perm[5:]) == [5, 6, 7, 8]
+    out = permutate(perm, csr)
+    assert out.nnz == csr.nnz
+
+
+def test_auto_dispatch_memory_guard(rng):
+    """A graph whose BSR-ification exceeds the byte budget must route to
+    the hybrid tier instead of materializing the blocks."""
+    import numpy as np
+    from spmm_denseblock_tpu.formats.csr import random_csr
+    from spmm_denseblock_tpu.ops import spmm_plan, spmm_scipy, assert_allclose
+
+    csr = random_csr(0.01, 512, seed=9, values="ones")
+    x = rng.standard_normal((512, 8)).astype(np.float32)
+    plan = spmm_plan(csr, impl="auto", block_size=64, bsr_bytes_budget=1024)
+    assert_allclose(np.asarray(plan(x)), spmm_scipy(csr, x))
