@@ -46,6 +46,7 @@ class ShardedBSR:
     rows_per_shard: int  # block-rows per stripe
     col_chunk: int  # block-cols per ring chunk (= per-shard B stripe)
     nnzb: int  # real (unpadded) total
+    nnzb_per_shard: np.ndarray = None  # (n_shards,) real block counts
 
     @property
     def n_shards(self) -> int:
@@ -69,19 +70,39 @@ def shard_bsr(bsr: BSR, n_shards: int) -> ShardedBSR:
     blocks = np.asarray(bsr.blocks[: bsr.nnzb])
 
     owner = rows // rows_per
-    counts = np.bincount(owner, minlength=n_shards)
-    m = max(int(counts.max(initial=0)), 1)
+    real_counts = np.bincount(owner, minlength=n_shards)
 
+    # per-shard covering: every LOCAL block-row gets >= 1 block (zero
+    # blocks for absent rows) so a Pallas local kernel writes every
+    # output tile; stripes stay sorted by local row for the kernel's
+    # zero-init-on-row-change logic.
+    shard_lists = []
+    for s in range(n_shards):
+        sel = owner == s
+        slr = (rows[sel] - s * rows_per).astype(np.int64)
+        sbc = cols[sel].astype(np.int64)
+        sbv = blocks[sel]
+        present = np.zeros(rows_per, dtype=bool)
+        present[slr] = True
+        missing = np.nonzero(~present)[0]
+        if missing.size:
+            slr = np.concatenate([slr, missing])
+            sbc = np.concatenate([sbc, np.zeros(missing.size, np.int64)])
+            sbv = np.concatenate(
+                [sbv, np.zeros((missing.size, b, b), sbv.dtype)]
+            )
+        order = np.argsort(slr, kind="stable")
+        shard_lists.append((slr[order], sbc[order], sbv[order]))
+
+    m = max(max(x[0].shape[0] for x in shard_lists), 1)
     lr = np.full((n_shards, m), rows_per - 1, dtype=np.int32)
     bc = np.zeros((n_shards, m), dtype=np.int32)
     bv = np.zeros((n_shards, m, b, b), dtype=np.asarray(blocks).dtype)
-    for s in range(n_shards):
-        sel = owner == s
-        k = int(counts[s])
-        if k:
-            lr[s, :k] = rows[sel] - s * rows_per
-            bc[s, :k] = cols[sel]
-            bv[s, :k] = blocks[sel]
+    for s, (slr, sbc, sbv) in enumerate(shard_lists):
+        k = slr.shape[0]
+        lr[s, :k] = slr
+        bc[s, :k] = sbc
+        bv[s, :k] = sbv
     return ShardedBSR(
         local_rows=lr,
         block_cols=bc,
@@ -91,6 +112,7 @@ def shard_bsr(bsr: BSR, n_shards: int) -> ShardedBSR:
         rows_per_shard=rows_per,
         col_chunk=col_chunk,
         nnzb=bsr.nnzb,
+        nnzb_per_shard=real_counts,
     )
 
 
@@ -131,13 +153,7 @@ def bucket_by_col_chunk(sh: ShardedBSR) -> Tuple[np.ndarray, np.ndarray, np.ndar
 
 def shard_stats(sh: ShardedBSR) -> dict:
     """Per-shard load-balance diagnostics (nnzb-weighted)."""
-    pad_row = sh.rows_per_shard - 1
-    real = ~(
-        (sh.local_rows == pad_row)
-        & (sh.block_cols == 0)
-        & (np.abs(sh.blocks).sum(axis=(-1, -2)) == 0)
-    )
-    per = real.sum(axis=1)
+    per = np.asarray(sh.nnzb_per_shard)
     mean = float(per.mean())
     return {
         "nnzb_per_shard": per.tolist(),

@@ -64,8 +64,13 @@ def dist_bsr_spmm_plan(
     strategy: str = "allgather",
     dtype=None,
     feature_axis: Optional[str] = None,
+    local_impl: str = "xla",
 ):
     """Host shard prep once -> jitted C = f(B) over the mesh.
+
+    local_impl: per-stripe compute — "xla" (batched matmul + segment-sum)
+    or "pallas" (the flat MXU kernel; allgather strategy only), the
+    multi-chip deployment of the measured-fastest single-chip kernel.
 
     B may be passed with any sharding (it is constrained to the row-
     sharded layout on entry); C comes back row-sharded over `axis`.
@@ -92,29 +97,59 @@ def dist_bsr_spmm_plan(
         lr = jax.device_put(sh.local_rows, stripe)
         bc = jax.device_put(sh.block_cols, stripe)
         bv = jax.device_put(cast(jnp.asarray(sh.blocks)), stripe)
-
-        def stripe_fn(lr, bc, bv, b_local):
-            # (1, m) locals -> (m,); B local stripe (k_padded/n, F)
-            b_full = jax.lax.all_gather(b_local, axis, tiled=True)
-            b_blocked = b_full.reshape(n * cpc, b, b_full.shape[1])
-            out = _local_bsr_spmm(lr[0], bc[0], bv[0], b_blocked, rows_per)
-            return out.reshape(rows_per * b, b_full.shape[1])
-
-        spec_in = (P(axis), P(axis), P(axis), b_spec)
-        fn = jax.shard_map(
-            stripe_fn, mesh=mesh, in_specs=spec_in, out_specs=b_spec
-        )
+        interpret = jax.default_backend() != "tpu"
 
         @jax.jit
         def run(dense):
             dense = cast(jnp.asarray(dense))
-            dense = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
+            f_orig = dense.shape[1]
+            if local_impl == "pallas":
+                # the flat Pallas kernel wants F in whole tiles
+                ft = min(512, -(-f_orig // 128) * 128)
+                f_padded = -(-f_orig // ft) * ft
+            else:
+                ft, f_padded = 0, f_orig
+            dense = jnp.pad(
+                dense,
+                ((0, k_padded - dense.shape[0]), (0, f_padded - f_orig)),
+            )
             dense = jax.lax.with_sharding_constraint(dense, b_sharding)
-            return fn(lr, bc, bv, dense)[:n_rows].astype(jnp.float32)
+
+            def stripe_fn(lr, bc, bv, b_local):
+                # (1, m) locals -> (m,); B local stripe (k_padded/n, F)
+                b_full = jax.lax.all_gather(b_local, axis, tiled=True)
+                if local_impl == "pallas":
+                    # per-stripe flat Pallas kernel (shards are covered +
+                    # row-sorted by shard_bsr, so every tile is written)
+                    from spmm_denseblock_tpu.ops.bsr_spmm_pallas import (
+                        _pallas_spmm,
+                    )
+
+                    return _pallas_spmm(
+                        lr[0], bc[0], bv[0], b_full,
+                        rows_per, rows_per * b, ft, interpret,
+                    )
+                b_blocked = b_full.reshape(n * cpc, b, b_full.shape[1])
+                out = _local_bsr_spmm(lr[0], bc[0], bv[0], b_blocked, rows_per)
+                return out.reshape(rows_per * b, b_full.shape[1])
+
+            fn = jax.shard_map(
+                stripe_fn,
+                mesh=mesh,
+                in_specs=(P(axis), P(axis), P(axis), b_spec),
+                out_specs=b_spec,
+                # pallas_call's out_shape carries no vma annotation; skip
+                # the varying-axes check for the hand-written kernel path
+                check_vma=(local_impl != "pallas"),
+            )
+            out = fn(lr, bc, bv, dense)[:n_rows].astype(jnp.float32)
+            return out[:, :f_orig] if f_padded != f_orig else out
 
         return run
 
     if strategy == "ring":
+        if local_impl != "xla":
+            raise ValueError("local_impl='pallas' requires strategy='allgather'")
         lr_b, cc_b, bv_b = bucket_by_col_chunk(sh)  # (n, n, mb, ...)
         lr = jax.device_put(lr_b, stripe)
         cc = jax.device_put(cc_b, stripe)

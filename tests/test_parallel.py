@@ -159,3 +159,21 @@ def test_balanced_block_row_permutation(rng):
     balanced = imbalance(perm)
     assert balanced < naive
     assert balanced < 1.3, (naive, balanced)
+
+
+def test_dist_bsr_spmm_pallas_local(mesh, rng):
+    """allgather strategy with the flat Pallas kernel per stripe
+    (interpret mode on the CPU mesh)."""
+    bsr, dense, want = _random_case(rng, b=8, nbr=16, nbc=16, f=16)
+    run = dist_bsr_spmm_plan(
+        bsr, mesh=mesh, strategy="allgather", local_impl="pallas"
+    )
+    assert_allclose(np.asarray(run(dense)), want)
+
+    # ragged shapes + empty block-rows inside stripes
+    bsr2 = random_bsr(0.08, 13, 11, block_size=8, seed=3)
+    dense2 = rng.standard_normal((bsr2.shape[1], 10)).astype(np.float32)
+    run2 = dist_bsr_spmm_plan(
+        bsr2, mesh=mesh, strategy="allgather", local_impl="pallas"
+    )
+    assert_allclose(np.asarray(run2(dense2)), bsr2.to_dense() @ dense2)
