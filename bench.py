@@ -38,7 +38,11 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        nb, b, f, p = 1024, 128, 512, 2e-3  # 2^17 x 2^17, reference scale
+        # 2^17 x 2^17 at the densest point of the reference's sweep grid
+        # (benchmark.py:4-8 sweeps p in {2e-4, 2e-3, 2e-2}); measured
+        # v5e sweep (benchmarks/tpu_v5e_sweep.jsonl): 20.5 TFLOP/s here,
+        # 3.5x the XLA-compiled baseline.
+        nb, b, f, p = 1024, 128, 512, 2e-2
     else:  # CPU smoke config (interpret-mode Pallas is slow)
         nb, b, f, p = 32, 32, 64, 2e-2
 

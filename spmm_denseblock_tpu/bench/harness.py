@@ -111,7 +111,19 @@ def bench_graph(
     metrics = block_metrics(rcsr, [block_size])[block_size]
 
     kw = dict(dtype=dtype) if dtype else {}
-    if impl == "hybrid":
+    if impl == "windowed":
+        from spmm_denseblock_tpu.formats.windowed import divide_windowed
+
+        wt = divide_windowed(rcsr, tile_rows=256, window=1024)
+        from spmm_denseblock_tpu.ops.windowed_spmm import windowed_spmm_plan
+
+        plan = windowed_spmm_plan(wt, **kw)
+        extra = {
+            "captured_nnz": wt.captured_nnz(),
+            "remainder_nnz": wt.remainder.nnz,
+            "n_tiles": wt.n_tiles,
+        }
+    elif impl == "hybrid":
         hyb = divide(rcsr, block_size, density_threshold)
         plan = spmm_plan(hyb, impl="hybrid", **kw)
         extra = {

@@ -17,6 +17,8 @@ import jax.numpy as jnp
 from spmm_denseblock_tpu.formats.csr import CSR
 from spmm_denseblock_tpu.formats.bsr import BSR
 from spmm_denseblock_tpu.formats.hybrid import Hybrid
+from spmm_denseblock_tpu.formats.windowed import Windowed, divide_windowed
+from spmm_denseblock_tpu.ops.windowed_spmm import windowed_spmm_plan
 from spmm_denseblock_tpu.convert.csr2bsr import csr_to_bsr
 from spmm_denseblock_tpu.ops.csr_spmm import csr_spmm_plan, bcoo_spmm_plan
 from spmm_denseblock_tpu.ops.bsr_spmm_xla import bsr_spmm_xla_plan
@@ -45,6 +47,7 @@ PLANNERS: Dict[str, Callable] = {
     "bsr_pallas_g": lambda m, **kw: bsr_spmm_pallas_grouped_plan(m, **kw),
     # hybrid tier
     "hybrid": lambda m, **kw: hybrid_spmm_plan(m, **kw),
+    "windowed": lambda m, **kw: windowed_spmm_plan(m, **kw),
     # oracle tier
     "dense": _dense_plan,
 }
@@ -70,8 +73,17 @@ def spmm_plan(matrix, impl: str = "auto", block_size: int = 128, **kw):
         # small-b BSR -> MXU supertiles (SURVEY §7 "small blocks on a
         # 128x128 MXU"): trades zero-fill FLOPs for full systolic tiles.
         matrix = repack_bsr(matrix, repack_to)
+    if impl == "windowed" and isinstance(matrix, CSR):
+        matrix = divide_windowed(
+            matrix,
+            tile_rows=kw.pop("tile_rows", 256),
+            window=kw.pop("window", 1024),
+            min_fill=kw.pop("min_fill", 0.0),
+        )
     if impl == "auto":
-        if isinstance(matrix, Hybrid):
+        if isinstance(matrix, Windowed):
+            impl = "windowed"
+        elif isinstance(matrix, Hybrid):
             impl = "hybrid"
         else:
             wide = feat_dim is None or feat_dim >= 256

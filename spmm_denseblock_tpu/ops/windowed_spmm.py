@@ -1,0 +1,73 @@
+"""SpMM over the windowed dense-tile format (formats/windowed.py).
+
+One jitted program: a batched MXU matmul over the window tiles (each
+tile's B window is ONE contiguous (W, F) slice — streaming HBM reads,
+no scattered row gathers) plus the remainder CSR segment-sum, summed.
+Output rows of tile t are exactly rows [t*R, (t+1)*R): no scatter on
+the output either.
+
+This is where the reordering investment pays on TPU: the CSR gather
+path runs at ~12% of HBM peak (latency-bound 512B row gathers, v5e
+measurement); the windowed path turns the same nonzeros into dense
+(R, W) @ (W, F) matmuls.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from spmm_denseblock_tpu.formats.windowed import Windowed
+from spmm_denseblock_tpu.ops.csr_spmm import csr_spmm_plan
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows",))
+def _windowed_matmul(tiles, win_idx, dense_blocked, n_rows: int):
+    # dense_blocked: (n_win, W, F); gather one contiguous window per tile
+    wins = jnp.take(dense_blocked, win_idx, axis=0)  # (T, W, F)
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if tiles.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    out_tiles = jax.lax.dot_general(
+        tiles,
+        wins,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )  # (T, R, F)
+    out = out_tiles.reshape(-1, out_tiles.shape[-1])
+    return out[:n_rows]
+
+
+def windowed_spmm_plan(wt: Windowed, dtype=None):
+    """Host prep once -> jitted C = f(B)."""
+    R, W = wt.tile_rows, wt.window
+    n_rows, n_cols = wt.shape
+    k_padded = -(-n_cols // W) * W
+    tiles = jnp.asarray(wt.tiles)
+    if dtype is not None:
+        tiles = tiles.astype(dtype)
+    win_idx = jnp.asarray(wt.win_idx)
+    rem_plan = csr_spmm_plan(wt.remainder) if wt.remainder.nnz else None
+
+    def run(dense):
+        dense = jnp.asarray(dense)
+        assert dense.shape[0] == n_cols, (dense.shape, n_cols)
+        d = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
+        if dtype is not None:
+            d = d.astype(dtype)
+        blocked = d.reshape(k_padded // W, W, d.shape[1])
+        out = _windowed_matmul(tiles, win_idx, blocked, n_rows)
+        if rem_plan is not None:
+            out = out + rem_plan(dense)
+        return out
+
+    return run
+
+
+def windowed_spmm(wt: Windowed, dense, **kw) -> jax.Array:
+    return windowed_spmm_plan(wt, **kw)(dense)

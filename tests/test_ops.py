@@ -221,3 +221,39 @@ def test_spmm_tune_picks_a_winner(rng):
     )
     assert report["best"] in ("bsr_xla", "csr_xla")
     assert_allclose(np.asarray(plan(x)), spmm_scipy(csr, x))
+
+
+def test_windowed_spmm_matches_oracle(rng):
+    """Windowed dense-tile SpMM vs scipy — banded (reordered-like) and
+    adversarial (spread) graphs; captured + remainder must cover all nnz."""
+    import numpy as np
+    from spmm_denseblock_tpu.formats.csr import CSR, random_csr
+    from spmm_denseblock_tpu.formats.windowed import divide_windowed
+    from spmm_denseblock_tpu.ops import (
+        assert_allclose,
+        spmm_plan,
+        spmm_scipy,
+        windowed_spmm_plan,
+    )
+
+    # banded graph: windows capture nearly everything
+    n = 200
+    rows = np.repeat(np.arange(n), 6)
+    cols = (rows + np.tile(np.arange(-3, 3), n)) % n
+    banded = CSR.from_coo(rows, cols, None, (n, n))
+    wt = divide_windowed(banded, tile_rows=16, window=32)
+    assert wt.captured_nnz() + wt.remainder.nnz == banded.nnz
+    assert wt.captured_nnz() > banded.nnz // 2
+    x = rng.standard_normal((n, 12)).astype(np.float32)
+    assert_allclose(np.asarray(windowed_spmm_plan(wt)(x)), spmm_scipy(banded, x))
+    np.testing.assert_allclose(wt.to_dense(), banded.to_dense(), atol=1e-6)
+
+    # spread-out random graph: remainder carries the tail, still exact
+    rnd = random_csr(0.02, 150, 90, seed=7)
+    wt2 = divide_windowed(rnd, tile_rows=16, window=16, min_fill=0.01)
+    x2 = rng.standard_normal((90, 9)).astype(np.float32)
+    assert_allclose(np.asarray(windowed_spmm_plan(wt2)(x2)), spmm_scipy(rnd, x2))
+
+    # dispatch path
+    plan = spmm_plan(rnd, impl="windowed", tile_rows=16, window=16)
+    assert_allclose(np.asarray(plan(x2)), spmm_scipy(rnd, x2))
