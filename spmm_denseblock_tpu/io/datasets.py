@@ -102,3 +102,32 @@ def _load_ogb(name: str) -> CSR:
 
 def list_datasets():
     return sorted(DATASET_SIZES)
+
+
+def synthetic_molecules(
+    n_graphs: int = 1000, mean_nodes: int = 25, seed: int = 1234
+):
+    """Batched small graphs as one block-diagonal adjacency — the
+    ogbg-molhiv regime (the reference reorders each ~25-node molecule
+    independently, ogbg_molhiv.py:5-59). Returns (csr, graph_ids) where
+    graph_ids[v] = which graph vertex v belongs to (the segment ids for
+    pooling readouts)."""
+    rng = np.random.default_rng(seed)
+    sizes = np.maximum(2, rng.poisson(mean_nodes, size=n_graphs))
+    offsets = np.concatenate([[0], np.cumsum(sizes)])
+    n = int(offsets[-1])
+    edges = []
+    for g in range(n_graphs):
+        k, off = int(sizes[g]), int(offsets[g])
+        # ring + random chords: molecule-ish sparsity (avg degree ~2-3)
+        ring = np.stack([np.arange(k), (np.arange(k) + 1) % k], 1)
+        n_chord = max(1, k // 4)
+        chord = rng.integers(0, k, size=(n_chord, 2))
+        e = np.concatenate([ring, chord]) + off
+        edges.append(e)
+    e = np.concatenate(edges)
+    e = np.concatenate([e, e[:, ::-1]])  # symmetrize
+    e = e[e[:, 0] != e[:, 1]]
+    csr = CSR.from_edges(e, n_rows=n)
+    graph_ids = np.repeat(np.arange(n_graphs, dtype=np.int32), sizes)
+    return csr, graph_ids

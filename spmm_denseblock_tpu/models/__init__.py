@@ -13,6 +13,8 @@ from spmm_denseblock_tpu.models.gnn import (
     gin_apply,
     init_linear,
     linear,
+    init_graph_classifier,
+    graph_classifier_apply,
 )
 from spmm_denseblock_tpu.models.train import (
     masked_cross_entropy,
@@ -37,6 +39,8 @@ __all__ = [
     "gin_apply",
     "init_linear",
     "linear",
+    "init_graph_classifier",
+    "graph_classifier_apply",
     "masked_cross_entropy",
     "accuracy",
     "make_train_step",

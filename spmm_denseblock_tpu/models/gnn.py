@@ -123,3 +123,35 @@ MODELS = {
     "sage": (init_sage, sage_apply),
     "gin": (init_gin, gin_apply),
 }
+
+
+# -- graph-level readout (ogbg-style classification) -------------------------
+
+
+def init_graph_classifier(key, dims: Sequence[int], n_graph_classes: int):
+    """GIN trunk + mean-pool readout + linear head, for batched
+    block-diagonal molecule graphs (io/datasets.synthetic_molecules)."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "gin": init_gin(k1, dims),
+        "head": init_linear(k2, dims[-1], n_graph_classes),
+    }
+
+
+def graph_classifier_apply(
+    params, spmm: SpMM, x: jax.Array, graph_ids: jax.Array, n_graphs: int
+) -> jax.Array:
+    """Returns (n_graphs, n_classes) logits. Mean pooling via two
+    segment-sums (sum / count) — sorted graph_ids, static n_graphs."""
+    h = gin_apply(params["gin"], spmm, x)
+    sums = jax.ops.segment_sum(
+        h, graph_ids, num_segments=n_graphs, indices_are_sorted=True
+    )
+    counts = jax.ops.segment_sum(
+        jnp.ones((h.shape[0], 1), h.dtype),
+        graph_ids,
+        num_segments=n_graphs,
+        indices_are_sorted=True,
+    )
+    pooled = sums / jnp.maximum(counts, 1.0)
+    return linear(params["head"], pooled)
