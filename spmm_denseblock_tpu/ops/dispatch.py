@@ -73,6 +73,13 @@ def spmm_plan(matrix, impl: str = "auto", block_size: int = 128, **kw):
         # small-b BSR -> MXU supertiles (SURVEY §7 "small blocks on a
         # 128x128 MXU"): trades zero-fill FLOPs for full systolic tiles.
         matrix = repack_bsr(matrix, repack_to)
+    if impl == "hybrid" and isinstance(matrix, CSR):
+        from spmm_denseblock_tpu.convert.divide import auto_threshold, divide
+
+        thr = kw.pop("density_threshold", None)
+        if thr is None:
+            thr = auto_threshold(matrix, block_size)
+        matrix = divide(matrix, block_size, thr)
     if impl == "windowed" and isinstance(matrix, CSR):
         matrix = divide_windowed(
             matrix,

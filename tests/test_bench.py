@@ -44,3 +44,40 @@ def test_bench_scaling_efficiency():
     for p in rec["points"]:
         assert p["nnz_per_s"] > 0
     json.dumps(rec)
+
+
+def test_sweep_cli_grids(monkeypatch, tmp_path):
+    """CLI wiring: grids expand correctly and records stream to JSONL
+    (runners stubbed — no device work)."""
+    import json as _json
+
+    from spmm_denseblock_tpu.bench import harness, sweeps
+
+    calls = []
+
+    def fake_bsr(**kw):
+        calls.append(kw)
+        return {"ok": 1, **{k: str(v) for k, v in kw.items()}}
+
+    monkeypatch.setattr(harness, "bench_synthetic_bsr", fake_bsr)
+    out = tmp_path / "r.jsonl"
+    rc = sweeps.main(["bsrmm", "--quick", "--out", str(out)])
+    assert rc == 0
+    recs = [_json.loads(l) for l in out.read_text().splitlines()]
+    assert len(recs) == len(calls) > 0
+    # quick grid: one density, largest block, one dim, both impls
+    assert {c["impl"] for c in calls} == {"bsr_pallas", "bsr_xla"}
+    assert all(c["block_size"] == 128 for c in calls)
+
+
+def test_sweep_cli_errors_are_captured(monkeypatch, tmp_path):
+    from spmm_denseblock_tpu.bench import harness, sweeps
+
+    def boom(**kw):
+        raise RuntimeError("nope")
+
+    monkeypatch.setattr(harness, "bench_synthetic_csr", boom)
+    out = tmp_path / "r.jsonl"
+    rc = sweeps.main(["csrmm", "--quick", "--out", str(out)])
+    assert rc == 0
+    assert "nope" in out.read_text()

@@ -1,0 +1,52 @@
+"""Conformance matrix: EVERY planner tier x edge-case shapes vs the
+scipy oracle (the check_result discipline applied uniformly).
+
+Cases deliberately include: empty matrices, single row/col, rectangular
+and non-block-divisible shapes, duplicate-free and valued matrices,
+F=1 feature columns, rows with no nonzeros.
+"""
+
+import numpy as np
+import pytest
+
+from spmm_denseblock_tpu.formats.csr import CSR, random_csr
+from spmm_denseblock_tpu.ops import PLANNERS, spmm_plan, spmm_scipy
+from spmm_denseblock_tpu.ops.reference import assert_allclose
+
+IMPLS = ["csr_xla", "bcoo", "bsr_xla", "bsr_pallas", "bsr_pallas_g", "hybrid", "windowed", "dense"]
+
+
+def _cases():
+    rng = np.random.default_rng(0)
+    yield "square", random_csr(0.08, 48, 48, seed=1)
+    yield "rect_wide", random_csr(0.08, 24, 72, seed=2)
+    yield "rect_tall", random_csr(0.08, 72, 24, seed=3)
+    yield "ones_adjacency", random_csr(0.1, 40, 40, seed=4, values="ones")
+    yield "single_row", CSR.from_coo([0, 0], [3, 17], [1.0, 2.0], (1, 32))
+    yield "single_col", CSR.from_coo([2, 9], [0, 0], [1.5, -2.0], (16, 1))
+    yield "empty", CSR.from_coo([], [], None, (10, 12))
+    # rows 0..4 empty, then a dense-ish band
+    rows = np.repeat(np.arange(5, 20), 3)
+    cols = (rows * 2 + np.tile(np.arange(3), 15)) % 21
+    yield "empty_head_rows", CSR.from_coo(rows, cols, None, (25, 21))
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+@pytest.mark.parametrize("case", list(_cases()), ids=lambda c: c[0])
+def test_all_impls_match_oracle(impl, case, rng):
+    name, csr = case
+    if impl == "bcoo" and csr.nnz == 0:
+        pytest.skip("BCOO requires nnz > 0 in this jax version")
+    for f_dim in (1, 7, 16):
+        x = rng.standard_normal((csr.n_cols, f_dim)).astype(np.float32)
+        want = spmm_scipy(csr, x)
+        kw = {}
+        if impl == "windowed":
+            kw = dict(tile_rows=8, window=8)
+        try:
+            plan = spmm_plan(csr, impl=impl, block_size=8, **kw)
+        except Exception as e:
+            pytest.fail(f"{impl} plan failed on {name}: {e}")
+        got = np.asarray(plan(x))
+        assert got.shape == want.shape, (impl, name, got.shape, want.shape)
+        assert_allclose(got, want)
