@@ -21,6 +21,7 @@ from spmm_denseblock_tpu.parallel.spmm import (
     dist_bsr_spmm_plan,
     dist_csr_spmm_plan,
     dist_hybrid_spmm_plan,
+    dist_windowed_spmm_plan,
     balanced_block_row_permutation,
 )
 
@@ -38,6 +39,7 @@ __all__ = [
     "dist_bsr_spmm_plan",
     "dist_csr_spmm_plan",
     "dist_hybrid_spmm_plan",
+    "dist_windowed_spmm_plan",
     "balanced_block_row_permutation",
     "initialize",
     "pod_mesh",

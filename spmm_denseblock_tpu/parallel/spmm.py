@@ -295,3 +295,89 @@ def balanced_block_row_permutation(bsr: BSR, n_shards: int) -> "np.ndarray":
         fill[s] += 1
         load[s] += counts[r]
     return assign
+
+
+def dist_windowed_spmm_plan(
+    wt,
+    mesh: Optional[Mesh] = None,
+    axis: str = "row",
+    dtype=None,
+):
+    """Distributed windowed dense-tile SpMM: row-band tiles stripe
+    contiguously over `axis` (tile t covers rows [t*R, (t+1)*R), so
+    stripes need no index translation); each stripe all-gathers B and
+    takes its contiguous windows; the remainder CSR rides the existing
+    row-partitioned plan on the same mesh."""
+    from spmm_denseblock_tpu.formats.windowed import Windowed
+
+    assert isinstance(wt, Windowed)
+    if mesh is None:
+        mesh = make_mesh_1d()
+    n = int(mesh.shape[axis])
+    R, W = wt.tile_rows, wt.window
+    n_rows, n_cols = wt.shape
+    T = wt.n_tiles
+    tiles_per = -(-T // n)
+    k_padded = -(-n_cols // W) * W
+
+    # pad tile arrays so each stripe owns tiles_per tiles
+    pad_t = n * tiles_per - T
+    tiles_h = np.asarray(wt.tiles)
+    win_h = np.asarray(wt.win_idx)
+    if pad_t:
+        tiles_h = np.concatenate(
+            [tiles_h, np.zeros((pad_t, R, W), tiles_h.dtype)]
+        )
+        win_h = np.concatenate([win_h, np.zeros(pad_t, win_h.dtype)])
+    if dtype is not None:
+        tiles_h = tiles_h.astype(dtype)
+
+    stripe = NamedSharding(mesh, P(axis))
+    tiles_d = jax.device_put(jnp.asarray(tiles_h), stripe)
+    win_d = jax.device_put(jnp.asarray(win_h), stripe)
+
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if tiles_h.dtype == np.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    def stripe_fn(tiles, win, b_local):
+        b_full = jax.lax.all_gather(b_local, axis, tiled=True)
+        blocked = b_full.reshape(k_padded // W, W, b_full.shape[1])
+        wins = jnp.take(blocked, win, axis=0)  # (tiles_per, W, F)
+        out = jax.lax.dot_general(
+            tiles,
+            wins,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+        return out.reshape(tiles_per * R, b_full.shape[1])
+
+    fn = jax.shard_map(
+        stripe_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis, None)),
+        out_specs=P(axis, None),
+    )
+
+    rem_run = (
+        dist_csr_spmm_plan(wt.remainder, mesh=mesh, axis=axis)
+        if wt.remainder.nnz
+        else None
+    )
+
+    @jax.jit
+    def run(dense):
+        dense = jnp.asarray(dense)
+        d = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
+        if dtype is not None:
+            d = d.astype(dtype)
+        d = jax.lax.with_sharding_constraint(d, NamedSharding(mesh, P(axis, None)))
+        out = fn(tiles_d, win_d, d)[:n_rows].astype(jnp.float32)
+        if rem_run is not None:
+            out = out + rem_run(dense)
+        return out
+
+    return run

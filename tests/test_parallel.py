@@ -177,3 +177,28 @@ def test_dist_bsr_spmm_pallas_local(mesh, rng):
         bsr2, mesh=mesh, strategy="allgather", local_impl="pallas"
     )
     assert_allclose(np.asarray(run2(dense2)), bsr2.to_dense() @ dense2)
+
+
+def test_dist_windowed_spmm_matches_oracle(mesh, rng):
+    from spmm_denseblock_tpu.formats.windowed import divide_windowed
+    from spmm_denseblock_tpu.parallel import dist_windowed_spmm_plan
+
+    # banded + some noise: tiles capture the band, remainder the noise
+    n = 176
+    rows = np.repeat(np.arange(n), 4)
+    cols = (rows + np.tile(np.arange(4), n)) % n
+    noise_r = np.arange(0, n, 7)
+    noise_c = (noise_r * 13 + 5) % n
+    from spmm_denseblock_tpu.formats.csr import CSR
+
+    csr = CSR.from_coo(
+        np.concatenate([rows, noise_r]),
+        np.concatenate([cols, noise_c]),
+        None,
+        (n, n),
+    )
+    wt = divide_windowed(csr, tile_rows=8, window=16)
+    dense = rng.standard_normal((n, 12)).astype(np.float32)
+    want = spmm_scipy(csr, dense)
+    run = dist_windowed_spmm_plan(wt, mesh=mesh)
+    assert_allclose(np.asarray(run(dense)), want)
