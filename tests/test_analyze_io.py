@@ -124,3 +124,21 @@ def test_dump_metis_graph(tmp_path):
     assert lines[1].split() == ["2"]
     assert lines[2].split() == ["1", "3"]
     assert lines[3].split() == ["2"]
+
+
+def test_heatmap_plot_and_utils(tmp_path):
+    import numpy as np
+    from spmm_denseblock_tpu.analyze.heatmap import heatmap, plot_heatmap
+    from spmm_denseblock_tpu.formats.csr import random_csr
+    from spmm_denseblock_tpu.utils import device_info, roofline
+
+    h = heatmap(random_csr(0.1, 64, seed=2), block_size=16)
+    assert h.sum() > 0
+    ok = plot_heatmap(h, str(tmp_path / "h.png"), crop=3)
+    assert ok and (tmp_path / "h.png").stat().st_size > 0
+
+    info = device_info()
+    assert info["n_devices"] >= 1
+    r = roofline(2e10, 2e9, 5e-3, peak_flops=2e14, peak_bw=8e11)
+    assert r["bound"] == "memory"
+    assert abs(r["frac_of_roofline"] - 0.5) < 1e-6
