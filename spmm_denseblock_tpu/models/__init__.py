@@ -21,6 +21,7 @@ from spmm_denseblock_tpu.models.train import (
     accuracy,
     make_train_step,
 )
+from spmm_denseblock_tpu.models.gat import init_gat, make_gat_apply
 from spmm_denseblock_tpu.models.checkpoint import (
     save_checkpoint,
     load_checkpoint,
@@ -41,6 +42,8 @@ __all__ = [
     "linear",
     "init_graph_classifier",
     "graph_classifier_apply",
+    "init_gat",
+    "make_gat_apply",
     "masked_cross_entropy",
     "accuracy",
     "make_train_step",

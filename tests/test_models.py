@@ -212,3 +212,34 @@ def test_graph_classifier_on_molecule_batch(rng):
         params = optax.apply_updates(params, updates)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])
+
+
+def test_gat_trains(rng):
+    import optax
+    from spmm_denseblock_tpu.models import init_gat, make_gat_apply
+
+    csr = _graph(n=56, p=0.1, seed=8)
+    dims = [6, 8, 3]
+    params = init_gat(jax.random.PRNGKey(0), dims, heads=2)
+    apply = make_gat_apply(csr, heads=2)
+    x = rng.standard_normal((56, 6)).astype(np.float32)
+    y = rng.integers(0, 3, size=56).astype(np.int32)
+
+    out = apply(params, x)
+    assert out.shape == (56, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+    def loss_fn(p):
+        lp = jax.nn.log_softmax(apply(p, x))
+        return -jnp.mean(jnp.take_along_axis(lp, y[:, None], axis=1))
+
+    opt = optax.adam(2e-2)
+    state = opt.init(params)
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    losses = []
+    for _ in range(40):
+        loss, g = grad_fn(params)
+        up, state = opt.update(g, state, params)
+        params = optax.apply_updates(params, up)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.9, (losses[0], losses[-1])

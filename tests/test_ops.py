@@ -257,3 +257,36 @@ def test_windowed_spmm_matches_oracle(rng):
     # dispatch path
     plan = spmm_plan(rnd, impl="windowed", tile_rows=16, window=16)
     assert_allclose(np.asarray(plan(x2)), spmm_scipy(rnd, x2))
+
+
+def test_sddmm_matches_dense_oracle(rng):
+    import numpy as np
+    from spmm_denseblock_tpu.formats.csr import random_csr
+    from spmm_denseblock_tpu.ops import sddmm, sddmm_block_plan
+
+    csr = random_csr(0.08, 30, 24, seed=11)
+    x = rng.standard_normal((30, 7)).astype(np.float32)
+    y = rng.standard_normal((24, 7)).astype(np.float32)
+    full = x @ y.T
+    rows, cols = csr.row_ids(), np.asarray(csr.indices)
+    want = full[rows, cols]
+    got = np.asarray(sddmm(csr, x, y))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # block tier: score blocks equal the dense product restricted to blocks
+    from spmm_denseblock_tpu.convert.csr2bsr import csr_to_bsr
+
+    bsr = csr_to_bsr(csr, 8)
+    plan = sddmm_block_plan(
+        bsr.block_rows[: bsr.nnzb], bsr.block_cols[: bsr.nnzb], 8, 30, 24
+    )
+    blocks = np.asarray(plan(x, y))
+    full_pad = np.zeros((32, 24 + 0))
+    for k in range(bsr.nnzb):
+        r = int(bsr.block_rows[k]) * 8
+        c = int(bsr.block_cols[k]) * 8
+        sub = np.zeros((8, 8), np.float32)
+        rr = min(8, 30 - r)
+        cc = min(8, 24 - c)
+        sub[:rr, :cc] = full[r : r + rr, c : c + cc]
+        np.testing.assert_allclose(blocks[k], sub, atol=1e-5)
