@@ -147,12 +147,16 @@ def _pallas_spmm(
     return out[:n_rows]
 
 
+CHUNK_NNZB = 65536  # scalar-prefetch SMEM ceiling guard (see plan docstring)
+
+
 def bsr_spmm_pallas_plan(
     bsr: BSR,
     dtype=None,
     f_tile: Optional[int] = None,
     interpret: Optional[bool] = None,
     grad: bool = True,
+    chunk_nnzb: Optional[int] = None,
 ):
     """Host layout prep once -> jitted C = f(B).
 
@@ -165,7 +169,20 @@ def bsr_spmm_pallas_plan(
     the kernel: dB = A^T @ dC runs the same Pallas kernel on the
     transposed block layout (built once at plan time). Pass grad=False for
     inference/bench plans to skip the transpose copy in device memory.
+
+    chunk_nnzb: the kernel scalar-prefetches the (nnzb,) index vectors
+    into SMEM, which has a hard capacity; matrices with more blocks than
+    this are executed as a sum of row-sorted chunks (each chunk covered
+    so its partial output is fully written). Default CHUNK_NNZB measured
+    on v5e.
     """
+    if chunk_nnzb is None:
+        chunk_nnzb = CHUNK_NNZB
+    if bsr.nnzb > chunk_nnzb:
+        return _chunked_plan(
+            bsr, dtype=dtype, f_tile=f_tile, interpret=interpret,
+            grad=grad, chunk_nnzb=chunk_nnzb,
+        )
     if grad:
         fwd = bsr_spmm_pallas_plan(
             bsr, dtype=dtype, f_tile=f_tile, interpret=interpret, grad=False
@@ -228,3 +245,35 @@ def bsr_spmm_pallas_plan(
 
 def bsr_spmm_pallas(bsr: BSR, dense, **kw) -> jnp.ndarray:
     return bsr_spmm_pallas_plan(bsr, **kw)(dense)
+
+
+def _chunked_plan(bsr, dtype, f_tile, interpret, grad, chunk_nnzb):
+    """Sum of per-chunk kernel launches for nnzb beyond the SMEM prefetch
+    capacity. Blocks are row-sorted, so chunks are contiguous row bands
+    (a row split across two chunks just contributes partial sums)."""
+    from spmm_denseblock_tpu.formats.bsr import BSR as _BSR
+
+    n_chunks = -(-bsr.nnzb // chunk_nnzb)
+    rows = np.asarray(bsr.block_rows[: bsr.nnzb])
+    cols = np.asarray(bsr.block_cols[: bsr.nnzb])
+    blocks = np.asarray(bsr.blocks[: bsr.nnzb])
+    plans = []
+    for c in range(n_chunks):
+        sl = slice(c * chunk_nnzb, min((c + 1) * chunk_nnzb, bsr.nnzb))
+        frag = _BSR.from_parts(
+            rows[sl], cols[sl], blocks[sl], bsr.shape, bsr.block_size
+        )
+        plans.append(
+            bsr_spmm_pallas_plan(
+                frag, dtype=dtype, f_tile=f_tile, interpret=interpret,
+                grad=grad, chunk_nnzb=bsr.nnzb + 1,  # no recursion
+            )
+        )
+
+    def run(dense):
+        out = plans[0](dense)
+        for p in plans[1:]:
+            out = out + p(dense)
+        return out
+
+    return run

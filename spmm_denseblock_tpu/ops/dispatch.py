@@ -93,8 +93,13 @@ def spmm_plan(matrix, impl: str = "auto", block_size: int = 128, **kw):
         elif isinstance(matrix, Hybrid):
             impl = "hybrid"
         else:
+            # measured v5e crossovers: Pallas flat wins wide operands at
+            # MXU-scale blocks; small blocks (b<64) and narrow operands
+            # favor the XLA formulation (benchmarks/tpu_v5e_sweep.jsonl,
+            # b=32 probe: xla 31ms vs pallas 45ms at 145k blocks)
+            b_eff = matrix.block_size if isinstance(matrix, BSR) else block_size
             wide = feat_dim is None or feat_dim >= 256
-            impl = "bsr_pallas" if wide else "bsr_xla"
+            impl = "bsr_pallas" if (wide and b_eff >= 64) else "bsr_xla"
         # memory guard: a BSR-ified element-sparse graph can exceed HBM
         # (nnzb * b^2 * 4 bytes — full ogbn-arxiv at b=128 is tens of GB).
         # Route such inputs to the hybrid splitter instead: dense blocks
