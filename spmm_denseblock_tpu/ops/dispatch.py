@@ -24,6 +24,7 @@ from spmm_denseblock_tpu.ops.csr_spmm import csr_spmm_plan, bcoo_spmm_plan
 from spmm_denseblock_tpu.ops.bsr_spmm_xla import bsr_spmm_xla_plan
 from spmm_denseblock_tpu.ops.bsr_spmm_pallas import bsr_spmm_pallas_plan
 from spmm_denseblock_tpu.ops.bsr_spmm_pallas_grouped import bsr_spmm_pallas_grouped_plan
+from spmm_denseblock_tpu.ops.bsr_spmm_int8 import bsr_spmm_int8_plan
 from spmm_denseblock_tpu.ops.hybrid_spmm import hybrid_spmm_plan
 from spmm_denseblock_tpu.ops.reference import spmm_dense_jnp
 
@@ -45,6 +46,7 @@ PLANNERS: Dict[str, Callable] = {
     "bsr_xla": lambda m, **kw: bsr_spmm_xla_plan(m, **kw),
     "bsr_pallas": lambda m, **kw: bsr_spmm_pallas_plan(m, **kw),
     "bsr_pallas_g": lambda m, **kw: bsr_spmm_pallas_grouped_plan(m, **kw),
+    "bsr_int8": lambda m, **kw: bsr_spmm_int8_plan(m, **kw),
     # hybrid tier
     "hybrid": lambda m, **kw: hybrid_spmm_plan(m, **kw),
     "windowed": lambda m, **kw: windowed_spmm_plan(m, **kw),

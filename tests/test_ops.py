@@ -312,3 +312,29 @@ def test_bsr_spmm_pallas_chunked(rng):
     g1 = jax.grad(lambda z: jnp.sum(jnp.cos(plan(z))))(x)
     g2 = jax.grad(lambda z: jnp.sum(jnp.cos(a @ z)))(x)
     assert_allclose(g1, g2)
+
+
+def test_bsr_spmm_int8_quantized(rng):
+    """Inference tier: int8 x int8 -> int32 with per-block x per-column
+    scales; quantization-noise tolerance, not the f32 gate."""
+    import numpy as np
+    from spmm_denseblock_tpu.formats.bsr import random_bsr
+    from spmm_denseblock_tpu.ops import bsr_spmm_int8_plan
+    from spmm_denseblock_tpu.ops.dispatch import spmm_plan
+
+    bsr = random_bsr(0.2, 12, 10, block_size=16, seed=3)
+    x = rng.standard_normal((bsr.shape[1], 40)).astype(np.float32)
+    want = bsr.to_dense() @ x
+    got = np.asarray(bsr_spmm_int8_plan(bsr)(x))
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 2e-2, rel
+
+    # via dispatch, from CSR
+    from spmm_denseblock_tpu.formats.csr import random_csr
+
+    csr = random_csr(0.05, 80, 80, seed=5)
+    plan = spmm_plan(csr, impl="bsr_int8", block_size=16)
+    x2 = rng.standard_normal((80, 8)).astype(np.float32)
+    want2 = csr.to_dense() @ x2
+    rel2 = np.abs(np.asarray(plan(x2)) - want2).max() / (np.abs(want2).max() + 1e-9)
+    assert rel2 < 2e-2, rel2
