@@ -13,6 +13,7 @@ from spmm_denseblock_tpu.ops.dense_block_gemm import dense_block_gemm
 from spmm_denseblock_tpu.ops.windowed_spmm import windowed_spmm, windowed_spmm_plan
 from spmm_denseblock_tpu.ops.sddmm import sddmm, sddmm_plan, sddmm_block_plan
 from spmm_denseblock_tpu.ops.bsr_spmm_int8 import bsr_spmm_int8, bsr_spmm_int8_plan
+from spmm_denseblock_tpu.ops.bsr_spmm_pallas_int8 import bsr_spmm_pallas_int8_plan
 from spmm_denseblock_tpu.ops.dispatch import spmm_plan, spmm_tune, PLANNERS
 from spmm_denseblock_tpu.ops.reference import (
     spmm_scipy,
@@ -41,6 +42,7 @@ __all__ = [
     "sddmm_block_plan",
     "bsr_spmm_int8",
     "bsr_spmm_int8_plan",
+    "bsr_spmm_pallas_int8_plan",
     "spmm_plan",
     "spmm_tune",
     "PLANNERS",

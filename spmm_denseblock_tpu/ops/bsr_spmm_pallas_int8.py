@@ -1,0 +1,146 @@
+"""int8 Pallas BSR SpMM — quantized serving on the hand-scheduled path.
+
+Same schedule as the flat f32 kernel (ops/bsr_spmm_pallas.py: flat
+block list, scalar-prefetched indices, VMEM-resident output
+accumulation) with int8 operands: the MXU runs int8 x int8 -> int32
+(double bf16 throughput on v5e-class chips) and each step rescales into
+the f32 accumulator with its block scale; the per-column operand scale
+is applied once on the output epilogue (separable factors).
+
+Quantization contract matches ops/bsr_spmm_int8.py (per-block weight
+scales, per-column dynamic operand scales, symmetric, ~1e-2 rel err).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spmm_denseblock_tpu.convert.pack import round_up
+from spmm_denseblock_tpu.formats.bsr import BSR
+from spmm_denseblock_tpu.ops.bsr_spmm_pallas import _ensure_covering
+from spmm_denseblock_tpu.ops.bsr_spmm_int8 import quantize_blocks
+
+
+def _kernel(rows_ref, cols_ref, scales_ref, blocks_ref, dense_ref, out_ref):
+    j = pl.program_id(1)
+    prev_row = rows_ref[jnp.maximum(j - 1, 0)]
+
+    @pl.when(jnp.logical_or(j == 0, rows_ref[j] != prev_row))
+    def _zero():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    d = jnp.dot(
+        blocks_ref[0],
+        dense_ref[:],
+        preferred_element_type=jnp.int32,
+    )
+    out_ref[:] += scales_ref[j] * d.astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_block_rows", "n_rows", "f_tile", "interpret")
+)
+def _pallas_int8_spmm(
+    block_rows,
+    block_cols,
+    qblocks,
+    scales,
+    qdense,
+    col_scale,
+    n_block_rows: int,
+    n_rows: int,
+    f_tile: int,
+    interpret: bool = False,
+):
+    nnzb, b, _ = qblocks.shape
+    f_padded = qdense.shape[1]
+    assert f_padded % f_tile == 0
+    grid = (f_padded // f_tile, nnzb)
+
+    # scales ride the scalar-prefetch path (SMEM) next to the indices —
+    # Mosaic rejects tiny (1,1) BlockSpec'd SMEM operands
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, b, b), lambda f, j, rows, cols, sc: (j, 0, 0)),
+            pl.BlockSpec((b, f_tile), lambda f, j, rows, cols, sc: (cols[j], f)),
+        ],
+        out_specs=pl.BlockSpec(
+            (b, f_tile), lambda f, j, rows, cols, sc: (rows[j], f)
+        ),
+    )
+    out = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_block_rows * b, f_padded), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nnzb * b * b * f_padded,
+            bytes_accessed=int(
+                qblocks.size + nnzb * b * f_padded + n_block_rows * b * f_padded * 4
+            ),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        interpret=interpret,
+    )(block_rows, block_cols, scales, qblocks, qdense)
+    # per-column operand scale applied once on the epilogue
+    return out[:n_rows] * col_scale[None, :]
+
+
+@jax.jit
+def _quantize_cols(dense):
+    col_absmax = jnp.max(jnp.abs(dense), axis=0)
+    col_scale = jnp.where(col_absmax > 0, col_absmax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(dense / col_scale[None, :]), -127, 127).astype(jnp.int8)
+    return q, col_scale.astype(jnp.float32)
+
+
+def bsr_spmm_pallas_int8_plan(
+    bsr: BSR,
+    f_tile: Optional[int] = None,
+    interpret: Optional[bool] = None,
+    **_ignored,
+):
+    """Host quantization + layout prep once -> jitted C = f(B).
+    Inference-only (no VJP)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    covered = _ensure_covering(bsr)
+    qblocks, scales = quantize_blocks(
+        np.asarray(covered.blocks[: covered.nnzb], dtype=np.float32)
+    )
+    br = jnp.asarray(np.asarray(covered.block_rows[: covered.nnzb]))
+    bc = jnp.asarray(np.asarray(covered.block_cols[: covered.nnzb]))
+    qb = jnp.asarray(qblocks)
+    sc = jnp.asarray(scales)
+    b = covered.b
+    n_rows, n_cols = bsr.shape
+    k_needed = covered.n_block_cols * b
+
+    def run(dense):
+        dense = jnp.asarray(dense, jnp.float32)
+        assert dense.shape[0] == n_cols, (dense.shape, n_cols)
+        ft = f_tile or min(512, round_up(dense.shape[1], 128))
+        f_padded = round_up(dense.shape[1], ft)
+        pad_r = k_needed - dense.shape[0]
+        pad_c = f_padded - dense.shape[1]
+        if pad_r or pad_c:
+            dense = jnp.pad(dense, ((0, pad_r), (0, pad_c)))
+        qdense, col_scale = _quantize_cols(dense)
+        out = _pallas_int8_spmm(
+            br, bc, qb, sc, qdense, col_scale,
+            covered.n_block_rows, n_rows, ft, interpret,
+        )
+        return out[:, : out.shape[1] - pad_c] if pad_c else out
+
+    return run

@@ -25,6 +25,7 @@ from spmm_denseblock_tpu.ops.bsr_spmm_xla import bsr_spmm_xla_plan
 from spmm_denseblock_tpu.ops.bsr_spmm_pallas import bsr_spmm_pallas_plan
 from spmm_denseblock_tpu.ops.bsr_spmm_pallas_grouped import bsr_spmm_pallas_grouped_plan
 from spmm_denseblock_tpu.ops.bsr_spmm_int8 import bsr_spmm_int8_plan
+from spmm_denseblock_tpu.ops.bsr_spmm_pallas_int8 import bsr_spmm_pallas_int8_plan
 from spmm_denseblock_tpu.ops.hybrid_spmm import hybrid_spmm_plan
 from spmm_denseblock_tpu.ops.reference import spmm_dense_jnp
 
@@ -47,6 +48,7 @@ PLANNERS: Dict[str, Callable] = {
     "bsr_pallas": lambda m, **kw: bsr_spmm_pallas_plan(m, **kw),
     "bsr_pallas_g": lambda m, **kw: bsr_spmm_pallas_grouped_plan(m, **kw),
     "bsr_int8": lambda m, **kw: bsr_spmm_int8_plan(m, **kw),
+    "bsr_int8_pallas": lambda m, **kw: bsr_spmm_pallas_int8_plan(m, **kw),
     # hybrid tier
     "hybrid": lambda m, **kw: hybrid_spmm_plan(m, **kw),
     "windowed": lambda m, **kw: windowed_spmm_plan(m, **kw),

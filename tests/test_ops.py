@@ -338,3 +338,22 @@ def test_bsr_spmm_int8_quantized(rng):
     want2 = csr.to_dense() @ x2
     rel2 = np.abs(np.asarray(plan(x2)) - want2).max() / (np.abs(want2).max() + 1e-9)
     assert rel2 < 2e-2, rel2
+
+
+def test_bsr_spmm_pallas_int8(rng):
+    import numpy as np
+    from spmm_denseblock_tpu.formats.bsr import random_bsr
+    from spmm_denseblock_tpu.ops import (
+        bsr_spmm_int8_plan,
+        bsr_spmm_pallas_int8_plan,
+    )
+
+    bsr = random_bsr(0.2, 9, 7, block_size=16, seed=12)
+    x = rng.standard_normal((bsr.shape[1], 20)).astype(np.float32)
+    want = bsr.to_dense() @ x
+    got = np.asarray(bsr_spmm_pallas_int8_plan(bsr)(x))
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 2e-2, rel
+    # matches the XLA int8 tier bit-for-bit up to accumulation order
+    ref = np.asarray(bsr_spmm_int8_plan(bsr)(x))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
