@@ -103,7 +103,7 @@ def bench_synthetic_csr(
 def bench_graph(
     dataset: str, strategy: str = "rcmk", block_size: int = 128,
     dim: int = 128, impl: str = "hybrid", scale: float = 1.0,
-    density_threshold: float = 0.05, dtype=None,
+    density_threshold: float = 0.05, dtype=None, n_windows: int = 1,
 ) -> Dict:
     """run_csrmm/run_bsrmm/divide analog on a (reordered) graph."""
     csr = load_dataset(dataset, scale=scale)
@@ -114,7 +114,7 @@ def bench_graph(
     if impl == "windowed":
         from spmm_denseblock_tpu.formats.windowed import divide_windowed
 
-        wt = divide_windowed(rcsr, tile_rows=256, window=1024)
+        wt = divide_windowed(rcsr, tile_rows=256, window=1024, n_windows=n_windows)
         from spmm_denseblock_tpu.ops.windowed_spmm import windowed_spmm_plan
 
         plan = windowed_spmm_plan(wt, **kw)

@@ -2,13 +2,13 @@
 
 Reordering (RCM/Rabbit/Gorder) concentrates each row's nonzeros into a
 narrow column band. This format exploits that directly: rows are tiled
-in groups of R; each row-tile picks its best W-aligned column window and
-stores the submatrix restricted to (tile, window) as a DENSE (R, W)
-tile; everything else falls into a remainder CSR. SpMM then becomes
+in groups of R; each row-tile picks its K best W-aligned column windows
+and stores the submatrix restricted to (tile, window) as a DENSE
+(R, W) tile per window; everything else falls into a remainder CSR.
+SpMM then becomes
 
-    C[tile] = tiles[t] @ B[window_t]  (batched MXU matmul, contiguous
-                                       window loads — no scattered
-                                       row gathers)
+    C[tile] = sum_k tiles[t, k] @ B[window_{t,k}]   (batched MXU
+              matmuls, contiguous window loads — no scattered gathers)
   + remainder CSR segment-sum (the long tail)
 
 This is the rectangular-supertile generalization of the reference's
@@ -33,12 +33,12 @@ from spmm_denseblock_tpu.formats.csr import CSR
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Windowed:
-    """tiles: (T, R, W) dense row-band tiles; win_idx[t] = which W-aligned
-    column window tile t multiplies; remainder: CSR of all nonzeros not
-    captured by a tile. Row-tile t covers rows [t*R, (t+1)*R)."""
+    """tiles: (T, K, R, W) dense row-band tiles; win_idx[t, k] = which
+    W-aligned column window tile (t, k) multiplies; remainder: CSR of all
+    nonzeros not captured. Row-tile t covers rows [t*R, (t+1)*R)."""
 
-    tiles: jax.Array  # (T, R, W)
-    win_idx: jax.Array  # (T,) int32
+    tiles: jax.Array  # (T, K, R, W)
+    win_idx: jax.Array  # (T, K) int32
     remainder: CSR
     shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
     tile_rows: int = dataclasses.field(metadata=dict(static=True))
@@ -47,6 +47,10 @@ class Windowed:
     @property
     def n_tiles(self) -> int:
         return int(self.tiles.shape[0])
+
+    @property
+    def n_windows_per_tile(self) -> int:
+        return int(self.tiles.shape[1])
 
     def captured_nnz(self) -> int:
         return int(np.count_nonzero(np.asarray(self.tiles)))
@@ -58,24 +62,31 @@ class Windowed:
         tiles = np.asarray(self.tiles, dtype=np.float32)
         wins = np.asarray(self.win_idx)
         for t in range(self.n_tiles):
-            c0 = int(wins[t]) * W
-            out[t * R : (t + 1) * R, c0 : c0 + W] += tiles[t]
+            for k in range(self.n_windows_per_tile):
+                c0 = int(wins[t, k]) * W
+                out[t * R : (t + 1) * R, c0 : c0 + W] += tiles[t, k]
         return out[:n_rows, :n_cols] + self.remainder.to_dense()
 
 
 def divide_windowed(
-    csr: CSR, tile_rows: int = 256, window: int = 1024, min_fill: float = 0.0
+    csr: CSR,
+    tile_rows: int = 256,
+    window: int = 1024,
+    min_fill: float = 0.0,
+    n_windows: int = 1,
 ) -> Windowed:
     """Split into windowed dense tiles + remainder.
 
-    Each row-tile's window is the W-aligned column block holding the MOST
-    of its nonzeros (ties -> lowest window). Tiles whose captured-nnz
-    fraction of R*W falls below min_fill are dropped to the remainder
-    entirely (their tile stays all-zero and win 0)."""
-    R, W = tile_rows, window
+    Each row-tile keeps its `n_windows` W-aligned column blocks holding
+    the MOST nonzeros (count ties -> lower window id; rank ties within a
+    tile keep window-id order). A (tile, window) pair whose captured-nnz
+    fraction of R*W falls below min_fill is dropped to the remainder
+    (its tile slot stays all-zero at window 0)."""
+    R, W, K = tile_rows, window, n_windows
     n_rows, n_cols = csr.shape
     T = -(-n_rows // R)
     n_win = -(-n_cols // W)
+    K = min(K, n_win)
 
     rows = csr.row_ids().astype(np.int64)
     cols = np.asarray(csr.indices, dtype=np.int64)
@@ -83,24 +94,35 @@ def divide_windowed(
 
     tile_of = rows // R
     win_of = cols // W
-    # best window per tile
     pair = tile_of * n_win + win_of
     counts = np.bincount(pair, minlength=T * n_win).reshape(T, n_win)
-    best = np.argmax(counts, axis=1)
-    captured = counts[np.arange(T), best]
-    keep_tile = captured >= min_fill * R * W
 
-    sel = (win_of == best[tile_of]) & keep_tile[tile_of]
-    tiles = np.zeros((T, R, W), dtype=np.float32)
+    # top-K windows per tile (count desc, window id asc on ties)
+    order = np.argsort(-counts, axis=1, kind="stable")
+    top = order[:, :K]  # (T, K) window ids
+    top_counts = np.take_along_axis(counts, top, axis=1)
+    keep = top_counts >= max(min_fill * R * W, 1)  # empty windows dropped
+
+    # slot lookup: slot_of[t, w] = k if window w is tile t's k-th slot
+    slot_of = np.full((T, n_win), -1, dtype=np.int64)
+    t_ids = np.repeat(np.arange(T), K)
+    slot_of[t_ids, top.ravel()] = np.where(
+        keep.ravel(), np.tile(np.arange(K), T), -1
+    )
+
+    slot = slot_of[tile_of, win_of]  # (nnz,) in [-1, K)
+    sel = slot >= 0
+    tiles = np.zeros((T, K, R, W), dtype=np.float32)
     np.add.at(
         tiles,
-        (tile_of[sel], rows[sel] % R, cols[sel] % W),
+        (tile_of[sel], slot[sel], rows[sel] % R, cols[sel] % W),
         vals[sel],
     )
+    win_idx = np.where(keep, top, 0).astype(np.int32)
     remainder = CSR.from_coo(rows[~sel], cols[~sel], vals[~sel], csr.shape)
     return Windowed(
         tiles=tiles,
-        win_idx=np.where(keep_tile, best, 0).astype(np.int32),
+        win_idx=win_idx,
         remainder=remainder,
         shape=csr.shape,
         tile_rows=R,

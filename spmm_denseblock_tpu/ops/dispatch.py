@@ -90,6 +90,7 @@ def spmm_plan(matrix, impl: str = "auto", block_size: int = 128, **kw):
             tile_rows=kw.pop("tile_rows", 256),
             window=kw.pop("window", 1024),
             min_fill=kw.pop("min_fill", 0.0),
+            n_windows=kw.pop("n_windows", 1),
         )
     if impl == "auto":
         if isinstance(matrix, Windowed):

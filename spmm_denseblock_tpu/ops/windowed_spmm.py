@@ -25,8 +25,9 @@ from spmm_denseblock_tpu.ops.csr_spmm import csr_spmm_plan
 
 @functools.partial(jax.jit, static_argnames=("n_rows",))
 def _windowed_matmul(tiles, win_idx, dense_blocked, n_rows: int):
-    # dense_blocked: (n_win, W, F); gather one contiguous window per tile
-    wins = jnp.take(dense_blocked, win_idx, axis=0)  # (T, W, F)
+    # tiles: (T, K, R, W); dense_blocked: (n_win, W, F); gather one
+    # contiguous window per (tile, slot), matmul, sum the K slots
+    wins = jnp.take(dense_blocked, win_idx, axis=0)  # (T, K, W, F)
     prec = (
         jax.lax.Precision.HIGHEST
         if tiles.dtype == jnp.float32
@@ -35,11 +36,11 @@ def _windowed_matmul(tiles, win_idx, dense_blocked, n_rows: int):
     out_tiles = jax.lax.dot_general(
         tiles,
         wins,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
         preferred_element_type=jnp.float32,
         precision=prec,
-    )  # (T, R, F)
-    out = out_tiles.reshape(-1, out_tiles.shape[-1])
+    )  # (T, K, R, F)
+    out = jnp.sum(out_tiles, axis=1).reshape(-1, out_tiles.shape[-1])
     return out[:n_rows]
 
 

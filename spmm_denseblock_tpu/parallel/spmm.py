@@ -322,13 +322,16 @@ def dist_windowed_spmm_plan(
 
     # pad tile arrays so each stripe owns tiles_per tiles
     pad_t = n * tiles_per - T
+    K = wt.n_windows_per_tile
     tiles_h = np.asarray(wt.tiles)
     win_h = np.asarray(wt.win_idx)
     if pad_t:
         tiles_h = np.concatenate(
-            [tiles_h, np.zeros((pad_t, R, W), tiles_h.dtype)]
+            [tiles_h, np.zeros((pad_t, K, R, W), tiles_h.dtype)]
         )
-        win_h = np.concatenate([win_h, np.zeros(pad_t, win_h.dtype)])
+        win_h = np.concatenate(
+            [win_h, np.zeros((pad_t, K), win_h.dtype)]
+        )
     if dtype is not None:
         tiles_h = tiles_h.astype(dtype)
 
@@ -345,15 +348,15 @@ def dist_windowed_spmm_plan(
     def stripe_fn(tiles, win, b_local):
         b_full = jax.lax.all_gather(b_local, axis, tiled=True)
         blocked = b_full.reshape(k_padded // W, W, b_full.shape[1])
-        wins = jnp.take(blocked, win, axis=0)  # (tiles_per, W, F)
+        wins = jnp.take(blocked, win, axis=0)  # (tiles_per, K, W, F)
         out = jax.lax.dot_general(
             tiles,
             wins,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
             preferred_element_type=jnp.float32,
             precision=prec,
         )
-        return out.reshape(tiles_per * R, b_full.shape[1])
+        return jnp.sum(out, axis=1).reshape(tiles_per * R, b_full.shape[1])
 
     fn = jax.shard_map(
         stripe_fn,

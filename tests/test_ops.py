@@ -357,3 +357,35 @@ def test_bsr_spmm_pallas_int8(rng):
     # matches the XLA int8 tier bit-for-bit up to accumulation order
     ref = np.asarray(bsr_spmm_int8_plan(bsr)(x))
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_windowed_multi_window(rng):
+    """n_windows=K captures strictly more than K=1 on a two-band graph;
+    result stays oracle-exact."""
+    import numpy as np
+    from spmm_denseblock_tpu.formats.csr import CSR
+    from spmm_denseblock_tpu.formats.windowed import divide_windowed
+    from spmm_denseblock_tpu.ops import assert_allclose, spmm_scipy, windowed_spmm_plan
+
+    n = 160
+    rows = np.repeat(np.arange(n), 4)
+    # two bands: near-diagonal and shifted by n//2
+    cols = np.concatenate(
+        [
+            (np.repeat(np.arange(n), 2) + np.tile(np.arange(2), n)) % n,
+            (np.repeat(np.arange(n), 2) + n // 2 + np.tile(np.arange(2), n)) % n,
+        ]
+    )
+    rows = np.concatenate([np.repeat(np.arange(n), 2), np.repeat(np.arange(n), 2)])
+    csr = CSR.from_coo(rows, cols, None, (n, n))
+
+    w1 = divide_windowed(csr, tile_rows=16, window=16, n_windows=1)
+    w3 = divide_windowed(csr, tile_rows=16, window=16, n_windows=3)
+    assert w3.captured_nnz() > w1.captured_nnz()
+    assert w3.captured_nnz() + w3.remainder.nnz == csr.nnz
+
+    x = rng.standard_normal((n, 12)).astype(np.float32)
+    want = spmm_scipy(csr, x)
+    assert_allclose(np.asarray(windowed_spmm_plan(w1)(x)), want)
+    assert_allclose(np.asarray(windowed_spmm_plan(w3)(x)), want)
+    np.testing.assert_allclose(w3.to_dense(), csr.to_dense(), atol=1e-6)
