@@ -29,7 +29,12 @@ def main():
     ap.add_argument("--dataset", default="ogbn-arxiv")
     ap.add_argument("--scale", type=float, default=0.1)
     ap.add_argument("--strategy", default="rabbit")
-    ap.add_argument("--impl", default="bsr_int8_pallas")
+    ap.add_argument(
+        "--impl",
+        default="auto",
+        help="auto routes real (element-sparse) graphs to hybrid; "
+        "bsr_int8_pallas is the quantized block tier for block-dense inputs",
+    )
     ap.add_argument("--block-size", type=int, default=128)
     ap.add_argument("--dim", type=int, default=256)
     ap.add_argument("--check", action="store_true", help="verify vs scipy")

@@ -109,10 +109,42 @@ def bsr_spmm_pallas_int8_plan(
     bsr: BSR,
     f_tile: Optional[int] = None,
     interpret: Optional[bool] = None,
+    chunk_nnzb: Optional[int] = None,
     **_ignored,
 ):
     """Host quantization + layout prep once -> jitted C = f(B).
-    Inference-only (no VJP)."""
+    Inference-only (no VJP). Chunks beyond the SMEM scalar-prefetch
+    ceiling like the f32 plan (sum of covered row-sorted chunks)."""
+    from spmm_denseblock_tpu.ops.bsr_spmm_pallas import CHUNK_NNZB
+
+    if chunk_nnzb is None:
+        chunk_nnzb = CHUNK_NNZB
+    if bsr.nnzb > chunk_nnzb:
+        n_chunks = -(-bsr.nnzb // chunk_nnzb)
+        rows = np.asarray(bsr.block_rows[: bsr.nnzb])
+        cols = np.asarray(bsr.block_cols[: bsr.nnzb])
+        blocks = np.asarray(bsr.blocks[: bsr.nnzb])
+        plans = []
+        for c in range(n_chunks):
+            sl = slice(c * chunk_nnzb, min((c + 1) * chunk_nnzb, bsr.nnzb))
+            frag = BSR.from_parts(
+                rows[sl], cols[sl], blocks[sl], bsr.shape, bsr.block_size
+            )
+            plans.append(
+                bsr_spmm_pallas_int8_plan(
+                    frag, f_tile=f_tile, interpret=interpret,
+                    chunk_nnzb=bsr.nnzb + 1,
+                )
+            )
+
+        def run_chunked(dense):
+            out = plans[0](dense)
+            for p in plans[1:]:
+                out = out + p(dense)
+            return out
+
+        return run_chunked
+
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     covered = _ensure_covering(bsr)

@@ -389,3 +389,16 @@ def test_windowed_multi_window(rng):
     assert_allclose(np.asarray(windowed_spmm_plan(w1)(x)), want)
     assert_allclose(np.asarray(windowed_spmm_plan(w3)(x)), want)
     np.testing.assert_allclose(w3.to_dense(), csr.to_dense(), atol=1e-6)
+
+
+def test_bsr_spmm_pallas_int8_chunked(rng):
+    import numpy as np
+    from spmm_denseblock_tpu.formats.bsr import random_bsr
+    from spmm_denseblock_tpu.ops import bsr_spmm_pallas_int8_plan
+
+    bsr = random_bsr(0.25, 10, 10, block_size=8, seed=6)
+    x = rng.standard_normal((bsr.shape[1], 12)).astype(np.float32)
+    want = bsr.to_dense() @ x
+    got = np.asarray(bsr_spmm_pallas_int8_plan(bsr, chunk_nnzb=7)(x))
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 3e-2, rel
