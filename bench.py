@@ -22,6 +22,11 @@ import time
 import jax
 import numpy as np
 
+# persistent compilation cache: repeated bench runs skip the slow
+# (30-180s) remote kernel compiles. Harmless if the backend ignores it.
+jax.config.update("jax_compilation_cache_dir", "/tmp/sdb_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 from spmm_denseblock_tpu.bench.timing import time_chained_square
 
