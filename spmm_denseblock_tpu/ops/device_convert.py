@@ -29,6 +29,8 @@ from spmm_denseblock_tpu.formats.csr import CSR
 @functools.partial(jax.jit, static_argnames=("n_block_cols", "block_size"))
 def count_nnzb_device(row_ids, col_ids, n_block_cols: int, block_size: int):
     """Phase 1: number of distinct nonzero blocks (device scalar)."""
+    if row_ids.shape[0] == 0:  # static shape: empty matrix has 0 blocks
+        return jnp.int32(0)
     key = (row_ids // block_size).astype(jnp.int64) * n_block_cols + (
         col_ids // block_size
     )

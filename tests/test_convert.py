@@ -153,3 +153,17 @@ def test_auto_threshold_and_repack_dispatch(rng):
     plan = spmm_plan(small, impl="bsr_xla", repack_to=32)
     want = small.to_dense() @ x
     assert_allclose(np.asarray(plan(x)), want)
+
+
+def test_device_convert_empty_matrix():
+    import jax.numpy as jnp
+    from spmm_denseblock_tpu.formats.csr import CSR
+    from spmm_denseblock_tpu.ops.device_convert import count_nnzb_device
+
+    empty = CSR.from_coo([], [], None, (16, 16))
+    n = int(
+        count_nnzb_device(
+            jnp.asarray(empty.row_ids()), jnp.asarray(empty.indices), 2, 8
+        )
+    )
+    assert n == 0
