@@ -194,3 +194,61 @@ def bench_scaling(
         "kind": "scaling", "p": p, "b": block_size, "dim": dim,
         "strategy": strategy, "points": points,
     }
+
+
+def bench_train_step(
+    dataset: str = "ogbn-arxiv",
+    strategy: str = "rabbit",
+    dims: Sequence[int] = (128, 256, 40),
+    impl: str = "auto",
+    block_size: int = 128,
+    scale: float = 1.0,
+    iters: int = 10,
+    seed: int = 0,
+) -> Dict:
+    """End-to-end GCN training-step latency on a (reordered) graph —
+    the model-level counterpart of the SpMM runners. Steps chain through
+    the parameter pytree (true data dependency); the final loss fetch is
+    the readback barrier."""
+    import time as _time
+
+    import jax
+    import optax
+
+    from spmm_denseblock_tpu.models import (
+        gcn_apply,
+        init_gcn,
+        make_train_step,
+        sym_norm_adjacency,
+    )
+
+    csr = load_dataset(dataset, scale=scale)
+    rcsr, _ = reorder(csr, strategy)
+    adj = sym_norm_adjacency(rcsr)
+    spmm = spmm_plan(adj, impl=impl, block_size=block_size, feat_dim=max(dims))
+    params = init_gcn(jax.random.PRNGKey(seed), list(dims))
+    step, init_state = make_train_step(gcn_apply, spmm, optax.adam(1e-2))
+    opt_state = init_state(params)
+
+    rng = np.random.default_rng(seed)
+    x = jax.device_put(
+        rng.standard_normal((csr.n_rows, dims[0])).astype(np.float32)
+    )
+    y = jax.device_put(rng.integers(0, dims[-1], size=csr.n_rows).astype(np.int32))
+    mask = jax.device_put(np.ones(csr.n_rows, np.float32))
+
+    # warm/compile + barrier
+    params, opt_state, m = step(params, opt_state, x, y, mask)
+    float(m["loss"])
+    t0 = _time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, m = step(params, opt_state, x, y, mask)
+    float(m["loss"])  # readback barrier; loss depends on the whole chain
+    secs = (_time.perf_counter() - t0) / iters
+
+    return {
+        "kind": "train_step", "dataset": dataset, "strategy": strategy,
+        "impl": impl, "dims": list(dims), "scale": scale,
+        "n": csr.n_rows, "nnz": csr.nnz, "ms_per_step": secs * 1e3,
+        "edges_per_s": csr.nnz * 2 * (len(dims) - 1) / secs,  # fwd+bwd spmm
+    }

@@ -81,3 +81,13 @@ def test_sweep_cli_errors_are_captured(monkeypatch, tmp_path):
     rc = sweeps.main(["csrmm", "--quick", "--out", str(out)])
     assert rc == 0
     assert "nope" in out.read_text()
+
+
+def test_bench_train_step_record():
+    from spmm_denseblock_tpu.bench import bench_train_step
+
+    rec = bench_train_step(
+        scale=0.002, dims=(8, 16, 4), impl="csr_xla", iters=2
+    )
+    assert rec["ms_per_step"] > 0 and rec["edges_per_s"] > 0
+    json.dumps(rec)
