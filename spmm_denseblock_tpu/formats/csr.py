@@ -141,6 +141,15 @@ class CSR:
             shape=self.shape,
         )
 
+    def transpose(self) -> "CSR":
+        """A^T as CSR (host): row/col swap through the COO view."""
+        return CSR.from_coo(
+            np.asarray(self.indices, dtype=np.int64),
+            self.row_ids().astype(np.int64),
+            None if self.data is None else np.asarray(self.data),
+            (self.shape[1], self.shape[0]),
+        )
+
     def degrees(self) -> np.ndarray:
         return np.diff(np.asarray(self.indptr)).astype(np.int64)
 

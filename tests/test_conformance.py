@@ -50,3 +50,18 @@ def test_all_impls_match_oracle(impl, case, rng):
         got = np.asarray(plan(x))
         assert got.shape == want.shape, (impl, name, got.shape, want.shape)
         assert_allclose(got, want)
+
+
+@pytest.mark.parametrize("impl", ["bsr_xla", "bsr_pallas", "hybrid", "windowed"])
+def test_bf16_tiers_match_loosely(impl, rng):
+    """dtype=bf16 across the casting tiers: quantization-scale tolerance."""
+    import jax.numpy as jnp
+
+    csr = random_csr(0.08, 64, 64, seed=5)
+    x = rng.standard_normal((64, 16)).astype(np.float32)
+    want = spmm_scipy(csr, x)
+    kw = dict(tile_rows=8, window=16) if impl == "windowed" else {}
+    plan = spmm_plan(csr, impl=impl, block_size=8, dtype=jnp.bfloat16, **kw)
+    got = np.asarray(plan(x))
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 3e-2, (impl, rel)

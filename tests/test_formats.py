@@ -69,3 +69,13 @@ def test_random_bsr_shape():
     bsr = random_bsr(0.05, 16, 12, block_size=8, seed=5)
     assert bsr.shape == (128, 96)
     assert bsr.blocks.shape[1:] == (8, 8)
+
+
+def test_csr_transpose():
+    import numpy as np
+    from spmm_denseblock_tpu.formats.csr import random_csr
+
+    csr = random_csr(0.1, 20, 12, seed=4)
+    t = csr.transpose()
+    assert t.shape == (12, 20)
+    np.testing.assert_allclose(t.to_dense(), csr.to_dense().T, atol=1e-6)
