@@ -107,19 +107,35 @@ def spmm_plan(matrix, impl: str = "auto", block_size: int = 128, **kw):
             impl = "bsr_pallas" if (wide and b_eff >= 64) else "bsr_xla"
         # memory guard: a BSR-ified element-sparse graph can exceed HBM
         # (nnzb * b^2 * 4 bytes — full ogbn-arxiv at b=128 is tens of GB).
-        # Route such inputs to the hybrid splitter instead: dense blocks
-        # on the MXU, the long element-sparse tail stays CSR.
+        # Route such inputs to a densifying tier instead: windowed when a
+        # cheap capture estimate says the reordering concentrated enough
+        # nonzeros into row-band windows (measured: windowed beat csr at
+        # 37% capture), else hybrid (dense blocks + CSR tail).
         if impl.startswith("bsr") and isinstance(matrix, CSR):
+            import numpy as _np
+
             from spmm_denseblock_tpu.analyze.metrics import calculate_nnzb
             from spmm_denseblock_tpu.convert.divide import auto_threshold, divide
 
             budget = kw.pop("bsr_bytes_budget", 4 << 30)
             nnzb = calculate_nnzb(matrix, block_size)
             if nnzb * block_size * block_size * 4 > budget:
-                matrix = divide(
-                    matrix, block_size, auto_threshold(matrix, block_size)
-                )
-                impl = "hybrid"
+                R, W = 256, 1024
+                T = -(-matrix.n_rows // R)
+                n_win = -(-matrix.n_cols // W)
+                pair = (
+                    matrix.row_ids().astype(_np.int64) // R
+                ) * n_win + _np.asarray(matrix.indices, dtype=_np.int64) // W
+                counts = _np.bincount(pair, minlength=T * n_win).reshape(T, n_win)
+                capture = counts.max(axis=1).sum() / max(matrix.nnz, 1)
+                if capture >= 0.3:
+                    matrix = divide_windowed(matrix, tile_rows=R, window=W)
+                    impl = "windowed"
+                else:
+                    matrix = divide(
+                        matrix, block_size, auto_threshold(matrix, block_size)
+                    )
+                    impl = "hybrid"
     kw.pop("bsr_bytes_budget", None)
     if impl.startswith("bsr") and isinstance(matrix, CSR):
         matrix = csr_to_bsr(matrix, block_size)

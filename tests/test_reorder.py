@@ -186,3 +186,24 @@ def test_auto_dispatch_memory_guard(rng):
     x = rng.standard_normal((512, 8)).astype(np.float32)
     plan = spmm_plan(csr, impl="auto", block_size=64, bsr_bytes_budget=1024)
     assert_allclose(np.asarray(plan(x)), spmm_scipy(csr, x))
+
+
+def test_auto_dispatch_routes_banded_to_windowed(rng):
+    """Memory guard + capture estimate: a banded (reordered-like) graph
+    over budget routes to the windowed tier; a scattered one to hybrid."""
+    import numpy as np
+    from spmm_denseblock_tpu.formats.csr import CSR, random_csr
+    from spmm_denseblock_tpu.ops import spmm_plan, spmm_scipy, assert_allclose
+
+    n = 1024
+    rows = np.repeat(np.arange(n), 4)
+    cols = (rows + np.tile(np.arange(4), n)) % n
+    banded = CSR.from_coo(rows, cols, None, (n, n))
+    x = rng.standard_normal((n, 8)).astype(np.float32)
+    plan = spmm_plan(banded, impl="auto", block_size=64, bsr_bytes_budget=1)
+    assert_allclose(np.asarray(plan(x)), spmm_scipy(banded, x))
+
+    scattered = random_csr(0.01, 600, seed=3, values="ones")
+    x2 = rng.standard_normal((600, 8)).astype(np.float32)
+    plan2 = spmm_plan(scattered, impl="auto", block_size=64, bsr_bytes_budget=1)
+    assert_allclose(np.asarray(plan2(x2)), spmm_scipy(scattered, x2))
