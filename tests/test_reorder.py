@@ -207,3 +207,21 @@ def test_auto_dispatch_routes_banded_to_windowed(rng):
     x2 = rng.standard_normal((600, 8)).astype(np.float32)
     plan2 = spmm_plan(scattered, impl="auto", block_size=64, bsr_bytes_budget=1)
     assert_allclose(np.asarray(plan2(x2)), spmm_scipy(scattered, x2))
+
+
+def test_reorder_cli(tmp_path):
+    from spmm_denseblock_tpu.reorder.__main__ import main
+    import numpy as np
+    from spmm_denseblock_tpu.io.graph_io import load_csr, load_permutation
+
+    rc = main(
+        ["ogbn-arxiv", "rcmk", "--scale", "0.005", "--out", str(tmp_path)]
+    )
+    assert rc == 0
+    name = "ogbn_arxiv_s0.005"
+    orig = load_csr(str(tmp_path / f"{name}_original"))
+    re = load_csr(str(tmp_path / f"{name}_rcmk"))
+    assert orig.nnz == re.nnz
+    perm = load_permutation(str(tmp_path / f"{name}_rcmk.txt"))
+    assert perm.shape[0] == orig.n_rows
+    assert main(["ogbn-arxiv", "nope"]) == 2
