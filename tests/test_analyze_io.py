@@ -142,3 +142,30 @@ def test_heatmap_plot_and_utils(tmp_path):
     r = roofline(2e10, 2e9, 5e-3, peak_flops=2e14, peak_bw=8e11)
     assert r["bound"] == "memory"
     assert abs(r["frac_of_roofline"] - 0.5) < 1e-6
+
+
+def test_text_io_speed_at_scale(tmp_path):
+    """The file contract must handle reference-scale files: 1M-edge dump
+    + load round trip in seconds, not minutes (C-speed parse paths)."""
+    import time
+    import numpy as np
+    from spmm_denseblock_tpu.formats.csr import random_csr
+    from spmm_denseblock_tpu.io.graph_io import (
+        dump_csr,
+        dump_edge_list,
+        load_csr,
+        load_edge_list,
+    )
+
+    csr = random_csr(0.001, 32_000, seed=2, values="ones")
+    assert csr.nnz > 900_000
+    t0 = time.time()
+    p = str(tmp_path / "big.txt")
+    dump_edge_list(csr, p)
+    back = load_edge_list(p)
+    dump_csr(csr, str(tmp_path / "big"))
+    back2 = load_csr(str(tmp_path / "big"))
+    dt = time.time() - t0
+    assert back.nnz == csr.nnz and back2.nnz == csr.nnz
+    np.testing.assert_array_equal(np.asarray(back2.indices), np.asarray(csr.indices))
+    assert dt < 30, f"text IO too slow: {dt:.1f}s for {csr.nnz} nnz"
