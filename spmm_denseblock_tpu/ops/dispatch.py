@@ -39,10 +39,21 @@ def _dense_plan(mat, **kw):
     return run
 
 
+def _as_csr(m):
+    if isinstance(m, CSR):
+        return m
+    from spmm_denseblock_tpu.convert.csr2bsr import bsr_to_csr
+    from spmm_denseblock_tpu.formats.bsr import BSR as _BSR
+
+    if isinstance(m, _BSR):
+        return bsr_to_csr(m)
+    raise TypeError(f"cannot route {type(m).__name__} to a CSR-tier impl")
+
+
 PLANNERS: Dict[str, Callable] = {
     # CSR tier
-    "csr_xla": lambda m, **kw: csr_spmm_plan(m if isinstance(m, CSR) else m),
-    "bcoo": lambda m, **kw: bcoo_spmm_plan(m),
+    "csr_xla": lambda m, **kw: csr_spmm_plan(_as_csr(m)),
+    "bcoo": lambda m, **kw: bcoo_spmm_plan(_as_csr(m)),
     # BSR tier
     "bsr_xla": lambda m, **kw: bsr_spmm_xla_plan(m, **kw),
     "bsr_pallas": lambda m, **kw: bsr_spmm_pallas_plan(m, **kw),

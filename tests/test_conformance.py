@@ -65,3 +65,14 @@ def test_bf16_tiers_match_loosely(impl, rng):
     got = np.asarray(plan(x))
     rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
     assert rel < 3e-2, (impl, rel)
+
+
+def test_csr_tier_accepts_bsr_input(rng):
+    from spmm_denseblock_tpu.formats.bsr import random_bsr
+
+    bsr = random_bsr(0.2, 6, 6, block_size=8, seed=2)
+    x = rng.standard_normal((bsr.shape[1], 8)).astype(np.float32)
+    plan = spmm_plan(bsr, impl="csr_xla")
+    np.testing.assert_allclose(
+        np.asarray(plan(x)), bsr.to_dense() @ x, atol=1e-4
+    )
