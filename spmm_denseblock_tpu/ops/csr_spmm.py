@@ -36,17 +36,57 @@ def _csr_spmm_device(row_ids, col_ids, vals, dense, n_rows: int):
     return out.astype(jnp.float32)
 
 
-def csr_spmm_plan(csr: CSR):
-    """Host-side layout prep once; returns a jitted C = f(B) closure."""
-    row_ids = jnp.asarray(csr.row_ids())
-    col_ids = jnp.asarray(np.asarray(csr.indices, dtype=np.int32))
-    vals = None if csr.data is None else jnp.asarray(np.asarray(csr.data))
+CHUNK_NNZ_BYTES = 4 << 30  # gather-intermediate budget for auto-chunking
+
+
+def csr_spmm_plan(csr: CSR, chunk_nnz=None):
+    """Host-side layout prep once; returns a jitted C = f(B) closure.
+
+    The gather materializes an (nnz, F) intermediate; at ogbn-products
+    scale that is tens of GB. When nnz exceeds `chunk_nnz` (default: auto
+    from CHUNK_NNZ_BYTES assuming F<=512 f32), the plan splits the
+    nonzeros into row-sorted chunks and sums per-chunk segment-sums —
+    peak memory drops to chunk_nnz * F * 4 while outputs stay exact
+    (partial row sums add)."""
+    if chunk_nnz is None:
+        chunk_nnz = max(1, CHUNK_NNZ_BYTES // (512 * 4))
     n_rows = csr.n_rows
+    row_ids_h = csr.row_ids()
+    col_ids_h = np.asarray(csr.indices, dtype=np.int32)
+    vals_h = None if csr.data is None else np.asarray(csr.data)
 
-    def run(dense):
-        return _csr_spmm_device(row_ids, col_ids, vals, jnp.asarray(dense), n_rows)
+    if csr.nnz <= chunk_nnz:
+        row_ids = jnp.asarray(row_ids_h)
+        col_ids = jnp.asarray(col_ids_h)
+        vals = None if vals_h is None else jnp.asarray(vals_h)
 
-    return run
+        def run(dense):
+            return _csr_spmm_device(
+                row_ids, col_ids, vals, jnp.asarray(dense), n_rows
+            )
+
+        return run
+
+    n_chunks = -(-csr.nnz // chunk_nnz)
+    parts = []
+    for c in range(n_chunks):
+        sl = slice(c * chunk_nnz, min((c + 1) * chunk_nnz, csr.nnz))
+        parts.append(
+            (
+                jnp.asarray(row_ids_h[sl]),
+                jnp.asarray(col_ids_h[sl]),
+                None if vals_h is None else jnp.asarray(vals_h[sl]),
+            )
+        )
+
+    def run_chunked(dense):
+        dense = jnp.asarray(dense)
+        out = _csr_spmm_device(*parts[0], dense, n_rows)
+        for r, ci, v in parts[1:]:
+            out = out + _csr_spmm_device(r, ci, v, dense, n_rows)
+        return out
+
+    return run_chunked
 
 
 def csr_spmm(csr: CSR, dense) -> jnp.ndarray:

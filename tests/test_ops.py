@@ -402,3 +402,18 @@ def test_bsr_spmm_pallas_int8_chunked(rng):
     got = np.asarray(bsr_spmm_pallas_int8_plan(bsr, chunk_nnzb=7)(x))
     rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
     assert rel < 3e-2, rel
+
+
+def test_csr_spmm_chunked(rng):
+    """nnz-chunked CSR plan (the ogbn-products single-chip memory path):
+    forced tiny chunks must match the unchunked result exactly."""
+    import numpy as np
+    from spmm_denseblock_tpu.formats.csr import random_csr
+    from spmm_denseblock_tpu.ops import assert_allclose, spmm_scipy
+    from spmm_denseblock_tpu.ops.csr_spmm import csr_spmm_plan
+
+    csr = random_csr(0.05, 120, 90, seed=9)
+    x = rng.standard_normal((90, 16)).astype(np.float32)
+    want = spmm_scipy(csr, x)
+    got = np.asarray(csr_spmm_plan(csr, chunk_nnz=37)(x))
+    assert_allclose(got, want)
