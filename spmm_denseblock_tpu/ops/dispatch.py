@@ -6,6 +6,14 @@ The analog of the reference's per-driver impl dispatch strings
 
     plan = spmm_plan(matrix, impl="bsr_pallas")   # host prep + jit, once
     C = plan(B)                                   # hot call
+
+Tiers: csr_xla (gather+segment-sum, auto nnz-chunked), bcoo, bsr_xla,
+bsr_pallas (flat MXU kernel, custom VJP, SMEM-chunked), bsr_pallas_g
+(grouped manual-DMA variant), bsr_int8 / bsr_int8_pallas (quantized
+inference), hybrid (dense blocks + CSR tail), windowed (row-band x
+column-window dense tiles), dense (oracle). impl='auto' picks by the
+measured v5e crossovers + HBM budget + capture estimate; spmm_tune
+measures candidates on the caller's operand.
 """
 
 from __future__ import annotations
