@@ -202,3 +202,43 @@ def test_dist_windowed_spmm_matches_oracle(mesh, rng):
     want = spmm_scipy(csr, dense)
     run = dist_windowed_spmm_plan(wt, mesh=mesh)
     assert_allclose(np.asarray(run(dense)), want)
+
+
+@pytest.mark.parametrize(
+    "shape_case",
+    [
+        ("square", 16, 16),
+        ("rect_wide", 9, 21),
+        ("rect_tall", 21, 9),
+        ("tiny", 2, 3),
+    ],
+    ids=lambda c: c[0],
+)
+@pytest.mark.parametrize("strategy", ["allgather", "ring"])
+def test_dist_conformance_shapes(mesh, rng, shape_case, strategy):
+    """Distributed BSR SpMM across awkward block-grid shapes (fewer
+    block-rows than devices, rectangular, etc.)."""
+    _, nbr, nbc = shape_case
+    bsr = random_bsr(0.3, nbr, nbc, block_size=8, seed=nbr * 31 + nbc)
+    dense = rng.standard_normal((bsr.shape[1], 10)).astype(np.float32)
+    want = bsr.to_dense() @ dense
+    run = dist_bsr_spmm_plan(bsr, mesh=mesh, strategy=strategy)
+    assert_allclose(np.asarray(run(dense)), want)
+
+
+def test_permutation_spmm_property(mesh, rng):
+    """P A P^T acting on permuted features equals permuted A @ X — the
+    reorder/SpMM contract the whole pipeline rests on, checked through
+    the distributed path."""
+    from spmm_denseblock_tpu.reorder import permutate
+
+    csr = random_csr(0.05, 96, 96, seed=17, values="ones")
+    perm = np.random.default_rng(3).permutation(96)
+    rcsr = permutate(perm, csr)
+    x = rng.standard_normal((96, 12)).astype(np.float32)
+
+    base = spmm_scipy(csr, x)
+    run = dist_csr_spmm_plan(rcsr, mesh=mesh)
+    got = np.asarray(run(x[np.argsort(perm)]))  # features in new order
+    # undo the row permutation on the output
+    assert_allclose(got[perm], base)
