@@ -10,7 +10,11 @@ from spmm_denseblock_tpu.ops.bsr_spmm_pallas_grouped import (
 )
 from spmm_denseblock_tpu.ops.hybrid_spmm import hybrid_spmm, hybrid_spmm_plan
 from spmm_denseblock_tpu.ops.dense_block_gemm import dense_block_gemm
-from spmm_denseblock_tpu.ops.windowed_spmm import windowed_spmm, windowed_spmm_plan
+from spmm_denseblock_tpu.ops.windowed_spmm import (
+    windowed_spmm,
+    windowed_spmm_plan,
+    windowed_spmm_int8_plan,
+)
 from spmm_denseblock_tpu.ops.sddmm import sddmm, sddmm_plan, sddmm_block_plan
 from spmm_denseblock_tpu.ops.bsr_spmm_int8 import bsr_spmm_int8, bsr_spmm_int8_plan
 from spmm_denseblock_tpu.ops.bsr_spmm_pallas_int8 import bsr_spmm_pallas_int8_plan
@@ -37,6 +41,7 @@ __all__ = [
     "dense_block_gemm",
     "windowed_spmm",
     "windowed_spmm_plan",
+    "windowed_spmm_int8_plan",
     "sddmm",
     "sddmm_plan",
     "sddmm_block_plan",

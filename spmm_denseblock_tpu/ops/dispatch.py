@@ -26,7 +26,10 @@ from spmm_denseblock_tpu.formats.csr import CSR
 from spmm_denseblock_tpu.formats.bsr import BSR
 from spmm_denseblock_tpu.formats.hybrid import Hybrid
 from spmm_denseblock_tpu.formats.windowed import Windowed, divide_windowed
-from spmm_denseblock_tpu.ops.windowed_spmm import windowed_spmm_plan
+from spmm_denseblock_tpu.ops.windowed_spmm import (
+    windowed_spmm_int8_plan,
+    windowed_spmm_plan,
+)
 from spmm_denseblock_tpu.convert.csr2bsr import csr_to_bsr
 from spmm_denseblock_tpu.ops.csr_spmm import csr_spmm_plan, bcoo_spmm_plan
 from spmm_denseblock_tpu.ops.bsr_spmm_xla import bsr_spmm_xla_plan
@@ -71,6 +74,7 @@ PLANNERS: Dict[str, Callable] = {
     # hybrid tier
     "hybrid": lambda m, **kw: hybrid_spmm_plan(m, **kw),
     "windowed": lambda m, **kw: windowed_spmm_plan(m, **kw),
+    "windowed_int8": lambda m, **kw: windowed_spmm_int8_plan(m),
     # oracle tier
     "dense": _dense_plan,
 }
@@ -103,7 +107,7 @@ def spmm_plan(matrix, impl: str = "auto", block_size: int = 128, **kw):
         if thr is None:
             thr = auto_threshold(matrix, block_size)
         matrix = divide(matrix, block_size, thr)
-    if impl == "windowed" and isinstance(matrix, CSR):
+    if impl.startswith("windowed") and isinstance(matrix, CSR):
         matrix = divide_windowed(
             matrix,
             tile_rows=kw.pop("tile_rows", 256),

@@ -72,3 +72,51 @@ def windowed_spmm_plan(wt: Windowed, dtype=None):
 
 def windowed_spmm(wt: Windowed, dense, **kw) -> jax.Array:
     return windowed_spmm_plan(wt, **kw)(dense)
+
+
+def windowed_spmm_int8_plan(wt: Windowed):
+    """Quantized windowed tier: per-(tile,slot) int8 weight scales x
+    per-column dynamic operand scales, int32 MXU accumulation — the
+    serving path for reordered real graphs (inference-only)."""
+    import numpy as np
+
+    from spmm_denseblock_tpu.ops.bsr_spmm_int8 import quantize_blocks
+
+    R, W = wt.tile_rows, wt.window
+    n_rows, n_cols = wt.shape
+    k_padded = -(-n_cols // W) * W
+    T, K = wt.n_tiles, wt.n_windows_per_tile
+
+    flat = np.asarray(wt.tiles, dtype=np.float32).reshape(T * K, R, W)
+    q, scales = quantize_blocks(flat)
+    q_tiles = jnp.asarray(q.reshape(T, K, R, W))
+    sc = jnp.asarray(scales.reshape(T, K).astype(np.float32))
+    win_idx = jnp.asarray(wt.win_idx)
+    rem_plan = csr_spmm_plan(wt.remainder) if wt.remainder.nnz else None
+
+    @jax.jit
+    def run(dense):
+        dense = jnp.asarray(dense, jnp.float32)
+        assert dense.shape[0] == n_cols, (dense.shape, n_cols)
+        d = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
+        col_absmax = jnp.max(jnp.abs(d), axis=0)
+        col_scale = jnp.where(col_absmax > 0, col_absmax / 127.0, 1.0)
+        qd = jnp.clip(jnp.round(d / col_scale[None, :]), -127, 127).astype(
+            jnp.int8
+        )
+        blocked = qd.reshape(k_padded // W, W, qd.shape[1])
+        wins = jnp.take(blocked, win_idx, axis=0)  # (T, K, W, F) int8
+        prod = jax.lax.dot_general(
+            q_tiles,
+            wins,
+            dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.int32,
+        )  # (T, K, R, F) int32
+        scaled = prod.astype(jnp.float32) * sc[:, :, None, None]
+        out = jnp.sum(scaled, axis=1).reshape(-1, qd.shape[1])[:n_rows]
+        out = out * col_scale[None, :]
+        if rem_plan is not None:
+            out = out + rem_plan(dense)
+        return out
+
+    return run

@@ -417,3 +417,20 @@ def test_csr_spmm_chunked(rng):
     want = spmm_scipy(csr, x)
     got = np.asarray(csr_spmm_plan(csr, chunk_nnz=37)(x))
     assert_allclose(got, want)
+
+
+def test_windowed_int8(rng):
+    import numpy as np
+    from spmm_denseblock_tpu.formats.csr import CSR
+    from spmm_denseblock_tpu.ops import spmm_plan, spmm_scipy
+
+    n = 96
+    rows = np.repeat(np.arange(n), 5)
+    cols = (rows + np.tile(np.arange(5), n)) % n
+    csr = CSR.from_coo(rows, cols, rng.random(rows.size).astype("float32"), (n, n))
+    x = rng.standard_normal((n, 16)).astype(np.float32)
+    want = spmm_scipy(csr, x)
+    plan = spmm_plan(csr, impl="windowed_int8", tile_rows=8, window=16)
+    got = np.asarray(plan(x))
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 3e-2, rel
