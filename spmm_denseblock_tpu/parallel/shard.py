@@ -209,3 +209,45 @@ def shard_csr(csr: CSR, n_shards: int) -> ShardedCSR:
         rows_per_shard=rows_per,
         nnz=csr.nnz,
     )
+
+
+def bucket_halo(sh: ShardedBSR, halo: int = 1):
+    """Bucket each shard's blocks by NEIGHBOR chunk offset in
+    [-halo, +halo] (mod n_shards) for the halo-exchange schedule.
+
+    Returns (local_rows, chunk_cols, blocks) with shape
+    (n_shards, 2*halo+1, mb, ...) — offset index h corresponds to chunk
+    (s + h - halo) mod n — or None if any block's column falls outside
+    its shard's halo (caller falls back to allgather/ring)."""
+    n, cpc, rows_per, b = sh.n_shards, sh.col_chunk, sh.rows_per_shard, sh.b
+    width = 2 * halo + 1
+    if width >= n:
+        return None  # halo covers everything; use allgather
+    chunk_of = np.asarray(sh.block_cols) // cpc  # (n, m)
+    shard_ids = np.arange(n)[:, None]
+    offset = (chunk_of - shard_ids + halo) % n  # (n, m) in [0, n)
+    # padding entries are zero blocks at col 0 -> chunk 0; their offset
+    # may be out of halo for far shards, but they are all-zero, so remap
+    # them to the center slot instead of failing the halo check.
+    pad_mask = np.abs(sh.blocks).sum(axis=(-1, -2)) == 0
+    offset = np.where(pad_mask, halo, offset)
+    if (offset >= width).any():
+        return None
+    per = np.zeros((n, width), dtype=np.int64)
+    for s in range(n):
+        per[s] = np.bincount(offset[s], minlength=width)[:width]
+    mb = max(int(per.max(initial=0)), 1)
+    lr = np.full((n, width, mb), rows_per - 1, dtype=np.int32)
+    cc = np.zeros((n, width, mb), dtype=np.int32)
+    bv = np.zeros((n, width, mb, b, b), dtype=sh.blocks.dtype)
+    for s in range(n):
+        for h in range(width):
+            sel = offset[s] == h
+            k = int(per[s, h])
+            if k:
+                rows_sh = sh.local_rows[s, sel]
+                order = np.argsort(rows_sh, kind="stable")
+                lr[s, h, :k] = rows_sh[order]
+                cc[s, h, :k] = (sh.block_cols[s, sel] % cpc)[order]
+                bv[s, h, :k] = sh.blocks[s, sel][order]
+    return lr, cc, bv

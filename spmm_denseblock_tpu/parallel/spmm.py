@@ -37,6 +37,7 @@ from spmm_denseblock_tpu.formats.csr import CSR
 from spmm_denseblock_tpu.parallel.mesh import make_mesh_1d
 from spmm_denseblock_tpu.parallel.shard import (
     bucket_by_col_chunk,
+    bucket_halo,
     shard_bsr,
     shard_csr,
 )
@@ -198,7 +199,60 @@ def dist_bsr_spmm_plan(
 
         return run
 
-    raise ValueError(f"unknown strategy {strategy!r}; use 'allgather' or 'ring'")
+    if strategy == "halo":
+        # true halo exchange: each stripe receives only its 2*halo
+        # neighbor chunks of B (O(1) comms in mesh size) — valid when the
+        # (reordered) matrix is banded enough that every block's column
+        # falls within its stripe's halo; falls back to allgather when not.
+        halo = 1
+        buckets = bucket_halo(sh, halo)
+        if buckets is None:
+            return dist_bsr_spmm_plan(
+                bsr, mesh=mesh, axis=axis, strategy="allgather",
+                dtype=dtype, feature_axis=feature_axis, local_impl=local_impl,
+            )
+        lr_b, cc_b, bv_b = buckets  # (n, 2h+1, mb, ...)
+        lr = jax.device_put(lr_b, stripe)
+        cc = jax.device_put(cc_b, stripe)
+        bv = jax.device_put(cast(jnp.asarray(bv_b)), stripe)
+        width = 2 * halo + 1
+
+        def stripe_fn(lr, cc, bv, b_local):
+            lr, cc, bv = lr[0], cc[0], bv[0]
+            f_dim = b_local.shape[1]
+            out = jnp.zeros((rows_per, b, f_dim), jnp.float32)
+            for h in range(width):
+                off = h - halo
+                if off == 0:
+                    chunk = b_local
+                else:
+                    perm_h = [(src, (src - off) % n) for src in range(n)]
+                    chunk = jax.lax.ppermute(b_local, axis, perm_h)
+                out = out + _local_bsr_spmm(
+                    lr[h], cc[h], bv[h],
+                    chunk.reshape(cpc, b, f_dim), rows_per,
+                )
+            return out.reshape(rows_per * b, f_dim)
+
+        fn = jax.shard_map(
+            stripe_fn,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), b_spec),
+            out_specs=b_spec,
+        )
+
+        @jax.jit
+        def run(dense):
+            dense = cast(jnp.asarray(dense))
+            dense = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
+            dense = jax.lax.with_sharding_constraint(dense, b_sharding)
+            return fn(lr, cc, bv, dense)[:n_rows].astype(jnp.float32)
+
+        return run
+
+    raise ValueError(
+        f"unknown strategy {strategy!r}; use 'allgather', 'ring', or 'halo'"
+    )
 
 
 def dist_csr_spmm_plan(

@@ -242,3 +242,28 @@ def test_permutation_spmm_property(mesh, rng):
     got = np.asarray(run(x[np.argsort(perm)]))  # features in new order
     # undo the row permutation on the output
     assert_allclose(got[perm], base)
+
+
+def test_dist_bsr_spmm_halo(mesh, rng):
+    """Halo strategy: banded matrix -> O(1) neighbor exchange; scattered
+    matrix -> transparent allgather fallback. Both oracle-exact."""
+    from spmm_denseblock_tpu.formats.csr import CSR
+    from spmm_denseblock_tpu.convert.csr2bsr import csr_to_bsr
+
+    # banded: block col within +-1 chunk of its stripe (n=8 shards over
+    # 32 block rows/cols -> cpc=4; band of +-2 block cols fits halo 1)
+    n = 32 * 8
+    rows = np.repeat(np.arange(n), 5)
+    cols = (rows + np.tile(np.arange(-2 * 8, -2 * 8 + 5), n)) % n
+    banded = CSR.from_coo(rows, cols, None, (n, n))
+    bsr = csr_to_bsr(banded, 8)
+    dense = rng.standard_normal((n, 12)).astype(np.float32)
+    want = spmm_scipy(banded, dense)
+    run = dist_bsr_spmm_plan(bsr, mesh=mesh, strategy="halo")
+    assert_allclose(np.asarray(run(dense)), want)
+
+    # scattered: falls back to allgather, still exact
+    scattered = random_bsr(0.15, 16, 16, block_size=8, seed=9)
+    d2 = rng.standard_normal((scattered.shape[1], 10)).astype(np.float32)
+    run2 = dist_bsr_spmm_plan(scattered, mesh=mesh, strategy="halo")
+    assert_allclose(np.asarray(run2(d2)), scattered.to_dense() @ d2)
