@@ -22,6 +22,7 @@ from spmm_denseblock_tpu.parallel.spmm import (
     dist_csr_spmm_plan,
     dist_hybrid_spmm_plan,
     dist_windowed_spmm_plan,
+    dist_sddmm_plan,
     balanced_block_row_permutation,
 )
 
@@ -40,6 +41,7 @@ __all__ = [
     "dist_csr_spmm_plan",
     "dist_hybrid_spmm_plan",
     "dist_windowed_spmm_plan",
+    "dist_sddmm_plan",
     "balanced_block_row_permutation",
     "initialize",
     "pod_mesh",

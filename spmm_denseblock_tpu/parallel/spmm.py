@@ -438,3 +438,61 @@ def dist_windowed_spmm_plan(
         return out
 
     return run
+
+
+def dist_sddmm_plan(csr: CSR, mesh: Optional[Mesh] = None, axis: str = "row"):
+    """Distributed SDDMM: edges row-partitioned with their stripe's x
+    rows local; y all-gathered once. e = f(x, y) comes back with each
+    stripe owning its edges' scores (concatenated in global edge order
+    because stripes are contiguous row ranges)."""
+    if mesh is None:
+        mesh = make_mesh_1d()
+    n = int(mesh.shape[axis])
+    sh = shard_csr(csr, n)
+    rows_per = sh.rows_per_shard
+    n_rows, n_cols = csr.shape
+    r_padded = n * rows_per
+    k_padded = -(-n_cols // n) * n
+    m = sh.local_rows.shape[1]
+
+    stripe = NamedSharding(mesh, P(axis))
+    lr = jax.device_put(sh.local_rows, stripe)
+    ci = jax.device_put(sh.col_ids, stripe)
+    # padding entries must not produce scores: mask from the real counts
+    mask_h = np.zeros((n, m), dtype=np.float32)
+    counts = np.bincount(csr.row_ids() // rows_per, minlength=n)
+    for s in range(n):
+        mask_h[s, : counts[s]] = 1.0
+    mk = jax.device_put(mask_h, stripe)
+
+    def stripe_fn(lr, ci, mk, x_local, y_local):
+        y_full = jax.lax.all_gather(y_local, axis, tiled=True)
+        xg = jnp.take(x_local, lr[0], axis=0)  # local stripe rows
+        yg = jnp.take(y_full, ci[0], axis=0)
+        return (jnp.sum(xg * yg, axis=-1) * mk[0])[None, :]
+
+    fn = jax.shard_map(
+        stripe_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis, None), P(axis, None)),
+        out_specs=P(axis),
+    )
+
+    # stripes are contiguous row ranges and slots keep row-major order,
+    # so selecting the real slots reassembles the global edge order
+    real_slots = jnp.asarray(
+        np.nonzero(mask_h.ravel() > 0)[0].astype(np.int64)
+    )
+
+    @jax.jit
+    def run(x, y):
+        x = jnp.asarray(x)
+        y = jnp.asarray(y)
+        x = jnp.pad(x, ((0, r_padded - x.shape[0]), (0, 0)))
+        y = jnp.pad(y, ((0, k_padded - y.shape[0]), (0, 0)))
+        x = jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(axis, None)))
+        y = jax.lax.with_sharding_constraint(y, NamedSharding(mesh, P(axis, None)))
+        flat = fn(lr, ci, mk, x, y).reshape(-1)
+        return flat[real_slots]
+
+    return run

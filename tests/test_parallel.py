@@ -267,3 +267,17 @@ def test_dist_bsr_spmm_halo(mesh, rng):
     d2 = rng.standard_normal((scattered.shape[1], 10)).astype(np.float32)
     run2 = dist_bsr_spmm_plan(scattered, mesh=mesh, strategy="halo")
     assert_allclose(np.asarray(run2(d2)), scattered.to_dense() @ d2)
+
+
+def test_dist_sddmm_matches_single(mesh, rng):
+    from spmm_denseblock_tpu.ops import sddmm
+    from spmm_denseblock_tpu.parallel import dist_sddmm_plan
+
+    csr = random_csr(0.06, 100, 72, seed=21)
+    x = rng.standard_normal((100, 9)).astype(np.float32)
+    y = rng.standard_normal((72, 9)).astype(np.float32)
+    want = np.asarray(sddmm(csr, x, y))
+    run = dist_sddmm_plan(csr, mesh=mesh)
+    got = np.asarray(run(x, y))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-5)
