@@ -243,3 +243,21 @@ def test_gat_trains(rng):
         params = optax.apply_updates(params, up)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.9, (losses[0], losses[-1])
+
+
+@pytest.mark.parametrize("model", ["sage", "gin"])
+def test_dist_train_other_models(model, rng):
+    """The distributed step factory serves the whole model family."""
+    mesh = make_mesh((4, 2))
+    dims = [8, 12, 4]
+    adj, x, y, mask = random_problem(96, dims, p=0.06, seed=11)
+    params, opt_state, step = make_dist_train_step(
+        adj, mesh, dims, model=model, block_size=16
+    )
+    l0 = None
+    for _ in range(6):
+        params, opt_state, m = step(params, opt_state, x, y, mask)
+        if l0 is None:
+            l0 = float(m["loss"])
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["loss"]) < l0
