@@ -85,6 +85,10 @@ def dist_bsr_spmm_plan(
     n = int(mesh.shape[axis])
     b = bsr.b
     sh = shard_bsr(bsr, n)
+    if strategy == "auto":
+        # halo when the (reordered) matrix is banded enough for O(1)
+        # neighbor exchange; else the one-collective allgather
+        strategy = "halo" if bucket_halo(sh) is not None else "allgather"
     rows_per, cpc = sh.rows_per_shard, sh.col_chunk
     k_padded = n * cpc * b
     n_rows, n_cols = bsr.shape

@@ -281,3 +281,21 @@ def test_dist_sddmm_matches_single(mesh, rng):
     got = np.asarray(run(x, y))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_dist_strategy_auto(mesh, rng):
+    from spmm_denseblock_tpu.formats.csr import CSR
+    from spmm_denseblock_tpu.convert.csr2bsr import csr_to_bsr
+
+    n = 32 * 8
+    rows = np.repeat(np.arange(n), 3)
+    cols = (rows + np.tile(np.arange(3), n)) % n
+    banded = csr_to_bsr(CSR.from_coo(rows, cols, None, (n, n)), 8)
+    d = rng.standard_normal((n, 8)).astype(np.float32)
+    run = dist_bsr_spmm_plan(banded, mesh=mesh, strategy="auto")
+    assert_allclose(np.asarray(run(d)), banded.to_dense() @ d)
+
+    scattered = random_bsr(0.2, 16, 16, block_size=8, seed=4)
+    d2 = rng.standard_normal((scattered.shape[1], 8)).astype(np.float32)
+    run2 = dist_bsr_spmm_plan(scattered, mesh=mesh, strategy="auto")
+    assert_allclose(np.asarray(run2(d2)), scattered.to_dense() @ d2)
