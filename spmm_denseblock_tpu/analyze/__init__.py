@@ -2,6 +2,7 @@ from spmm_denseblock_tpu.analyze.metrics import (
     calculate_nnzb,
     block_metrics,
     fill_histogram,
+    bandwidth_profile,
     DEFAULT_BLOCK_SIZES,
 )
 from spmm_denseblock_tpu.analyze.heatmap import (
@@ -15,6 +16,7 @@ __all__ = [
     "calculate_nnzb",
     "block_metrics",
     "fill_histogram",
+    "bandwidth_profile",
     "DEFAULT_BLOCK_SIZES",
     "heatmap",
     "dump_heatmap",

@@ -60,3 +60,29 @@ def fill_histogram(csr: CSR, block_size: int, n_buckets: int = 10) -> np.ndarray
     buckets = np.minimum((np.ceil(occ * n_buckets) - 1).astype(np.int64), n_buckets - 1)
     buckets = np.maximum(buckets, 0)
     return np.bincount(buckets, minlength=n_buckets)
+
+
+def bandwidth_profile(csr: CSR) -> Dict[str, float]:
+    """Classic reordering-quality metrics: matrix bandwidth
+    (max |i - j| over nonzeros) and envelope/profile (sum over rows of
+    the span from the leftmost nonzero to the diagonal) — the quantities
+    RCM-style orderings minimize; complements the block-level metrics."""
+    rows = csr.row_ids().astype(np.int64)
+    cols = np.asarray(csr.indices, dtype=np.int64)
+    if rows.shape[0] == 0:
+        return {"bandwidth": 0.0, "profile": 0.0, "avg_span": 0.0}
+    diff = np.abs(rows - cols)
+    bandwidth = float(diff.max())
+    # per-row span: max(i - min_j, 0)
+    n = csr.n_rows
+    min_col = np.full(n, np.iinfo(np.int64).max)
+    np.minimum.at(min_col, rows, cols)
+    present = min_col != np.iinfo(np.int64).max
+    span = np.where(
+        present, np.maximum(np.arange(n) - min_col, 0), 0
+    )
+    return {
+        "bandwidth": bandwidth,
+        "profile": float(span.sum()),
+        "avg_span": float(span.sum() / max(present.sum(), 1)),
+    }

@@ -169,3 +169,25 @@ def test_text_io_speed_at_scale(tmp_path):
     assert back.nnz == csr.nnz and back2.nnz == csr.nnz
     np.testing.assert_array_equal(np.asarray(back2.indices), np.asarray(csr.indices))
     assert dt < 30, f"text IO too slow: {dt:.1f}s for {csr.nnz} nnz"
+
+
+def test_bandwidth_profile_improves_with_rcm():
+    import numpy as np
+    from spmm_denseblock_tpu.analyze.metrics import bandwidth_profile
+    from spmm_denseblock_tpu.formats.csr import CSR
+    from spmm_denseblock_tpu.reorder import reorder
+
+    rng = np.random.default_rng(3)
+    # path graph + noise, scrambled
+    n = 200
+    e = np.stack([np.arange(n - 1), np.arange(1, n)], 1)
+    e = np.concatenate([e, e[:, ::-1], rng.integers(0, n, (20, 2))])
+    scram = rng.permutation(n)
+    csr = CSR.from_edges(scram[e], n)
+    before = bandwidth_profile(csr)
+    rcsr, _ = reorder(csr, "rcmk")
+    after = bandwidth_profile(rcsr)
+    assert after["profile"] < before["profile"]
+    assert after["bandwidth"] <= before["bandwidth"]
+    empty = CSR.from_coo([], [], None, (4, 4))
+    assert bandwidth_profile(empty)["bandwidth"] == 0.0
