@@ -66,6 +66,7 @@ def dist_bsr_spmm_plan(
     dtype=None,
     feature_axis: Optional[str] = None,
     local_impl: str = "xla",
+    halo: int = 1,
 ):
     """Host shard prep once -> jitted C = f(B) over the mesh.
 
@@ -88,7 +89,7 @@ def dist_bsr_spmm_plan(
     if strategy == "auto":
         # halo when the (reordered) matrix is banded enough for O(1)
         # neighbor exchange; else the one-collective allgather
-        strategy = "halo" if bucket_halo(sh) is not None else "allgather"
+        strategy = "halo" if bucket_halo(sh, halo) is not None else "allgather"
     rows_per, cpc = sh.rows_per_shard, sh.col_chunk
     k_padded = n * cpc * b
     n_rows, n_cols = bsr.shape
@@ -208,13 +209,12 @@ def dist_bsr_spmm_plan(
         # neighbor chunks of B (O(1) comms in mesh size) — valid when the
         # (reordered) matrix is banded enough that every block's column
         # falls within its stripe's halo; falls back to allgather when not.
-        halo = 1
         buckets = bucket_halo(sh, halo)
         if buckets is None:
             return dist_bsr_spmm_plan(
                 bsr, mesh=mesh, axis=axis, strategy="allgather",
                 dtype=dtype, feature_axis=feature_axis, local_impl=local_impl,
-            )
+            )  # matrix not banded within the requested halo
         lr_b, cc_b, bv_b = buckets  # (n, 2h+1, mb, ...)
         lr = jax.device_put(lr_b, stripe)
         cc = jax.device_put(cc_b, stripe)

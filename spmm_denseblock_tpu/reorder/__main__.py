@@ -31,7 +31,7 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     from spmm_denseblock_tpu.analyze.heatmap import dump_heatmap, heatmap, plot_heatmap
-    from spmm_denseblock_tpu.analyze.metrics import block_metrics
+    from spmm_denseblock_tpu.analyze.metrics import bandwidth_profile, block_metrics
     from spmm_denseblock_tpu.io.datasets import load_dataset
     from spmm_denseblock_tpu.io.graph_io import dump_csr, dump_permutation, load_edge_list
     from spmm_denseblock_tpu.reorder import STRATEGIES, reorder
@@ -51,7 +51,11 @@ def main(argv=None):
 
     def report(tag, g):
         dump_csr(g, os.path.join(args.out, f"{name}_{tag}"))
-        print(f"-- {tag} --")
+        bp = bandwidth_profile(g)
+        print(
+            f"-- {tag} --  bandwidth={int(bp['bandwidth'])} "
+            f"profile={int(bp['profile'])} avg_span={bp['avg_span']:.1f}"
+        )
         for b, m in block_metrics(g, args.block_sizes).items():
             print(
                 f"  b={b:4d}: nnzb={int(m['nnzb']):9d} density={m['density']:.6f} "
