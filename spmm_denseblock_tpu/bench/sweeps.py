@@ -39,7 +39,7 @@ GRAPH_GRID = {
     "datasets": ["ogbn-arxiv", "ogbl-collab"],
     "strategy": ["original", "rcmk", "rabbit"],
     "dim": [16, 32, 64, 128],
-    "impl": ["csr_xla", "bsr_pallas", "hybrid"],
+    "impl": ["csr_xla", "bsr_pallas", "hybrid", "windowed"],
 }
 
 
