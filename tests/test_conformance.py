@@ -76,3 +76,27 @@ def test_csr_tier_accepts_bsr_input(rng):
     np.testing.assert_allclose(
         np.asarray(plan(x)), bsr.to_dense() @ x, atol=1e-4
     )
+
+
+def test_check_result_analog():
+    """The reference's check_result.cu verbatim discipline, scaled down:
+    same random matrix through the CSR tier and the BSR tier, constant
+    alternating +-0.5 dense operand (kills accumulation-order noise),
+    elementwise |csr - bsr| < 1e-4 ABSOLUTE (check_result.cu:116)."""
+    import numpy as np
+
+    from spmm_denseblock_tpu.convert.csr2bsr import csr_to_bsr
+    from spmm_denseblock_tpu.ops import spmm_plan
+
+    csr = random_csr(0.01, 1 << 11, seed=1234)  # same p, smaller m
+    dim = 64
+    y = np.where(
+        (np.arange(csr.n_cols * dim).reshape(csr.n_cols, dim) % 2) == 0,
+        0.5,
+        -0.5,
+    ).astype(np.float32)
+    z1 = np.asarray(spmm_plan(csr, impl="csr_xla")(y))
+    z2 = np.asarray(
+        spmm_plan(csr_to_bsr(csr, 4), impl="bsr_xla")(y)
+    )
+    assert np.abs(z1 - z2).max() < 1e-4  # the hard gate
