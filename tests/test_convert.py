@@ -167,3 +167,13 @@ def test_device_convert_empty_matrix():
         )
     )
     assert n == 0
+
+
+def test_pad_dense_rows():
+    import numpy as np
+    from spmm_denseblock_tpu.convert import pad_dense_rows
+
+    x = np.ones((5, 3), np.float32)
+    y = pad_dense_rows(x, 8)
+    assert y.shape == (8, 3) and y[5:].sum() == 0
+    assert pad_dense_rows(x, 5) is x
