@@ -20,6 +20,7 @@ from spmm_denseblock_tpu.models.train import (
     masked_cross_entropy,
     accuracy,
     make_train_step,
+    make_eval_step,
 )
 from spmm_denseblock_tpu.models.gat import init_gat, make_gat_apply
 from spmm_denseblock_tpu.models.checkpoint import (
@@ -47,6 +48,7 @@ __all__ = [
     "masked_cross_entropy",
     "accuracy",
     "make_train_step",
+    "make_eval_step",
     "save_checkpoint",
     "load_checkpoint",
 ]

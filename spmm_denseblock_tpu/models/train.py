@@ -53,3 +53,17 @@ def make_train_step(
         return optimizer.init(params)
 
     return step, init_state
+
+
+def make_eval_step(apply_fn: Callable, spmm: SpMM):
+    """Jitted inference metrics: (params, x, y, mask) -> {loss, acc}."""
+
+    @jax.jit
+    def evaluate(params, x, y, mask):
+        logits = apply_fn(params, spmm, x)
+        return {
+            "loss": masked_cross_entropy(logits, y, mask),
+            "acc": accuracy(logits, y, mask),
+        }
+
+    return evaluate

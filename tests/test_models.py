@@ -261,3 +261,17 @@ def test_dist_train_other_models(model, rng):
             l0 = float(m["loss"])
     assert np.isfinite(float(m["loss"]))
     assert float(m["loss"]) < l0
+
+
+def test_eval_step(rng):
+    from spmm_denseblock_tpu.models import make_eval_step
+
+    csr = _graph(n=40)
+    norm = sym_norm_adjacency(csr)
+    spmm = spmm_plan(norm, impl="csr_xla")
+    params = init_gcn(jax.random.PRNGKey(0), [4, 6, 3])
+    ev = make_eval_step(gcn_apply, spmm)
+    x = rng.standard_normal((40, 4)).astype(np.float32)
+    y = rng.integers(0, 3, size=40).astype(np.int32)
+    m = ev(params, x, y, np.ones(40, np.float32))
+    assert np.isfinite(float(m["loss"])) and 0 <= float(m["acc"]) <= 1
