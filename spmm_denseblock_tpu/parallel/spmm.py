@@ -48,12 +48,17 @@ def _local_bsr_spmm(local_rows, cols, blocks, b_blocked, n_seg):
 
     b_blocked: (n_bc, b, F) blocked view of the dense operand."""
     gathered = jnp.take(b_blocked, cols, axis=0)  # (m, b, F)
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if blocks.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT  # native bf16 MXU mode
+    )
     prod = jax.lax.dot_general(
         blocks,
         gathered,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     )
     return jax.ops.segment_sum(prod, local_rows, num_segments=n_seg)
 

@@ -299,3 +299,16 @@ def test_dist_strategy_auto(mesh, rng):
     d2 = rng.standard_normal((scattered.shape[1], 8)).astype(np.float32)
     run2 = dist_bsr_spmm_plan(scattered, mesh=mesh, strategy="auto")
     assert_allclose(np.asarray(run2(d2)), scattered.to_dense() @ d2)
+
+
+@pytest.mark.parametrize("strategy", ["allgather", "ring"])
+def test_dist_bsr_spmm_bf16(mesh, rng, strategy):
+    import jax.numpy as jnp
+
+    bsr, dense, want = _random_case(rng, b=8, nbr=16, nbc=16, f=16)
+    run = dist_bsr_spmm_plan(
+        bsr, mesh=mesh, strategy=strategy, dtype=jnp.bfloat16
+    )
+    got = np.asarray(run(dense))
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 3e-2, rel
