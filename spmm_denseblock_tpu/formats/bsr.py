@@ -165,6 +165,20 @@ class BSR:
             self.block_size,
         )
 
+    def to_scipy(self):
+        """scipy.sparse.bsr_matrix interop (padded to the block grid;
+        .tocsr()[:n, :m] recovers the logical shape). Blocks are already
+        (row, col)-sorted, matching scipy's BSR invariant."""
+        import scipy.sparse as sp
+
+        indptr = self.block_indptr()
+        blocks = np.asarray(self.blocks[: self.nnzb], dtype=np.float32)
+        cols = np.asarray(self.block_cols[: self.nnzb])
+        nbr, nbc, b = self.n_block_rows, self.n_block_cols, self.b
+        return sp.bsr_matrix(
+            (blocks, cols, indptr), shape=(nbr * b, nbc * b), blocksize=(b, b)
+        )
+
     def device_put(self, dtype=None, sharding=None) -> "BSR":
         put = lambda x: jax.device_put(x, sharding) if sharding else jnp.asarray(x)
         blocks = np.asarray(self.blocks)

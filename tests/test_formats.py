@@ -79,3 +79,15 @@ def test_csr_transpose():
     t = csr.transpose()
     assert t.shape == (12, 20)
     np.testing.assert_allclose(t.to_dense(), csr.to_dense().T, atol=1e-6)
+
+
+def test_bsr_to_scipy():
+    import numpy as np
+    from spmm_denseblock_tpu.formats.bsr import random_bsr
+
+    bsr = random_bsr(0.2, 6, 5, block_size=8, seed=3)
+    sp_m = bsr.to_scipy()
+    n, m = bsr.shape
+    np.testing.assert_allclose(
+        np.asarray(sp_m.todense())[:n, :m], bsr.to_dense(), atol=1e-6
+    )
