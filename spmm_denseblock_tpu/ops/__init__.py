@@ -14,6 +14,7 @@ from spmm_denseblock_tpu.ops.windowed_spmm import (
     windowed_spmm,
     windowed_spmm_plan,
     windowed_spmm_int8_plan,
+    tiered_spmm_plan,
 )
 from spmm_denseblock_tpu.ops.sddmm import sddmm, sddmm_plan, sddmm_block_plan
 from spmm_denseblock_tpu.ops.bsr_spmm_int8 import bsr_spmm_int8, bsr_spmm_int8_plan
@@ -42,6 +43,7 @@ __all__ = [
     "windowed_spmm",
     "windowed_spmm_plan",
     "windowed_spmm_int8_plan",
+    "tiered_spmm_plan",
     "sddmm",
     "sddmm_plan",
     "sddmm_block_plan",

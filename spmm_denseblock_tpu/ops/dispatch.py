@@ -27,6 +27,7 @@ from spmm_denseblock_tpu.formats.bsr import BSR
 from spmm_denseblock_tpu.formats.hybrid import Hybrid
 from spmm_denseblock_tpu.formats.windowed import Windowed, divide_windowed
 from spmm_denseblock_tpu.ops.windowed_spmm import (
+    tiered_spmm_plan,
     windowed_spmm_int8_plan,
     windowed_spmm_plan,
 )
@@ -75,6 +76,7 @@ PLANNERS: Dict[str, Callable] = {
     "hybrid": lambda m, **kw: hybrid_spmm_plan(m, **kw),
     "windowed": lambda m, **kw: windowed_spmm_plan(m, **kw),
     "windowed_int8": lambda m, **kw: windowed_spmm_int8_plan(m),
+    "tiered": lambda m, **kw: tiered_spmm_plan(m, **kw),
     # oracle tier
     "dense": _dense_plan,
 }

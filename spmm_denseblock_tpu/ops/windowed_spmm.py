@@ -120,3 +120,51 @@ def windowed_spmm_int8_plan(wt: Windowed):
         return out
 
     return run
+
+
+def tiered_spmm_plan(
+    csr,
+    tile_rows: int = 256,
+    window: int = 1024,
+    block_size: int = 128,
+    density_threshold=None,
+    dtype=None,
+):
+    """Three-tier executor: row-band window tiles (MXU streaming) +
+    square dense blocks mined from the windowed remainder (the hybrid
+    splitter) + the final CSR tail — summed in one jitted program. The
+    full composition of the framework's densification ladder."""
+    from spmm_denseblock_tpu.convert.divide import auto_threshold, divide
+    from spmm_denseblock_tpu.formats.windowed import divide_windowed
+    from spmm_denseblock_tpu.ops.bsr_spmm_xla import bsr_spmm_xla_plan
+
+    wt = divide_windowed(csr, tile_rows=tile_rows, window=window)
+    # windows-only plan (remainder handled by the next tiers)
+    wt_only = Windowed(
+        tiles=wt.tiles,
+        win_idx=wt.win_idx,
+        remainder=type(wt.remainder).from_coo([], [], None, csr.shape),
+        shape=wt.shape,
+        tile_rows=wt.tile_rows,
+        window=wt.window,
+    )
+    win_run = windowed_spmm_plan(wt_only, dtype=dtype)
+
+    rem = wt.remainder
+    if density_threshold is None:
+        density_threshold = auto_threshold(rem, block_size)
+    hyb = divide(rem, block_size, density_threshold)
+    runs = [win_run]
+    if hyb.dense.nnzb:
+        runs.append(bsr_spmm_xla_plan(hyb.dense, dtype=dtype))
+    if hyb.remainder.nnz:
+        runs.append(csr_spmm_plan(hyb.remainder))
+
+    @jax.jit
+    def run(dense):
+        out = runs[0](dense)
+        for r in runs[1:]:
+            out = out + r(dense)
+        return out
+
+    return run

@@ -434,3 +434,27 @@ def test_windowed_int8(rng):
     got = np.asarray(plan(x))
     rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
     assert rel < 3e-2, rel
+
+
+def test_tiered_spmm(rng):
+    """Three-tier (windows + square blocks + CSR tail) oracle check on a
+    graph with band + community + noise structure."""
+    import numpy as np
+    from spmm_denseblock_tpu.formats.csr import CSR
+    from spmm_denseblock_tpu.ops import assert_allclose, spmm_plan, spmm_scipy
+
+    n = 160
+    band_r = np.repeat(np.arange(n), 3)
+    band_c = (band_r + np.tile(np.arange(3), n)) % n
+    comm_r = np.repeat(np.arange(32, 48), 12)
+    comm_c = 32 + (comm_r * 5 + np.tile(np.arange(12), 16)) % 16
+    noise_r = np.arange(0, n, 7)
+    noise_c = (noise_r * 31 + 3) % n
+    csr = CSR.from_coo(
+        np.concatenate([band_r, comm_r, noise_r]),
+        np.concatenate([band_c, comm_c, noise_c]),
+        None, (n, n),
+    )
+    x = rng.standard_normal((n, 12)).astype(np.float32)
+    plan = spmm_plan(csr, impl="tiered", tile_rows=16, window=16, block_size=8)
+    assert_allclose(np.asarray(plan(x)), spmm_scipy(csr, x))
