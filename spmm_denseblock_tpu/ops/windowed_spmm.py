@@ -95,9 +95,7 @@ def windowed_spmm_int8_plan(wt: Windowed):
     rem_plan = csr_spmm_plan(wt.remainder) if wt.remainder.nnz else None
 
     @jax.jit
-    def run(dense):
-        dense = jnp.asarray(dense, jnp.float32)
-        assert dense.shape[0] == n_cols, (dense.shape, n_cols)
+    def run_impl(q_tiles, sc, win_idx, dense):
         d = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
         col_absmax = jnp.max(jnp.abs(d), axis=0)
         col_scale = jnp.where(col_absmax > 0, col_absmax / 127.0, 1.0)
@@ -114,7 +112,12 @@ def windowed_spmm_int8_plan(wt: Windowed):
         )  # (T, K, R, F) int32
         scaled = prod.astype(jnp.float32) * sc[:, :, None, None]
         out = jnp.sum(scaled, axis=1).reshape(-1, qd.shape[1])[:n_rows]
-        out = out * col_scale[None, :]
+        return out * col_scale[None, :]
+
+    def run(dense):
+        dense = jnp.asarray(dense, jnp.float32)
+        assert dense.shape[0] == n_cols, (dense.shape, n_cols)
+        out = run_impl(q_tiles, sc, win_idx, dense)
         if rem_plan is not None:
             out = out + rem_plan(dense)
         return out
@@ -160,8 +163,9 @@ def tiered_spmm_plan(
     if hyb.remainder.nnz:
         runs.append(csr_spmm_plan(hyb.remainder))
 
-    @jax.jit
     def run(dense):
+        # no outer jit: sub-plans jit internally; an outer jit would embed
+        # their closed-over arrays as HLO constants (HTTP 413 at GB scale)
         out = runs[0](dense)
         for r in runs[1:]:
             out = out + r(dense)

@@ -111,8 +111,7 @@ def dist_bsr_spmm_plan(
         interpret = jax.default_backend() != "tpu"
 
         @jax.jit
-        def run(dense):
-            dense = cast(jnp.asarray(dense))
+        def run_impl(lr, bc, bv, dense):
             f_orig = dense.shape[1]
             if local_impl == "pallas":
                 # the flat Pallas kernel wants F in whole tiles
@@ -156,7 +155,9 @@ def dist_bsr_spmm_plan(
             out = fn(lr, bc, bv, dense)[:n_rows].astype(jnp.float32)
             return out[:, :f_orig] if f_padded != f_orig else out
 
-        return run
+        # arrays enter as ARGUMENTS (not jit closure constants — closed-over
+        # arrays are embedded into the HLO, which breaks at GB scale)
+        return lambda dense: run_impl(lr, bc, bv, cast(jnp.asarray(dense)))
 
     if strategy == "ring":
         if local_impl != "xla":
@@ -201,13 +202,12 @@ def dist_bsr_spmm_plan(
         )
 
         @jax.jit
-        def run(dense):
-            dense = cast(jnp.asarray(dense))
+        def run_impl(lr, cc, bv, dense):
             dense = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
             dense = jax.lax.with_sharding_constraint(dense, b_sharding)
             return fn(lr, cc, bv, dense)[:n_rows].astype(jnp.float32)
 
-        return run
+        return lambda dense: run_impl(lr, cc, bv, cast(jnp.asarray(dense)))
 
     if strategy == "halo":
         # true halo exchange: each stripe receives only its 2*halo
@@ -251,13 +251,12 @@ def dist_bsr_spmm_plan(
         )
 
         @jax.jit
-        def run(dense):
-            dense = cast(jnp.asarray(dense))
+        def run_impl(lr, cc, bv, dense):
             dense = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
             dense = jax.lax.with_sharding_constraint(dense, b_sharding)
             return fn(lr, cc, bv, dense)[:n_rows].astype(jnp.float32)
 
-        return run
+        return lambda dense: run_impl(lr, cc, bv, cast(jnp.asarray(dense)))
 
     raise ValueError(
         f"unknown strategy {strategy!r}; use 'allgather', 'ring', or 'halo'"
@@ -295,13 +294,12 @@ def dist_csr_spmm_plan(
     )
 
     @jax.jit
-    def run(dense):
-        dense = jnp.asarray(dense)
+    def run_impl(lr, ci, va, dense):
         dense = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
         dense = jax.lax.with_sharding_constraint(dense, stripe)
         return fn(lr, ci, va, dense)[:n_rows].astype(jnp.float32)
 
-    return run
+    return lambda dense: run_impl(lr, ci, va, jnp.asarray(dense))
 
 
 def dist_hybrid_spmm_plan(
@@ -328,8 +326,9 @@ def dist_hybrid_spmm_plan(
         return bsr_run
     csr_run = dist_csr_spmm_plan(hyb.remainder, mesh=mesh, axis=axis)
 
-    @jax.jit
     def run(dense):
+        # no outer jit: it would re-trace the sub-plans and embed their
+        # closed-over arrays as HLO constants (blows up at GB scale)
         return bsr_run(dense) + csr_run(dense)
 
     return run
@@ -435,13 +434,16 @@ def dist_windowed_spmm_plan(
     )
 
     @jax.jit
-    def run(dense):
-        dense = jnp.asarray(dense)
+    def run_impl(tiles, win, dense):
         d = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
         if dtype is not None:
             d = d.astype(dtype)
         d = jax.lax.with_sharding_constraint(d, NamedSharding(mesh, P(axis, None)))
-        out = fn(tiles_d, win_d, d)[:n_rows].astype(jnp.float32)
+        return fn(tiles, win, d)[:n_rows].astype(jnp.float32)
+
+    def run(dense):
+        dense = jnp.asarray(dense)
+        out = run_impl(tiles_d, win_d, dense)
         if rem_run is not None:
             out = out + rem_run(dense)
         return out
@@ -494,9 +496,7 @@ def dist_sddmm_plan(csr: CSR, mesh: Optional[Mesh] = None, axis: str = "row"):
     )
 
     @jax.jit
-    def run(x, y):
-        x = jnp.asarray(x)
-        y = jnp.asarray(y)
+    def run_impl(lr, ci, mk, real_slots, x, y):
         x = jnp.pad(x, ((0, r_padded - x.shape[0]), (0, 0)))
         y = jnp.pad(y, ((0, k_padded - y.shape[0]), (0, 0)))
         x = jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(axis, None)))
@@ -504,4 +504,6 @@ def dist_sddmm_plan(csr: CSR, mesh: Optional[Mesh] = None, axis: str = "row"):
         flat = fn(lr, ci, mk, x, y).reshape(-1)
         return flat[real_slots]
 
-    return run
+    return lambda x, y: run_impl(
+        lr, ci, mk, real_slots, jnp.asarray(x), jnp.asarray(y)
+    )
