@@ -20,13 +20,19 @@ def _flatten(tree: Any, prefix: str):
     return {f"{prefix}{i}": np.asarray(x) for i, x in enumerate(leaves)}, treedef
 
 
+def _normalize(path: str) -> str:
+    # np.savez appends ".npz" to extensionless paths but np.load does
+    # not; normalize on both sides so save("ckpt")/load("ckpt") agree.
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_checkpoint(path: str, params: Any, opt_state: Any = None, step: int = 0):
     arrs, _ = _flatten(params, "p")
     if opt_state is not None:
         o, _ = _flatten(opt_state, "o")
         arrs.update(o)
     arrs["step"] = np.asarray(step)
-    np.savez(path, **arrs)
+    np.savez(_normalize(path), **arrs)
 
 
 def load_checkpoint(
@@ -34,7 +40,7 @@ def load_checkpoint(
 ) -> Tuple[Any, Optional[Any], int]:
     """Restore into the structure of the `like_*` templates (build them
     with the same init code, then overwrite with the loaded leaves)."""
-    z = np.load(path)
+    z = np.load(_normalize(path))
     p_leaves, p_def = jax.tree.flatten(like_params)
     params = jax.tree.unflatten(
         p_def, [z[f"p{i}"] for i in range(len(p_leaves))]

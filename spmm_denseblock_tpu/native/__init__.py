@@ -44,6 +44,10 @@ def _build() -> bool:
         _SRC
     ):
         return True
+    # Compile to a process-unique temp name and os.replace() into place:
+    # the atomic rename means a concurrent process (parallel pytest,
+    # multi-host replicas on one VM) can never dlopen a half-written .so.
+    tmp_path = f"{_LIB_PATH}.{os.getpid()}.tmp"
     try:
         subprocess.run(
             [
@@ -54,16 +58,23 @@ def _build() -> bool:
                 "-march=native",
                 "-shared",
                 "-o",
-                _LIB_PATH,
+                tmp_path,
                 _SRC,
             ],
             check=True,
             capture_output=True,
             timeout=120,
         )
+        os.replace(tmp_path, _LIB_PATH)
         return True
     except Exception:
         return False
+    finally:
+        if os.path.exists(tmp_path):
+            try:
+                os.remove(tmp_path)
+            except OSError:
+                pass
 
 
 def load() -> Optional[ctypes.CDLL]:

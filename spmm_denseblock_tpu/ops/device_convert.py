@@ -26,19 +26,39 @@ from spmm_denseblock_tpu.formats.bsr import BSR
 from spmm_denseblock_tpu.formats.csr import CSR
 
 
+def _sort_by_block(brow, bcol):
+    """Stable order by (brow, bcol) via two int32 radix passes.
+
+    A fused `brow * n_block_cols + bcol` key silently truncates to int32
+    under the default jax config (x64 disabled) and wraps once
+    n_block_rows * n_block_cols > 2^31 (products-scale grids at small b),
+    merging distinct blocks at wrong coordinates.  Two stable argsorts
+    need no wide key and are exact at any grid size."""
+    o1 = jnp.argsort(bcol, stable=True)
+    return o1[jnp.argsort(brow[o1], stable=True)]
+
+
+def _fresh_mask(br_s, bc_s):
+    """1 where sorted element starts a new (brow, bcol) block."""
+    change = (br_s[1:] != br_s[:-1]) | (bc_s[1:] != bc_s[:-1])
+    return jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), change.astype(jnp.int32)]
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("n_block_cols", "block_size"))
 def count_nnzb_device(row_ids, col_ids, n_block_cols: int, block_size: int):
-    """Phase 1: number of distinct nonzero blocks (device scalar)."""
+    """Phase 1: number of distinct nonzero blocks (device scalar).
+
+    `n_block_cols` is kept for API stability but no longer folds into a
+    fused sort key (see _sort_by_block)."""
+    del n_block_cols
     if row_ids.shape[0] == 0:  # static shape: empty matrix has 0 blocks
         return jnp.int32(0)
-    key = (row_ids // block_size).astype(jnp.int64) * n_block_cols + (
-        col_ids // block_size
-    )
-    sk = jnp.sort(key)
-    fresh = jnp.concatenate(
-        [jnp.ones((1,), jnp.int32), (sk[1:] != sk[:-1]).astype(jnp.int32)]
-    )
-    return jnp.sum(fresh)
+    brow = (row_ids // block_size).astype(jnp.int32)
+    bcol = (col_ids // block_size).astype(jnp.int32)
+    order = _sort_by_block(brow, bcol)
+    return jnp.sum(_fresh_mask(brow[order], bcol[order]))
 
 
 @functools.partial(
@@ -62,37 +82,46 @@ def csr_to_bsr_device(
     capacity via count_nnzb_device or a host bound).
     """
     b = block_size
-    brow = (row_ids // b).astype(jnp.int64)
-    bcol = (col_ids // b).astype(jnp.int64)
-    key = brow * n_block_cols + bcol
+    nnz = row_ids.shape[0]
+    if nnz == 0:  # static shape: all padding
+        return (
+            jnp.full((nnzb_max,), n_block_rows - 1, jnp.int32),
+            jnp.zeros((nnzb_max,), jnp.int32),
+            jnp.zeros((nnzb_max, b, b), jnp.float32),
+            jnp.int32(0),
+        )
+    brow = (row_ids // b).astype(jnp.int32)
+    bcol = (col_ids // b).astype(jnp.int32)
 
-    order = jnp.argsort(key)
-    sk = key[order]
-    fresh = jnp.concatenate(
-        [jnp.ones((1,), jnp.int32), (sk[1:] != sk[:-1]).astype(jnp.int32)]
-    )
+    order = _sort_by_block(brow, bcol)  # no fused key: exact at any grid size
+    br_s = brow[order]
+    bc_s = bcol[order]
+    fresh = _fresh_mask(br_s, bc_s)
     # dense rank of each sorted element's block, in block order
     rank = jnp.cumsum(fresh) - 1  # (nnz,) 0-based block index
     nnzb = rank[-1] + 1 if rank.shape[0] else jnp.int32(0)
 
-    # unique keys -> slot tables. scatter-MIN with a high sentinel: all
-    # writes to a real slot carry the same key; overflow writes (clamped
-    # to the last slot) carry larger keys, so min preserves that slot's
-    # real key; untouched slots keep the sentinel and become padding.
-    sentinel = jnp.asarray(n_block_rows, sk.dtype) * n_block_cols
-    slot_key = jnp.full((nnzb_max,), sentinel, sk.dtype)
-    slot_key = slot_key.at[jnp.minimum(rank, nnzb_max - 1)].min(
-        sk, indices_are_sorted=True
+    # slot tables via first-occurrence positions. scatter-MIN of the
+    # sorted position with sentinel nnz: all writes to a real slot share
+    # a block, and the minimum position is its first element; overflow
+    # writes (clamped to the last slot) have strictly larger positions,
+    # so min preserves that slot's real block; untouched slots keep the
+    # sentinel and become padding parked on the last block-row.
+    slot_pos = jnp.full((nnzb_max,), nnz, jnp.int32)
+    slot_pos = slot_pos.at[jnp.minimum(rank, nnzb_max - 1)].min(
+        jnp.arange(nnz, dtype=jnp.int32), indices_are_sorted=True
     )
-    pad_key = jnp.asarray(n_block_rows - 1, sk.dtype) * n_block_cols
-    slot_key = jnp.where(slot_key == sentinel, pad_key, slot_key)
-    block_rows = (slot_key // n_block_cols).astype(jnp.int32)
-    block_cols = (slot_key % n_block_cols).astype(jnp.int32)
+    valid = slot_pos < nnz
+    safe_pos = jnp.minimum(slot_pos, max(nnz - 1, 0))
+    block_rows = jnp.where(valid, br_s[safe_pos], n_block_rows - 1).astype(
+        jnp.int32
+    )
+    block_cols = jnp.where(valid, bc_s[safe_pos], 0).astype(jnp.int32)
 
     # scatter values into blocks
     r_in = (row_ids[order] % b).astype(jnp.int32)
     c_in = (col_ids[order] % b).astype(jnp.int32)
-    v = vals[order] if vals is not None else jnp.ones_like(sk, jnp.float32)
+    v = vals[order] if vals is not None else jnp.ones((nnz,), jnp.float32)
     blocks = jnp.zeros((nnzb_max, b, b), jnp.float32)
     blocks = blocks.at[jnp.minimum(rank, nnzb_max - 1), r_in, c_in].add(
         jnp.where(rank < nnzb_max, v, 0.0)

@@ -36,6 +36,13 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
+# jax.distributed.initialize must run before ANY backend-touching JAX
+# call, so we cannot probe jax.process_count() to detect prior init
+# (the probe itself initializes the backend).  Track it ourselves and
+# additionally tolerate the "already initialized" error for the case
+# where the caller ran initialize() through another code path.
+_initialized = False
+
 
 def initialize(
     coordinator_address: Optional[str] = None,
@@ -47,8 +54,9 @@ def initialize(
     On Cloud TPU pods all three arguments are discovered from the
     metadata service; on CPU/GPU clusters pass them explicitly (or set
     JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID)."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    global _initialized
+    if _initialized:
+        return
     kwargs = {}
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address
@@ -56,7 +64,13 @@ def initialize(
         kwargs["num_processes"] = num_processes
     if process_id is not None:
         kwargs["process_id"] = process_id
-    jax.distributed.initialize(**kwargs)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:
+        # Re-raise unless this is the benign double-init case.
+        if "already initialized" not in str(e).lower():
+            raise
+    _initialized = True
 
 
 def pod_mesh(

@@ -17,6 +17,7 @@ from spmm_denseblock_tpu.reorder.greedy import greedy_closest
 from spmm_denseblock_tpu.reorder.metis import (
     metis_nd,
     metis_partition_rcm,
+    nested_dissection,
     partition_rcm,
     load_iperm,
     load_partition,
@@ -38,6 +39,7 @@ __all__ = [
     "greedy_closest",
     "metis_nd",
     "metis_partition_rcm",
+    "nested_dissection",
     "partition_rcm",
     "load_iperm",
     "load_partition",

@@ -22,7 +22,7 @@ from spmm_denseblock_tpu.reorder.simple import (
 from spmm_denseblock_tpu.reorder.gorder import gorder
 from spmm_denseblock_tpu.reorder.rabbit import rabbit_order
 from spmm_denseblock_tpu.reorder.greedy import greedy_closest
-from spmm_denseblock_tpu.reorder.metis import metis_partition_rcm
+from spmm_denseblock_tpu.reorder.metis import metis_partition_rcm, nested_dissection
 
 STRATEGIES: Dict[str, Callable[[CSR], np.ndarray]] = {
     "original": identity,
@@ -34,6 +34,7 @@ STRATEGIES: Dict[str, Callable[[CSR], np.ndarray]] = {
     "rabbit": rabbit_order,
     "closest": greedy_closest,
     "gpmetis_rcmk": metis_partition_rcm,
+    "ndmetis": nested_dissection,  # in-process ND (metis_reorder.cpp analog)
 }
 
 

@@ -155,6 +155,38 @@ def test_auto_threshold_and_repack_dispatch(rng):
     assert_allclose(np.asarray(plan(x)), want)
 
 
+def test_device_convert_huge_block_grid_no_overflow():
+    """Regression: a fused int32 brow*nbc+bcol key wraps once the block
+    grid exceeds 2^31 cells and silently merges distinct blocks; the
+    two-pass sort must count and place them exactly (ADVICE.md r1 #2)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from spmm_denseblock_tpu.ops.device_convert import (
+        count_nnzb_device,
+        csr_to_bsr_device,
+    )
+
+    b = 16
+    nbc = 2**20  # grid cells = nbr * nbc >> 2^31 for nbr ~ 2^20
+    # two elements in DIFFERENT blocks whose fused int32 keys collide:
+    # (brow=2^11, bcol=0) vs (brow=0, bcol=0) differ by 2^11 * 2^20 = 2^31
+    row_ids = jnp.asarray([0, (2**11) * b], jnp.int32)
+    col_ids = jnp.asarray([0, 0], jnp.int32)
+    assert int(count_nnzb_device(row_ids, col_ids, nbc, b)) == 2
+
+    brows, bcols, blocks, nnzb = csr_to_bsr_device(
+        row_ids, col_ids, None, 2**20, nbc, b, 4
+    )
+    assert int(nnzb) == 2
+    placed = sorted(
+        (int(r), int(c))
+        for r, c, blk in zip(brows, bcols, blocks)
+        if float(jnp.sum(blk)) > 0
+    )
+    assert placed == [(0, 0), (2**11, 0)]
+    np.testing.assert_array_equal(np.asarray(blocks[:2, 0, 0]), [1.0, 1.0])
+
+
 def test_device_convert_empty_matrix():
     import jax.numpy as jnp
     from spmm_denseblock_tpu.formats.csr import CSR

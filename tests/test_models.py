@@ -163,6 +163,19 @@ def test_checkpoint_roundtrip_resumes_training(tmp_path, rng):
     )
 
 
+def test_checkpoint_extensionless_path(tmp_path):
+    """save('ckpt')/load('ckpt') must agree even though np.savez appends
+    '.npz' and np.load does not (ADVICE.md r1 #3)."""
+    from spmm_denseblock_tpu.models import save_checkpoint, load_checkpoint
+
+    params = {"w": np.arange(6, dtype=np.float32).reshape(2, 3)}
+    path = str(tmp_path / "ckpt")  # no extension
+    save_checkpoint(path, params, step=7)
+    got, _, at = load_checkpoint(path, {"w": np.zeros((2, 3), np.float32)})
+    assert at == 7
+    np.testing.assert_array_equal(got["w"], params["w"])
+
+
 def test_graph_classifier_on_molecule_batch(rng):
     """ogbg-style pipeline: block-diagonal molecule batch, per-molecule
     reorder, GIN + mean-pool readout trains."""

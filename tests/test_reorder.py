@@ -114,6 +114,40 @@ def test_reordering_improves_block_density():
         assert m["utilization"] > base["utilization"]
 
 
+def test_nested_dissection_valid_and_improves_block_structure():
+    """In-process ND (the metis_reorder.cpp:116-141 analog, pymetis-free):
+    valid permutation; on the clustered graph it must densify blocks over
+    a scrambled ordering (the quality property ndmetis supplied the
+    reference)."""
+    from spmm_denseblock_tpu.reorder import nested_dissection
+    from spmm_denseblock_tpu.reorder.base import permutate
+
+    csr = _graph(n=1024, seed=5)
+    # scramble so the clustered structure is not already contiguous
+    rng = np.random.default_rng(0)
+    scramble = rng.permutation(1024).astype(np.int64)
+    scrambled = permutate(scramble, csr)
+
+    out, old2new = reorder(scrambled, "ndmetis")
+    check_permutation(old2new, 1024)
+    assert out.nnz == scrambled.nnz
+    base = block_metrics(scrambled, (16,))[16]
+    m = block_metrics(out, (16,))[16]
+    assert m["nnzb"] < base["nnzb"], (m, base)
+    assert m["utilization"] > base["utilization"]
+
+    # separator-last numbering on a path graph: ND of a path splits it
+    # with a 1-vertex separator numbered after both halves
+    n = 9
+    rows = np.concatenate([np.arange(n - 1), np.arange(1, n)])
+    cols = np.concatenate([np.arange(1, n), np.arange(n - 1)])
+    from spmm_denseblock_tpu.formats.csr import CSR
+
+    path = CSR.from_coo(rows, cols, None, (n, n))
+    o2n = nested_dissection(path, leaf_size=2)
+    check_permutation(o2n, n)
+
+
 def test_partition_rcm_groups_partitions_contiguously():
     csr = _graph(n=300, seed=2)
     parts = (np.arange(300) * 7 % 4).astype(np.int64)
