@@ -4,10 +4,6 @@ from spmm_denseblock_tpu.ops.bsr_spmm_pallas import (
     bsr_spmm_pallas,
     bsr_spmm_pallas_plan,
 )
-from spmm_denseblock_tpu.ops.bsr_spmm_pallas_grouped import (
-    bsr_spmm_pallas_grouped,
-    bsr_spmm_pallas_grouped_plan,
-)
 from spmm_denseblock_tpu.ops.hybrid_spmm import hybrid_spmm, hybrid_spmm_plan
 from spmm_denseblock_tpu.ops.dense_block_gemm import dense_block_gemm
 from spmm_denseblock_tpu.ops.windowed_spmm import (
@@ -35,8 +31,6 @@ __all__ = [
     "bsr_spmm_xla_plan",
     "bsr_spmm_pallas",
     "bsr_spmm_pallas_plan",
-    "bsr_spmm_pallas_grouped",
-    "bsr_spmm_pallas_grouped_plan",
     "hybrid_spmm",
     "hybrid_spmm_plan",
     "dense_block_gemm",

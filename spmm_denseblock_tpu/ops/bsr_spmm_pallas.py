@@ -25,6 +25,16 @@ not a translation):
 
 Correctness gate: matches the scipy oracle within eps 1e-4
 (check_result.cu discipline) — see tests/test_ops.py.
+
+Negative result (round 1, removed in round 2): a grouped variant that
+hand-pipelined G parallel DMAs of gathered B tiles per step into a
+double-buffered VMEM scratch (the literal TPU transcription of the
+rocSPARSE shared-memory staging) measured SLOWER than this flat kernel
+at every (b, dim, density) probed on v5e — Mosaic's BlockSpec pipeline
+already overlaps the single-tile DMA with the MXU, and the manual
+multi-DMA bookkeeping only added scalar work per step. Do not re-attempt
+manual DMA staging here without new evidence; the measured step floor is
+grid machinery, not gather latency (ROUND1_NOTES.md locality probe).
 """
 
 from __future__ import annotations

@@ -8,8 +8,9 @@ The analog of the reference's per-driver impl dispatch strings
     C = plan(B)                                   # hot call
 
 Tiers: csr_xla (gather+segment-sum, auto nnz-chunked), bcoo, bsr_xla,
-bsr_pallas (flat MXU kernel, custom VJP, SMEM-chunked), bsr_pallas_g
-(grouped manual-DMA variant), bsr_int8 / bsr_int8_pallas (quantized
+bsr_pallas (flat MXU kernel, custom VJP, SMEM-chunked — a grouped
+manual-DMA variant was measured slower everywhere and removed; see
+bsr_spmm_pallas.py docstring), bsr_int8 / bsr_int8_pallas (quantized
 inference), hybrid (dense blocks + CSR tail), windowed (row-band x
 column-window dense tiles), dense (oracle). impl='auto' picks by the
 measured v5e crossovers + HBM budget + capture estimate; spmm_tune
@@ -35,7 +36,6 @@ from spmm_denseblock_tpu.convert.csr2bsr import csr_to_bsr
 from spmm_denseblock_tpu.ops.csr_spmm import csr_spmm_plan, bcoo_spmm_plan
 from spmm_denseblock_tpu.ops.bsr_spmm_xla import bsr_spmm_xla_plan
 from spmm_denseblock_tpu.ops.bsr_spmm_pallas import bsr_spmm_pallas_plan
-from spmm_denseblock_tpu.ops.bsr_spmm_pallas_grouped import bsr_spmm_pallas_grouped_plan
 from spmm_denseblock_tpu.ops.bsr_spmm_int8 import bsr_spmm_int8_plan
 from spmm_denseblock_tpu.ops.bsr_spmm_pallas_int8 import bsr_spmm_pallas_int8_plan
 from spmm_denseblock_tpu.ops.hybrid_spmm import hybrid_spmm_plan
@@ -69,7 +69,6 @@ PLANNERS: Dict[str, Callable] = {
     # BSR tier
     "bsr_xla": lambda m, **kw: bsr_spmm_xla_plan(m, **kw),
     "bsr_pallas": lambda m, **kw: bsr_spmm_pallas_plan(m, **kw),
-    "bsr_pallas_g": lambda m, **kw: bsr_spmm_pallas_grouped_plan(m, **kw),
     "bsr_int8": lambda m, **kw: bsr_spmm_int8_plan(m, **kw),
     "bsr_int8_pallas": lambda m, **kw: bsr_spmm_pallas_int8_plan(m, **kw),
     # hybrid tier

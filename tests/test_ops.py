@@ -133,46 +133,6 @@ def test_bsr_spmm_pallas_grad_matches_dense(rng):
     assert_allclose(g1, g2)
 
 
-def test_bsr_spmm_pallas_grouped_edge_cases(rng):
-    """Grouped kernel: empty block-rows, ragged shapes, group larger than
-    any row's block count, odd group sizes."""
-    import numpy as np
-    from spmm_denseblock_tpu.formats.bsr import BSR
-    from spmm_denseblock_tpu.ops import (
-        assert_allclose,
-        bsr_spmm_pallas_grouped_plan,
-    )
-
-    b = 8
-    # rows 0 and 3 empty; row 1 has 5 blocks (ragged vs group=4); row 2 one
-    rows = np.array([1, 1, 1, 1, 1, 2], dtype=np.int32)
-    cols = np.array([0, 2, 3, 5, 6, 1], dtype=np.int32)
-    blocks = rng.standard_normal((6, b, b)).astype(np.float32)
-    bsr = BSR.from_parts(rows, cols, blocks, (4 * b - 3, 7 * b - 2), b)
-    x = rng.standard_normal((bsr.shape[1], 10)).astype(np.float32)
-    want = bsr.to_dense() @ x
-    for group in (1, 3, 4, 8):
-        got = np.asarray(bsr_spmm_pallas_grouped_plan(bsr, group=group)(x))
-        assert_allclose(got, want)
-
-
-def test_bsr_spmm_pallas_grouped_bf16(rng):
-    import jax.numpy as jnp
-    import numpy as np
-    from spmm_denseblock_tpu.formats.bsr import random_bsr
-    from spmm_denseblock_tpu.ops import bsr_spmm_pallas_grouped_plan
-
-    bsr = random_bsr(0.2, 8, 8, block_size=16, seed=4)
-    x = rng.standard_normal((bsr.shape[1], 32)).astype(np.float32)
-    want = bsr.to_dense() @ x
-    got = np.asarray(
-        bsr_spmm_pallas_grouped_plan(bsr, group=4, dtype=jnp.bfloat16)(x)
-    )
-    # bf16 inputs, f32 accumulate: ~2-3 decimal digits
-    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
-    assert rel < 2e-2, rel
-
-
 def test_bsr_spmm_pallas_flat_bf16(rng):
     import jax.numpy as jnp
     import numpy as np
