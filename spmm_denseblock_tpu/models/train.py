@@ -34,20 +34,42 @@ def accuracy(logits, labels, mask):
 def make_train_step(
     apply_fn: Callable, spmm: SpMM, optimizer: optax.GradientTransformation
 ):
-    """Returns (step, init_state). step is jitted end-to-end."""
+    """Returns (step, init_state). step is jitted end-to-end.
 
-    def loss_fn(params, x, y, mask):
-        logits = apply_fn(params, spmm, x)
+    GB-scale note (ROUND1_NOTES §0 / ops/plan.py): when `spmm` is a Plan
+    pytree, it enters the jitted step as an ARGUMENT, so its device
+    arrays are runtime parameters — not HLO constants — and
+    products-scale sparse operands train without blowing up the program
+    upload. Plain-callable spmm still works (closure semantics)."""
+    from spmm_denseblock_tpu.ops.plan import Plan
+
+    def loss_fn(params, spmm_arg, x, y, mask):
+        logits = apply_fn(params, spmm_arg, x)
         return masked_cross_entropy(logits, y, mask), logits
 
     @jax.jit
-    def step(params, opt_state, x, y, mask):
+    def _step(spmm_arg, params, opt_state, x, y, mask):
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, x, y, mask
+            params, spmm_arg, x, y, mask
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, {"loss": loss, "acc": accuracy(logits, y, mask)}
+
+    if isinstance(spmm, Plan):
+        def step(params, opt_state, x, y, mask):
+            return _step(spmm, params, opt_state, x, y, mask)
+    else:
+        @jax.jit
+        def step(params, opt_state, x, y, mask):
+            (loss, logits), grads = jax.value_and_grad(
+                lambda p, x, y, m: loss_fn(p, spmm, x, y, m), has_aux=True
+            )(params, x, y, mask)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, {
+                "loss": loss, "acc": accuracy(logits, y, mask)
+            }
 
     def init_state(params):
         return optimizer.init(params)
@@ -57,6 +79,18 @@ def make_train_step(
 
 def make_eval_step(apply_fn: Callable, spmm: SpMM):
     """Jitted inference metrics: (params, x, y, mask) -> {loss, acc}."""
+    from spmm_denseblock_tpu.ops.plan import Plan
+
+    @jax.jit
+    def _evaluate(spmm_arg, params, x, y, mask):
+        logits = apply_fn(params, spmm_arg, x)
+        return {
+            "loss": masked_cross_entropy(logits, y, mask),
+            "acc": accuracy(logits, y, mask),
+        }
+
+    if isinstance(spmm, Plan):
+        return lambda params, x, y, mask: _evaluate(spmm, params, x, y, mask)
 
     @jax.jit
     def evaluate(params, x, y, mask):

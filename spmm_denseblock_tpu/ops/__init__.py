@@ -1,4 +1,10 @@
 from spmm_denseblock_tpu.ops.csr_spmm import csr_spmm, csr_spmm_plan, bcoo_spmm_plan
+from spmm_denseblock_tpu.ops.csr_spmm_pallas import (
+    csr_spmm_pallas,
+    csr_spmm_pallas_plan,
+)
+from spmm_denseblock_tpu.ops.csr_spmm_ell import csr_spmm_ell, csr_spmm_ell_plan
+from spmm_denseblock_tpu.ops.plan import Plan, grad_plan, sum_plan
 from spmm_denseblock_tpu.ops.bsr_spmm_xla import bsr_spmm_xla, bsr_spmm_xla_plan
 from spmm_denseblock_tpu.ops.bsr_spmm_pallas import (
     bsr_spmm_pallas,
@@ -26,6 +32,13 @@ from spmm_denseblock_tpu.ops.reference import (
 __all__ = [
     "csr_spmm",
     "csr_spmm_plan",
+    "csr_spmm_pallas",
+    "csr_spmm_pallas_plan",
+    "csr_spmm_ell",
+    "csr_spmm_ell_plan",
+    "Plan",
+    "grad_plan",
+    "sum_plan",
     "bcoo_spmm_plan",
     "bsr_spmm_xla",
     "bsr_spmm_xla_plan",

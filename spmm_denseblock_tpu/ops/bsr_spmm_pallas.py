@@ -50,9 +50,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from spmm_denseblock_tpu.formats.bsr import BSR
 from spmm_denseblock_tpu.convert.pack import round_up
+from spmm_denseblock_tpu.ops.plan import Plan, grad_plan, sum_plan
 
 
-def _kernel(rows_ref, cols_ref, blocks_ref, dense_ref, out_ref, *, precision):
+def _kernel(rows_ref, cols_ref, blocks_ref, *rest, precision, group):
+    dense_refs, out_ref = rest[:-1], rest[-1]
     j = pl.program_id(1)
     prev_row = rows_ref[jnp.maximum(j - 1, 0)]
 
@@ -65,12 +67,25 @@ def _kernel(rows_ref, cols_ref, blocks_ref, dense_ref, out_ref, *, precision):
     # accumulate via preferred_element_type) — HIGHEST would request an
     # fp32 contract on bf16 vectors, which Mosaic rejects ("Bad lhs
     # type", seen on v5e).
-    out_ref[:] += jnp.dot(
+    # group > 1: G same-row blocks per grid step (each B tile its own
+    # BlockSpec pipeline buffer), accumulated in registers and flushed
+    # to the VMEM out tile once — amortizes the fixed per-step grid
+    # cost over G MXU passes (the TPU analog of the per-wavefront
+    # k-loop in rocsparse_bsrmm_impl.h:348-377).
+    acc = jnp.dot(
         blocks_ref[0],
-        dense_ref[:],
+        dense_refs[0][:],
         preferred_element_type=jnp.float32,
         precision=precision,
     )
+    for g in range(1, group):
+        acc += jnp.dot(
+            blocks_ref[g],
+            dense_refs[g][:],
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+    out_ref[:] += acc
 
 
 def _ensure_covering(bsr: BSR) -> BSR:
@@ -101,38 +116,49 @@ def _ensure_covering(bsr: BSR) -> BSR:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_block_rows", "n_rows", "f_tile", "interpret")
+    jax.jit,
+    static_argnames=("n_block_rows", "n_rows", "f_tile", "group", "interpret"),
 )
 def _pallas_spmm(
-    block_rows,
-    block_cols,
+    step_rows,
+    slot_cols,
     blocks,
     dense,
     n_block_rows: int,
     n_rows: int,
     f_tile: int,
+    group: int = 1,
     interpret: bool = False,
 ):
-    nnzb, b, _ = blocks.shape
+    """step_rows: (n_steps,) block-row per grid step; slot_cols:
+    (n_steps * group,) block-col per slot; blocks: (n_steps * group, b, b)
+    group-padded flat blocks (zero blocks in pad slots)."""
+    n_slots, b, _ = blocks.shape
+    n_steps = n_slots // group
     f_padded = dense.shape[1]
     assert f_padded % f_tile == 0
-    grid = (f_padded // f_tile, nnzb)
+    grid = (f_padded // f_tile, n_steps)
+
+    def _b_spec(g):
+        return pl.BlockSpec(
+            (b, f_tile), lambda f, j, rows, cols, g=g: (cols[j * group + g], f)
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, b, b), lambda f, j, rows, cols: (j, 0, 0)),
-            pl.BlockSpec((b, f_tile), lambda f, j, rows, cols: (cols[j], f)),
+            pl.BlockSpec((group, b, b), lambda f, j, rows, cols: (j, 0, 0)),
+            *[_b_spec(g) for g in range(group)],
         ],
         out_specs=pl.BlockSpec(
             (b, f_tile), lambda f, j, rows, cols: (rows[j], f)
         ),
     )
-    flops = 2 * nnzb * b * b * f_padded
+    flops = 2 * n_slots * b * b * f_padded
     bytes_accessed = (
         blocks.size * blocks.dtype.itemsize
-        + nnzb * b * f_padded * dense.dtype.itemsize
+        + n_slots * b * f_padded * dense.dtype.itemsize
         + n_block_rows * b * f_padded * 4
     )
     precision = (
@@ -141,23 +167,68 @@ def _pallas_spmm(
         else jax.lax.Precision.DEFAULT
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, precision=precision),
+        functools.partial(_kernel, precision=precision, group=group),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_block_rows * b, f_padded), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
-        # F tiles touch disjoint output columns (parallel); the nnzb dim
+        # F tiles touch disjoint output columns (parallel); the step dim
         # revisits/accumulates output tiles (arbitrary = keep order)
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")
         ),
         interpret=interpret,
-    )(block_rows, block_cols, blocks, dense)
+    )(step_rows, slot_cols, blocks, *([dense] * group))
     return out[:n_rows]
 
 
+def _pack_groups(rows, cols, blocks, group: int):
+    """Group-pad a row-sorted flat block list: every block-row's blocks
+    are padded to a multiple of `group` with zero blocks (col = previous
+    real col, so the pipeline re-fetches a hot tile instead of tile 0).
+
+    Returns (step_rows (n_steps,), slot_cols (n_steps*group,),
+    blocks_padded (n_steps*group, b, b))."""
+    nnzb, b, _ = blocks.shape
+    uniq, first = np.unique(rows, return_index=True)  # rows sorted
+    counts = np.diff(np.append(first, nnzb))
+    steps_per_row = -(-counts // group)
+    n_steps = int(steps_per_row.sum())
+    slot_base = np.concatenate([[0], np.cumsum(steps_per_row * group)[:-1]])
+    rank = np.arange(nnzb) - np.repeat(first, counts)
+    dest = np.repeat(slot_base, counts) + rank
+
+    n_slots = n_steps * group
+    blocks_pad = np.zeros((n_slots, b, b), blocks.dtype)
+    blocks_pad[dest] = blocks
+    cols_pad = np.full(n_slots, -1, np.int64)
+    cols_pad[dest] = cols
+    # forward-fill pad cols from the row's last real block (every row has
+    # >= 1 block and pads follow reals, so the fill never crosses rows)
+    ffill = np.maximum.accumulate(
+        np.where(cols_pad >= 0, np.arange(n_slots), 0)
+    )
+    cols_pad = cols_pad[ffill].astype(np.int32)
+    step_rows = np.repeat(uniq, steps_per_row).astype(np.int32)
+    return step_rows, cols_pad, blocks_pad
+
+
 CHUNK_NNZB = 65536  # scalar-prefetch SMEM ceiling guard (see plan docstring)
+
+
+def _auto_group(nnzb: int, n_rows_with_blocks: int) -> int:
+    """Blocks per grid step: amortize the fixed per-step grid cost when
+    rows are block-dense; keep G small when rows are sparse (padding
+    costs G/2 extra zero-block slots per row on average)."""
+    avg = nnzb / max(1, n_rows_with_blocks)
+    if avg < 4:
+        return 1
+    if avg < 8:
+        return 2
+    if avg < 16:
+        return 4
+    return 8
 
 
 def bsr_spmm_pallas_plan(
@@ -167,6 +238,7 @@ def bsr_spmm_pallas_plan(
     interpret: Optional[bool] = None,
     grad: bool = True,
     chunk_nnzb: Optional[int] = None,
+    group: Optional[int] = None,
 ):
     """Host layout prep once -> jitted C = f(B).
 
@@ -191,11 +263,12 @@ def bsr_spmm_pallas_plan(
     if bsr.nnzb > chunk_nnzb:
         return _chunked_plan(
             bsr, dtype=dtype, f_tile=f_tile, interpret=interpret,
-            grad=grad, chunk_nnzb=chunk_nnzb,
+            grad=grad, chunk_nnzb=chunk_nnzb, group=group,
         )
     if grad:
         fwd = bsr_spmm_pallas_plan(
-            bsr, dtype=dtype, f_tile=f_tile, interpret=interpret, grad=False
+            bsr, dtype=dtype, f_tile=f_tile, interpret=interpret,
+            grad=False, group=group,
         )
         bwd = bsr_spmm_pallas_plan(
             bsr.transpose(),
@@ -203,61 +276,73 @@ def bsr_spmm_pallas_plan(
             f_tile=f_tile,
             interpret=interpret,
             grad=False,
+            group=group,
         )
-
-        @jax.custom_vjp
-        def f(dense):
-            return fwd(dense)
-
-        def f_fwd(dense):
-            # zero-size residual carries only the primal dtype
-            return fwd(dense), jnp.zeros((0,), jnp.asarray(dense).dtype)
-
-        def f_bwd(res, g):
-            return (bwd(g).astype(res.dtype),)
-
-        f.defvjp(f_fwd, f_bwd)
-        return f
+        return grad_plan(fwd, bwd)
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     covered = _ensure_covering(bsr)
-    dev = covered.device_put(dtype=dtype)
-    b = dev.b
+    b = covered.b
     n_rows, n_cols = bsr.shape
-    k_needed = dev.n_block_cols * b
+    k_needed = covered.n_block_cols * b
 
-    def run(dense):
-        dense = jnp.asarray(dense)
-        assert dense.shape[0] == n_cols, (dense.shape, n_cols)
-        ft = f_tile or min(512, round_up(dense.shape[1], 128))
-        f_padded = round_up(dense.shape[1], ft)
-        pad_r = k_needed - dense.shape[0]
-        pad_c = f_padded - dense.shape[1]
-        if pad_r or pad_c:
-            dense = jnp.pad(dense, ((0, pad_r), (0, pad_c)))
-        if dtype is not None:
-            dense = dense.astype(dtype)
-        out = _pallas_spmm(
-            dev.block_rows,
-            dev.block_cols,
-            dev.blocks,
-            dense,
-            dev.n_block_rows,
-            n_rows,
-            ft,
-            interpret,
-        )
-        return out[:, : out.shape[1] - pad_c] if pad_c else out
+    rows_h = np.asarray(covered.block_rows[: covered.nnzb])
+    cols_h = np.asarray(covered.block_cols[: covered.nnzb])
+    blocks_h = np.asarray(covered.blocks[: covered.nnzb])
+    if group is None:
+        group = _auto_group(covered.nnzb, np.unique(rows_h).size)
+    step_rows_h, slot_cols_h, blocks_pad_h = _pack_groups(
+        rows_h, cols_h, blocks_h, group
+    )
+    if dtype is not None:
+        blocks_pad_h = blocks_pad_h.astype(dtype)
+    arrays = (
+        jnp.asarray(step_rows_h),
+        jnp.asarray(slot_cols_h),
+        jnp.asarray(blocks_pad_h),
+    )
+    dtype_key = None if dtype is None else jnp.dtype(dtype).name
+    statics = (
+        covered.n_block_rows, n_rows, n_cols, k_needed,
+        f_tile, group, interpret, dtype_key,
+    )
+    return Plan(arrays, _pallas_apply, statics)
 
-    return run
+
+def _pallas_apply(statics, arrays, dense):
+    (n_block_rows, n_rows, n_cols, k_needed,
+     f_tile, group, interpret, dtype_key) = statics
+    step_rows, slot_cols, blocks_dev = arrays
+    dense = jnp.asarray(dense)
+    assert dense.shape[0] == n_cols, (dense.shape, n_cols)
+    ft = f_tile or min(512, round_up(dense.shape[1], 128))
+    f_padded = round_up(dense.shape[1], ft)
+    pad_r = k_needed - dense.shape[0]
+    pad_c = f_padded - dense.shape[1]
+    if pad_r or pad_c:
+        dense = jnp.pad(dense, ((0, pad_r), (0, pad_c)))
+    if dtype_key is not None:
+        dense = dense.astype(dtype_key)
+    out = _pallas_spmm(
+        step_rows,
+        slot_cols,
+        blocks_dev,
+        dense,
+        n_block_rows,
+        n_rows,
+        ft,
+        group,
+        interpret,
+    )
+    return out[:, : out.shape[1] - pad_c] if pad_c else out
 
 
 def bsr_spmm_pallas(bsr: BSR, dense, **kw) -> jnp.ndarray:
     return bsr_spmm_pallas_plan(bsr, **kw)(dense)
 
 
-def _chunked_plan(bsr, dtype, f_tile, interpret, grad, chunk_nnzb):
+def _chunked_plan(bsr, dtype, f_tile, interpret, grad, chunk_nnzb, group=None):
     """Sum of per-chunk kernel launches for nnzb beyond the SMEM prefetch
     capacity. Blocks are row-sorted, so chunks are contiguous row bands
     (a row split across two chunks just contributes partial sums)."""
@@ -277,13 +362,7 @@ def _chunked_plan(bsr, dtype, f_tile, interpret, grad, chunk_nnzb):
             bsr_spmm_pallas_plan(
                 frag, dtype=dtype, f_tile=f_tile, interpret=interpret,
                 grad=grad, chunk_nnzb=bsr.nnzb + 1,  # no recursion
+                group=group,
             )
         )
-
-    def run(dense):
-        out = plans[0](dense)
-        for p in plans[1:]:
-            out = out + p(dense)
-        return out
-
-    return run
+    return sum_plan(plans)

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from spmm_denseblock_tpu.formats.bsr import BSR
+from spmm_denseblock_tpu.ops.plan import Plan
 
 
 @functools.partial(jax.jit, static_argnames=("n_block_rows", "n_rows"))
@@ -52,24 +53,24 @@ def bsr_spmm_xla_plan(bsr: BSR, dtype=None):
     dev = bsr.device_put(dtype=dtype)
     k_needed = dev.n_block_cols * dev.b
     n_rows, n_cols = bsr.shape
+    dtype_key = None if dtype is None else jnp.dtype(dtype).name
+    arrays = (dev.block_rows, dev.block_cols, dev.blocks)
+    statics = (dev.n_block_rows, n_rows, n_cols, k_needed, dtype_key)
+    return Plan(arrays, _bsr_xla_apply, statics)
 
-    def run(dense):
-        dense = jnp.asarray(dense)
-        assert dense.shape[0] == n_cols, (dense.shape, n_cols)
-        if k_needed != dense.shape[0]:
-            dense = jnp.pad(dense, ((0, k_needed - dense.shape[0]), (0, 0)))
-        if dtype is not None:
-            dense = dense.astype(dtype)
-        return _bsr_spmm_device(
-            dev.block_rows,
-            dev.block_cols,
-            dev.blocks,
-            dense,
-            dev.n_block_rows,
-            n_rows,
-        )
 
-    return run
+def _bsr_xla_apply(statics, arrays, dense):
+    n_block_rows, n_rows, n_cols, k_needed, dtype_key = statics
+    block_rows, block_cols, blocks = arrays
+    dense = jnp.asarray(dense)
+    assert dense.shape[0] == n_cols, (dense.shape, n_cols)
+    if k_needed != dense.shape[0]:
+        dense = jnp.pad(dense, ((0, k_needed - dense.shape[0]), (0, 0)))
+    if dtype_key is not None:
+        dense = dense.astype(dtype_key)
+    return _bsr_spmm_device(
+        block_rows, block_cols, blocks, dense, n_block_rows, n_rows
+    )
 
 
 def bsr_spmm_xla(bsr: BSR, dense) -> jnp.ndarray:

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from spmm_denseblock_tpu.formats.csr import CSR
+from spmm_denseblock_tpu.ops.plan import Plan, sum_plan
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows",))
@@ -56,37 +57,30 @@ def csr_spmm_plan(csr: CSR, chunk_nnz=None):
     vals_h = None if csr.data is None else np.asarray(csr.data)
 
     if csr.nnz <= chunk_nnz:
-        row_ids = jnp.asarray(row_ids_h)
-        col_ids = jnp.asarray(col_ids_h)
-        vals = None if vals_h is None else jnp.asarray(vals_h)
-
-        def run(dense):
-            return _csr_spmm_device(
-                row_ids, col_ids, vals, jnp.asarray(dense), n_rows
-            )
-
-        return run
+        arrays = (
+            jnp.asarray(row_ids_h),
+            jnp.asarray(col_ids_h),
+            None if vals_h is None else jnp.asarray(vals_h),
+        )
+        return Plan(arrays, _csr_xla_apply, (n_rows,))
 
     n_chunks = -(-csr.nnz // chunk_nnz)
     parts = []
     for c in range(n_chunks):
         sl = slice(c * chunk_nnz, min((c + 1) * chunk_nnz, csr.nnz))
-        parts.append(
-            (
-                jnp.asarray(row_ids_h[sl]),
-                jnp.asarray(col_ids_h[sl]),
-                None if vals_h is None else jnp.asarray(vals_h[sl]),
-            )
+        arrays = (
+            jnp.asarray(row_ids_h[sl]),
+            jnp.asarray(col_ids_h[sl]),
+            None if vals_h is None else jnp.asarray(vals_h[sl]),
         )
+        parts.append(Plan(arrays, _csr_xla_apply, (n_rows,)))
+    return sum_plan(parts)
 
-    def run_chunked(dense):
-        dense = jnp.asarray(dense)
-        out = _csr_spmm_device(*parts[0], dense, n_rows)
-        for r, ci, v in parts[1:]:
-            out = out + _csr_spmm_device(r, ci, v, dense, n_rows)
-        return out
 
-    return run_chunked
+def _csr_xla_apply(statics, arrays, dense):
+    (n_rows,) = statics
+    row_ids, col_ids, vals = arrays
+    return _csr_spmm_device(row_ids, col_ids, vals, jnp.asarray(dense), n_rows)
 
 
 def csr_spmm(csr: CSR, dense) -> jnp.ndarray:

@@ -1,0 +1,130 @@
+"""CSR SpMM via degree-bucketed ELL padding — scatter-free reduction.
+
+The round-1/2 profiling story: in gather + segment_sum, the SCATTER is
+the bottleneck (9 of 12.5 ms on synthetic arxiv dim=128, v5e); XLA
+serializes segment accumulation. The reference's GE-SpMM kernels dodge
+it with warp-private accumulators (/root/reference/gespmm_csrmm.h:96-166
+— one output row per warp, so no cross-thread reduction). The XLA-native
+equivalent of "one accumulator per row" is to make every row's nonzeros
+a FIXED-length contiguous segment:
+
+- Bucket rows by degree class K = next_pow2(degree) (classes 1,2,4,...).
+  Padding waste is < 2x by construction.
+- Per class: gather indices (m_k * K,) point at B rows, pads at a zero
+  row appended to B (adjacency case) or carry val 0 (valued case).
+- The reduce is `G.reshape(m_k, K, F).sum(axis=1)` — a dense axis
+  reduction XLA vectorizes and fuses with the gather; no scatter-add,
+  no sorted-segment machinery.
+- Outputs come out in degree-sorted row order; one row-gather with the
+  inverse position map restores the caller's order.
+
+This stays a *plan*: all layout work happens host-side once; the hot
+call is gathers + reshaped sums + one permutation gather.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spmm_denseblock_tpu.formats.csr import CSR
+from spmm_denseblock_tpu.ops.plan import Plan, grad_plan
+
+
+@functools.partial(jax.jit, static_argnames=("layout", "has_vals"))
+def _ell_spmm_device(idx_cat, vals_cat, positions, dense, layout, has_vals):
+    """layout: tuple of (m_k, K) per class, concatenated in idx_cat."""
+    # one zero row at the end serves every pad slot (index n_cols)
+    dense = jnp.concatenate(
+        [dense, jnp.zeros((1, dense.shape[1]), dense.dtype)], axis=0
+    )
+    outs = []
+    off = 0
+    for m_k, K in layout:
+        idx = jax.lax.dynamic_slice_in_dim(idx_cat, off, m_k * K)
+        g = jnp.take(dense, idx, axis=0)
+        if has_vals:
+            v = jax.lax.dynamic_slice_in_dim(vals_cat, off, m_k * K)
+            g = g * v[:, None]
+        outs.append(g.reshape(m_k, K, dense.shape[1]).sum(axis=1))
+        off += m_k * K
+    cat = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+    return jnp.take(cat, positions, axis=0).astype(jnp.float32)
+
+
+def _ell_layout(csr: CSR):
+    deg = csr.degrees().astype(np.int64)
+    n = csr.n_rows
+    K_r = np.maximum(1, 2 ** np.ceil(np.log2(np.maximum(deg, 1))).astype(np.int64))
+    order = np.argsort(K_r, kind="stable")  # rows grouped by class
+    indptr = np.asarray(csr.indptr, dtype=np.int64)
+    cols = np.asarray(csr.indices, dtype=np.int64)
+    has_vals = csr.data is not None
+    vals = np.asarray(csr.data, dtype=np.float32) if has_vals else None
+
+    from spmm_denseblock_tpu.reorder.simple import _ragged_arange
+
+    pad_idx = csr.n_cols  # the appended zero row
+    idx_parts, val_parts, layout = [], [], []
+    for K in np.unique(K_r[order]):
+        rows_k = order[K_r[order] == K]
+        m_k = rows_k.size
+        idx = np.full(m_k * K, pad_idx, dtype=np.int32)
+        starts = indptr[rows_k]
+        d = indptr[rows_k + 1] - starts
+        tgt = np.repeat(np.arange(m_k, dtype=np.int64) * K, d) + _ragged_arange(d)
+        src = np.repeat(starts, d) + _ragged_arange(d)
+        idx[tgt] = cols[src]
+        idx_parts.append(idx)
+        if has_vals:
+            v = np.zeros(m_k * K, dtype=np.float32)
+            v[tgt] = vals[src]
+            val_parts.append(v)
+        layout.append((int(m_k), int(K)))
+
+    positions = np.empty(n, dtype=np.int32)
+    positions[order] = np.arange(n, dtype=np.int32)
+    idx_cat = np.concatenate(idx_parts) if idx_parts else np.zeros(0, np.int32)
+    vals_cat = (
+        np.concatenate(val_parts) if has_vals and val_parts
+        else np.zeros(0, np.float32)
+    )
+    return idx_cat, vals_cat, positions, tuple(layout), has_vals
+
+
+def csr_spmm_ell_plan(csr: CSR, grad: bool = True):
+    """Host layout prep once -> Plan C = f(B)."""
+    if grad:
+        return grad_plan(
+            csr_spmm_ell_plan(csr, grad=False),
+            csr_spmm_ell_plan(csr.transpose(), grad=False),
+        )
+    idx_cat, vals_cat, positions, layout, has_vals = _ell_layout(csr)
+    arrays = (
+        jnp.asarray(idx_cat),
+        jnp.asarray(vals_cat),
+        jnp.asarray(positions),
+    )
+    statics = (csr.shape, layout, has_vals)
+    return Plan(arrays, _ell_apply, statics)
+
+
+def _ell_apply(statics, arrays, dense):
+    (n_rows, n_cols), layout, has_vals = statics
+    idx_cat, vals_cat, positions = arrays
+    dense = jnp.asarray(dense)
+    assert dense.shape[0] == n_cols, (dense.shape, n_cols)
+    if dense.dtype != jnp.float32:
+        dense = dense.astype(jnp.float32)
+    if not layout:  # empty matrix
+        return jnp.zeros((n_rows, dense.shape[1]), jnp.float32)
+    return _ell_spmm_device(
+        idx_cat, vals_cat, positions, dense, layout, has_vals
+    )
+
+
+def csr_spmm_ell(csr: CSR, dense, **kw) -> jnp.ndarray:
+    return csr_spmm_ell_plan(csr, **kw)(dense)

@@ -7,14 +7,17 @@ The analog of the reference's per-driver impl dispatch strings
     plan = spmm_plan(matrix, impl="bsr_pallas")   # host prep + jit, once
     C = plan(B)                                   # hot call
 
-Tiers: csr_xla (gather+segment-sum, auto nnz-chunked), bcoo, bsr_xla,
-bsr_pallas (flat MXU kernel, custom VJP, SMEM-chunked — a grouped
-manual-DMA variant was measured slower everywhere and removed; see
-bsr_spmm_pallas.py docstring), bsr_int8 / bsr_int8_pallas (quantized
-inference), hybrid (dense blocks + CSR tail), windowed (row-band x
-column-window dense tiles), dense (oracle). impl='auto' picks by the
-measured v5e crossovers + HBM budget + capture estimate; spmm_tune
-measures candidates on the caller's operand.
+Tiers: csr_xla (gather+segment-sum, auto nnz-chunked), csr_ell
+(degree-bucketed ELL, scatter-free — 2.5x over csr_xla on synthetic
+arxiv dim=128, the element-sparse workhorse), csr_pallas (gather +
+selector-matmul Pallas reduce), bcoo, bsr_xla, bsr_pallas (flat MXU
+kernel, custom VJP, SMEM-chunked, multi-block grid steps via `group` —
+a grouped manual-DMA variant was measured slower everywhere and
+removed; see bsr_spmm_pallas.py docstring), bsr_int8 / bsr_int8_pallas
+(quantized inference), hybrid (dense blocks + CSR tail), windowed
+(row-band x column-window dense tiles), dense (oracle). impl='auto'
+picks by the measured v5e crossovers + HBM budget + capture estimate;
+spmm_tune measures candidates on the caller's operand.
 """
 
 from __future__ import annotations
@@ -34,6 +37,8 @@ from spmm_denseblock_tpu.ops.windowed_spmm import (
 )
 from spmm_denseblock_tpu.convert.csr2bsr import csr_to_bsr
 from spmm_denseblock_tpu.ops.csr_spmm import csr_spmm_plan, bcoo_spmm_plan
+from spmm_denseblock_tpu.ops.csr_spmm_pallas import csr_spmm_pallas_plan
+from spmm_denseblock_tpu.ops.csr_spmm_ell import csr_spmm_ell_plan
 from spmm_denseblock_tpu.ops.bsr_spmm_xla import bsr_spmm_xla_plan
 from spmm_denseblock_tpu.ops.bsr_spmm_pallas import bsr_spmm_pallas_plan
 from spmm_denseblock_tpu.ops.bsr_spmm_int8 import bsr_spmm_int8_plan
@@ -65,6 +70,8 @@ def _as_csr(m):
 PLANNERS: Dict[str, Callable] = {
     # CSR tier
     "csr_xla": lambda m, **kw: csr_spmm_plan(_as_csr(m)),
+    "csr_pallas": lambda m, **kw: csr_spmm_pallas_plan(_as_csr(m), **kw),
+    "csr_ell": lambda m, **kw: csr_spmm_ell_plan(_as_csr(m), **kw),
     "bcoo": lambda m, **kw: bcoo_spmm_plan(_as_csr(m)),
     # BSR tier
     "bsr_xla": lambda m, **kw: bsr_spmm_xla_plan(m, **kw),
@@ -184,17 +191,27 @@ def spmm_tune(
     beats modeling. Plans are cached work anyway; tuning costs a few
     extra compiles once per (matrix, shape) family.
     """
+    import jax
     import numpy as np
 
-    from spmm_denseblock_tpu.bench.timing import time_synced
+    from spmm_denseblock_tpu.bench.timing import time_chained, time_synced
 
+    # On TPU the relay adds per-call sync overhead that time_synced
+    # cannot cancel — close candidates get mis-ranked; use the chained
+    # marginal-cost harness there. time_synced stays for CPU-mesh runs,
+    # where deep async chains can deadlock collective rendezvous.
+    timer = (
+        (lambda f, x: time_chained(f, x, iters=5))
+        if jax.default_backend() == "tpu"
+        else (lambda f, x: time_synced(f, x, iters=3))
+    )
     report = {}
     best, best_t = None, float("inf")
     x = jnp.asarray(np.asarray(sample_dense))
     for name in candidates:
         try:
             plan = spmm_plan(matrix, impl=name, block_size=block_size, **kw)
-            t = time_synced(plan, x, iters=3)
+            t = timer(plan, x)
         except Exception as e:  # impl not applicable to this matrix/backend
             report[name] = {"error": str(e)[:120]}
             continue

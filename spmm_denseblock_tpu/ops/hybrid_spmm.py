@@ -12,28 +12,24 @@ import jax
 import jax.numpy as jnp
 
 from spmm_denseblock_tpu.formats.hybrid import Hybrid
-from spmm_denseblock_tpu.ops.csr_spmm import csr_spmm_plan
+from spmm_denseblock_tpu.ops.csr_spmm_ell import csr_spmm_ell_plan
 from spmm_denseblock_tpu.ops.bsr_spmm_xla import bsr_spmm_xla_plan
 from spmm_denseblock_tpu.ops.bsr_spmm_pallas import bsr_spmm_pallas_plan
+from spmm_denseblock_tpu.ops.plan import sum_plan
 
 
 def hybrid_spmm_plan(hyb: Hybrid, dense_impl: str = "pallas", dtype=None):
     if hyb.dense.nnzb == 0:
-        return csr_spmm_plan(hyb.remainder)
+        return csr_spmm_ell_plan(hyb.remainder)
     if dense_impl == "pallas":
         bsr_run = bsr_spmm_pallas_plan(hyb.dense, dtype=dtype)
     else:
         bsr_run = bsr_spmm_xla_plan(hyb.dense, dtype=dtype)
-    csr_run = csr_spmm_plan(hyb.remainder)
+    csr_run = csr_spmm_ell_plan(hyb.remainder)
 
     if hyb.remainder.nnz == 0:
         return bsr_run
-
-    def run(dense):
-        dense = jnp.asarray(dense)
-        return bsr_run(dense) + csr_run(dense)
-
-    return run
+    return sum_plan((bsr_run, csr_run))
 
 
 def hybrid_spmm(hyb: Hybrid, dense, **kw) -> jax.Array:

@@ -1,0 +1,105 @@
+"""Plan: a callable pytree of (device arrays, apply function).
+
+Round-1 lesson (ROUND1_NOTES §0): a plan built as a plain Python closure
+re-embeds its captured device arrays as HLO *constants* whenever an
+OUTER jit traces through it — e.g. a training step calling plan(x)
+inside jax.jit. Constants are serialized into the program upload; the
+remote compiler rejects >~1 GB programs (HTTP 413), which caps training
+at ~100s-of-MB sparse operands.
+
+The fix is structural: a plan IS a pytree whose leaves are its device
+arrays and whose treedef carries the apply function + static config. A
+jitted step then takes the plan as an ARGUMENT —
+
+    @jax.jit
+    def step(plan, params, x): ... plan(x) ...
+
+— so XLA sees the arrays as runtime parameters (zero-copy, donatable),
+never as constants, and GB-scale operands train fine. Calling a Plan
+directly (`plan(x)`) still works exactly like the old closures, so
+nothing downstream changes.
+
+Plans nest: a composed executor (hybrid = dense-block part + CSR tail,
+chunked = sum of row-band fragments) is a Plan whose children are
+sub-Plans. jit cache keys include the treedef, i.e. (apply_fn, statics,
+child structure) — module-level apply functions keep retraces shared
+across plans of the same family.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_pytree_node_class
+class Plan:
+    """Callable pytree executor: apply_fn(statics, arrays, dense)."""
+
+    def __init__(self, arrays: Any, apply_fn: Callable, statics: Tuple = ()):
+        self.arrays = arrays
+        self.apply_fn = apply_fn
+        self.statics = statics
+
+    def __call__(self, dense):
+        return self.apply_fn(self.statics, self.arrays, dense)
+
+    def tree_flatten(self):
+        return (self.arrays,), (self.apply_fn, self.statics)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], aux[1])
+
+    def __repr__(self):
+        name = getattr(self.apply_fn, "__name__", "apply")
+        return f"Plan({name}, statics={self.statics!r})"
+
+
+def _sum_apply(statics, plans, dense):
+    """Sum of sub-plan outputs (chunked executors: partial row sums add)."""
+    dense = jnp.asarray(dense)
+    out = plans[0](dense)
+    for p in plans[1:]:
+        out = out + p(dense)
+    return out
+
+
+def sum_plan(plans) -> Plan:
+    return Plan(tuple(plans), _sum_apply)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _vjp_apply(statics, fwd_plan, bwd_plan, dense):
+    return fwd_plan(dense)
+
+
+def _vjp_fwd(statics, fwd_plan, bwd_plan, dense):
+    proto = jnp.zeros((0,), jnp.asarray(dense).dtype)
+    return fwd_plan(dense), (fwd_plan, bwd_plan, proto)
+
+
+def _vjp_bwd(statics, res, g):
+    fwd_plan, bwd_plan, proto = res
+    # plan arrays are constants of the computation: zero cotangents
+    # (XLA DCEs them — they are never consumed by an optimizer)
+    zf = jax.tree.map(jnp.zeros_like, fwd_plan)
+    zb = jax.tree.map(jnp.zeros_like, bwd_plan)
+    return zf, zb, bwd_plan(g).astype(proto.dtype)
+
+
+_vjp_apply.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def _grad_apply(statics, plans, dense):
+    fwd_plan, bwd_plan = plans
+    return _vjp_apply((), fwd_plan, bwd_plan, dense)
+
+
+def grad_plan(fwd_plan: Plan, bwd_plan: Plan) -> Plan:
+    """Differentiable plan: dC/dB flows as A^T @ g through bwd_plan
+    (the same kernel family on the transposed layout)."""
+    return Plan((fwd_plan, bwd_plan), _grad_apply)

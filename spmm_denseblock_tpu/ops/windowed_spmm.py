@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from spmm_denseblock_tpu.formats.windowed import Windowed
-from spmm_denseblock_tpu.ops.csr_spmm import csr_spmm_plan
+from spmm_denseblock_tpu.ops.csr_spmm_ell import csr_spmm_ell_plan
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows",))
@@ -53,7 +53,7 @@ def windowed_spmm_plan(wt: Windowed, dtype=None):
     if dtype is not None:
         tiles = tiles.astype(dtype)
     win_idx = jnp.asarray(wt.win_idx)
-    rem_plan = csr_spmm_plan(wt.remainder) if wt.remainder.nnz else None
+    rem_plan = csr_spmm_ell_plan(wt.remainder) if wt.remainder.nnz else None
 
     def run(dense):
         dense = jnp.asarray(dense)
@@ -92,7 +92,7 @@ def windowed_spmm_int8_plan(wt: Windowed):
     q_tiles = jnp.asarray(q.reshape(T, K, R, W))
     sc = jnp.asarray(scales.reshape(T, K).astype(np.float32))
     win_idx = jnp.asarray(wt.win_idx)
-    rem_plan = csr_spmm_plan(wt.remainder) if wt.remainder.nnz else None
+    rem_plan = csr_spmm_ell_plan(wt.remainder) if wt.remainder.nnz else None
 
     @jax.jit
     def run_impl(q_tiles, sc, win_idx, dense):
@@ -161,7 +161,7 @@ def tiered_spmm_plan(
     if hyb.dense.nnzb:
         runs.append(bsr_spmm_xla_plan(hyb.dense, dtype=dtype))
     if hyb.remainder.nnz:
-        runs.append(csr_spmm_plan(hyb.remainder))
+        runs.append(csr_spmm_ell_plan(hyb.remainder))
 
     def run(dense):
         # no outer jit: sub-plans jit internally; an outer jit would embed

@@ -137,7 +137,8 @@ def dist_bsr_spmm_plan(
 
                     return _pallas_spmm(
                         lr[0], bc[0], bv[0], b_full,
-                        rows_per, rows_per * b, ft, interpret,
+                        rows_per, rows_per * b, ft,
+                        group=1, interpret=interpret,
                     )
                 b_blocked = b_full.reshape(n * cpc, b, b_full.shape[1])
                 out = _local_bsr_spmm(lr[0], bc[0], bv[0], b_blocked, rows_per)

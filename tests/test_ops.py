@@ -418,3 +418,62 @@ def test_tiered_spmm(rng):
     x = rng.standard_normal((n, 12)).astype(np.float32)
     plan = spmm_plan(csr, impl="tiered", tile_rows=16, window=16, block_size=8)
     assert_allclose(np.asarray(plan(x)), spmm_scipy(csr, x))
+
+
+def test_bsr_spmm_pallas_group_packing(rng):
+    """Multi-block grid steps: every group size must match the oracle on
+    ragged rows (pads are zero blocks on the row's last real column)."""
+    import numpy as np
+    from spmm_denseblock_tpu.formats.bsr import BSR
+    from spmm_denseblock_tpu.ops import assert_allclose, bsr_spmm_pallas_plan
+
+    b = 8
+    rows = np.array([1, 1, 1, 1, 1, 2, 4, 4], dtype=np.int32)
+    cols = np.array([0, 2, 3, 5, 6, 1, 0, 3], dtype=np.int32)
+    blocks = rng.standard_normal((8, b, b)).astype(np.float32)
+    bsr = BSR.from_parts(rows, cols, blocks, (5 * b - 3, 7 * b - 2), b)
+    x = rng.standard_normal((bsr.shape[1], 10)).astype(np.float32)
+    want = bsr.to_dense() @ x
+    for group in (1, 2, 3, 4, 8):
+        got = np.asarray(bsr_spmm_pallas_plan(bsr, group=group, grad=False)(x))
+        assert_allclose(got, want, msg=f"group={group}")
+
+
+def test_bsr_spmm_pallas_group_pack_layout():
+    """_pack_groups invariants: slots per row are a multiple of G, pads
+    carry zero blocks and the previous real column id."""
+    import numpy as np
+    from spmm_denseblock_tpu.ops.bsr_spmm_pallas import _pack_groups
+
+    rows = np.array([0, 0, 0, 2, 2], dtype=np.int32)
+    cols = np.array([4, 1, 7, 3, 0], dtype=np.int32)
+    blocks = np.ones((5, 8, 8), np.float32)
+    step_rows, slot_cols, blocks_pad = _pack_groups(rows, cols, blocks, 2)
+    # row 0: 3 blocks -> 2 steps (1 pad); row 2: 2 blocks -> 1 step
+    np.testing.assert_array_equal(step_rows, [0, 0, 2])
+    np.testing.assert_array_equal(slot_cols, [4, 1, 7, 7, 3, 0])
+    assert blocks_pad.shape == (6, 8, 8)
+    assert float(blocks_pad[3].sum()) == 0.0  # pad slot zeroed
+
+
+def test_csr_spmm_pallas_matches_oracle_and_grad(rng):
+    """The hand-scheduled CSR tier (gather + selector-matmul segment
+    reduce): oracle parity at eps 1e-4 incl. padding paths, and the A^T
+    custom VJP."""
+    import jax
+    import jax.numpy as jnp
+    from spmm_denseblock_tpu.ops import csr_spmm_pallas_plan
+
+    csr = random_csr(0.08, 200, 150, seed=11)
+    x = rng.standard_normal((150, 40)).astype(np.float32)
+    got = np.asarray(
+        csr_spmm_pallas_plan(csr, chunk=128, row_band=64, grad=False)(x)
+    )
+    assert_allclose(got, spmm_scipy(csr, x), msg="csr_pallas")
+
+    xj = jnp.asarray(x)
+    plan = csr_spmm_pallas_plan(csr, chunk=128, row_band=64)
+    a = jnp.asarray(csr.to_dense())
+    g1 = jax.grad(lambda v: jnp.sum(jnp.sin(plan(v))))(xj)
+    g2 = jax.grad(lambda v: jnp.sum(jnp.sin(a @ v)))(xj)
+    assert_allclose(g1, g2, msg="csr_pallas grad")
