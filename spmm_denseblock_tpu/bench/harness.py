@@ -156,16 +156,25 @@ def bench_graph(
 
 def bench_scaling(
     n_devices_list: Sequence[int],
-    p: float = 2e-3,
+    p: float = 1.6e-2,
     block_size: int = 64,
     dim: int = 256,
-    n_block_rows: int = 512,
+    n_block_rows: int = 1024,
     strategy: str = "allgather",
 ) -> Dict:
-    """Distributed nnz/s scaling efficiency over 1..N devices (the
-    BASELINE.json >=80% target). Runs on whatever devices exist — the
-    8-device CPU mesh in tests, a pod slice in production."""
+    """Distributed scaling measurement + the ICI model it must be read
+    against (parallel/comms.py docstring for why these are separate).
+
+    On a SINGLE-HOST CPU mesh every virtual device shares the same
+    cores, so linear nnz/s scaling is physically impossible — the
+    honest metric there is RETENTION = rate(n) / rate(1): how much of
+    the saturated-core total throughput survives partitioning +
+    emulated collectives. Ideal = 1.0. The per-device `efficiency`
+    column is kept for pod-slice runs, where devices are real chips.
+    Each record also carries the analytic ICI prediction for the same
+    shape on v5e (the number the >=80% BASELINE target refers to)."""
     from spmm_denseblock_tpu.parallel import make_mesh_1d
+    from spmm_denseblock_tpu.parallel.comms import efficiency_model
     from spmm_denseblock_tpu.parallel.spmm import dist_bsr_spmm_plan
 
     bsr = random_bsr(p, n_block_rows, block_size=block_size, seed=1234)
@@ -173,6 +182,7 @@ def bench_scaling(
     nnz = bsr.nnz_inside()
     points = []
     base = None
+    rate1 = None
     x_dev = x
     for nd in n_devices_list:
         mesh = make_mesh_1d(nd)
@@ -182,17 +192,31 @@ def bench_scaling(
         rate = nnz / secs
         if base is None:
             base = rate / nd if nd else rate
+            rate1 = rate
+        model = efficiency_model(
+            strategy if strategy != "auto" else "allgather",
+            nd, bsr.nnzb, block_size, bsr.shape[1], dim,
+        )
         points.append(
             {
                 "devices": nd,
                 "ms": secs * 1e3,
                 "nnz_per_s": rate,
                 "efficiency": rate / (nd * base) if base else 1.0,
+                "retention": rate / rate1 if rate1 else 1.0,
+                "ici_model_efficiency": model["efficiency"],
+                "ici_model_t_comp_us": model["t_comp_us"],
+                "ici_model_t_comm_us": model["t_comm_us"],
             }
         )
     return {
         "kind": "scaling", "p": p, "b": block_size, "dim": dim,
-        "strategy": strategy, "points": points,
+        "nnzb": bsr.nnzb, "strategy": strategy, "points": points,
+        "note": (
+            "single-host CPU mesh: devices share cores; read `retention` "
+            "(ideal 1.0), not `efficiency`; `ici_model_*` is the v5e "
+            "prediction for this shape (parallel/comms.py)"
+        ),
     }
 
 

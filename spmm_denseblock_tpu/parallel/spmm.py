@@ -72,6 +72,7 @@ def dist_bsr_spmm_plan(
     feature_axis: Optional[str] = None,
     local_impl: str = "xla",
     halo: int = 1,
+    balance="auto",
 ):
     """Host shard prep once -> jitted C = f(B) over the mesh.
 
@@ -85,9 +86,60 @@ def dist_bsr_spmm_plan(
     sharded over that axis (tensor parallelism): every collective stays
     within its own mesh axis, so the "row" exchange never touches the
     feature-parallel groups.
+
+    balance: LPT block-row balancing (balanced_block_row_permutation),
+    applied transparently — the permuted matrix is sharded, and the
+    output rows are gathered back to caller order inside the same jit.
+    "auto" (default) fires when the contiguous partition's stripe loads
+    are >1.25x imbalanced AND the matrix is not halo-eligible (the LPT
+    permutation scatters block-rows, which would destroy the banded
+    structure that gives halo its O(1) comms). True forces it, False
+    disables. Community-reordered graphs are DELIBERATELY non-uniform
+    (SURVEY.md §7); this is the distributed answer.
     """
     if mesh is None:
         mesh = make_mesh_1d()
+
+    if balance and strategy != "halo":
+        n_dev = int(mesh.shape[axis])
+        nbr = bsr.n_block_rows
+        counts = np.bincount(
+            np.asarray(bsr.block_rows[: bsr.nnzb]), minlength=nbr
+        ).astype(np.int64)
+        rows_per0 = -(-nbr // n_dev)
+        pad = n_dev * rows_per0 - nbr
+        stripe_loads = np.pad(counts, (0, pad)).reshape(n_dev, rows_per0).sum(1)
+        imbalance = stripe_loads.max() / max(stripe_loads.mean(), 1e-9)
+        halo_eligible = (
+            strategy in ("auto",)
+            and bucket_halo(shard_bsr(bsr, n_dev), halo) is not None
+        )
+        if balance is True or (imbalance > 1.25 and not halo_eligible):
+            perm = balanced_block_row_permutation(bsr, n_dev)
+            b = bsr.b
+            permuted = BSR.from_parts(
+                perm[np.asarray(bsr.block_rows[: bsr.nnzb])].astype(np.int32),
+                np.asarray(bsr.block_cols[: bsr.nnzb]),
+                np.asarray(bsr.blocks[: bsr.nnzb]),
+                # cover the full block grid so no permuted row is truncated
+                (nbr * b, bsr.shape[1]),
+                b,
+            )
+            inner = dist_bsr_spmm_plan(
+                permuted, mesh=mesh, axis=axis, strategy=strategy,
+                dtype=dtype, feature_axis=feature_axis,
+                local_impl=local_impl, halo=halo, balance=False,
+            )
+            rows = np.arange(bsr.shape[0], dtype=np.int64)
+            undo = jnp.asarray(
+                (perm[rows // b] * b + rows % b).astype(np.int32)
+            )
+
+            @jax.jit
+            def _undo(out, undo):
+                return jnp.take(out, undo, axis=0)
+
+            return lambda dense: _undo(inner(dense), undo)
     n = int(mesh.shape[axis])
     b = bsr.b
     sh = shard_bsr(bsr, n)

@@ -312,3 +312,75 @@ def test_dist_bsr_spmm_bf16(mesh, rng, strategy):
     got = np.asarray(run(dense))
     rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
     assert rel < 3e-2, rel
+
+
+@pytest.mark.parametrize("strategy", ["allgather", "ring"])
+def test_dist_bsr_spmm_lpt_balance(mesh, rng, strategy):
+    """LPT balancing auto-applies on a hub-skewed matrix (one stripe owns
+    nearly all blocks under contiguous partition) and the output comes
+    back in caller row order."""
+    from spmm_denseblock_tpu.formats.bsr import BSR
+
+    b, nbr, nbc = 8, 16, 12
+    # all blocks piled on the first 2 block-rows -> contiguous stripes
+    # are maximally imbalanced on the 8-way mesh
+    rows = np.repeat(np.array([0, 1], dtype=np.int32), 12)
+    cols = np.tile(np.arange(12, dtype=np.int32), 2)
+    blocks = rng.standard_normal((24, b, b)).astype(np.float32)
+    bsr = BSR.from_parts(rows, cols, blocks, (nbr * b - 3, nbc * b - 5), b)
+    dense = rng.standard_normal((bsr.shape[1], 10)).astype(np.float32)
+    want = bsr.to_dense() @ dense
+
+    run = dist_bsr_spmm_plan(bsr, mesh=mesh, strategy=strategy, balance="auto")
+    assert_allclose(np.asarray(run(dense)), want)
+
+    # forced balancing also stays exact
+    run_f = dist_bsr_spmm_plan(bsr, mesh=mesh, strategy=strategy, balance=True)
+    assert_allclose(np.asarray(run_f(dense)), want)
+
+    # balanced loads: after the LPT permutation, contiguous stripes hold
+    # near-equal nnzb
+    from spmm_denseblock_tpu.parallel import balanced_block_row_permutation
+
+    perm = balanced_block_row_permutation(bsr, 8)
+    counts = np.bincount(rows, minlength=nbr)
+    loads = np.zeros(8, dtype=int)
+    rows_per = -(-nbr // 8)
+    for r in range(nbr):
+        loads[perm[r] // rows_per] += counts[r]
+    assert loads.max() - loads.min() <= max(3, counts.max())
+
+
+def test_comms_model():
+    """ICI comms-volume model: halo is O(1) in mesh size, allgather/ring
+    are (n-1)/n; efficiency hits 1.0 once per-device compute covers the
+    exchange; min_nnzb inverts the model."""
+    from spmm_denseblock_tpu.parallel.comms import (
+        comms_bytes_per_device,
+        efficiency_model,
+        min_nnzb_for_efficiency,
+    )
+
+    K, F = 1 << 17, 512
+    ag8 = comms_bytes_per_device("allgather", 8, K, F)
+    ag16 = comms_bytes_per_device("allgather", 16, K, F)
+    assert ag16 > ag8  # grows toward K*F*s
+    h8 = comms_bytes_per_device("halo", 8, K, F)
+    h16 = comms_bytes_per_device("halo", 16, K, F)
+    assert h16 < h8  # O(1) volume / n stripes
+    assert comms_bytes_per_device("ring", 8, K, F) == ag8
+    assert comms_bytes_per_device("allgather", 1, K, F) == 0.0
+
+    # the BASELINE >=80% math (recorded in BASELINE.md): at the headline
+    # shape (20.6k 128^2 blocks, B = 2^17 x 512) allgather moves more
+    # bytes than the stripes compute — the model says so honestly...
+    m = efficiency_model("allgather", 8, 20668, 128, K, F)
+    assert m["efficiency"] < 0.5, m
+    # ...while the banded/halo route keeps the target at the same shape
+    mh = efficiency_model("halo", 8, 20668, 128, K, F)
+    assert mh["efficiency"] >= 0.8, mh
+    # and allgather recovers the target once the graph is dense enough
+    need = min_nnzb_for_efficiency("allgather", 8, 128, K, F)
+    assert 20668 < need < 500_000, need
+    big = efficiency_model("allgather", 8, need, 128, K, F)
+    assert big["efficiency"] >= 0.8, big
