@@ -105,16 +105,28 @@ def _quantize_cols(dense):
     return q, col_scale.astype(jnp.float32)
 
 
+@jax.jit
+def _quantize_cols_static(dense, col_scale):
+    """Static-scale serving path: skips the absmax reduction (the cost
+    that made dynamic int8 slower than f32 on small graphs, ogbl-ddi)."""
+    q = jnp.clip(jnp.round(dense / col_scale[None, :]), -127, 127).astype(jnp.int8)
+    return q, col_scale
+
+
 def bsr_spmm_pallas_int8_plan(
     bsr: BSR,
     f_tile: Optional[int] = None,
     interpret: Optional[bool] = None,
     chunk_nnzb: Optional[int] = None,
+    calibration=None,
     **_ignored,
 ):
     """Host quantization + layout prep once -> jitted C = f(B).
     Inference-only (no VJP). Chunks beyond the SMEM scalar-prefetch
-    ceiling like the f32 plan (sum of covered row-sorted chunks)."""
+    ceiling like the f32 plan (sum of covered row-sorted chunks).
+
+    calibration: optional representative operand batch — per-column
+    scales become plan constants (see bsr_spmm_int8.static_col_scale)."""
     from spmm_denseblock_tpu.ops.bsr_spmm_pallas import CHUNK_NNZB
 
     if chunk_nnzb is None:
@@ -133,7 +145,7 @@ def bsr_spmm_pallas_int8_plan(
             plans.append(
                 bsr_spmm_pallas_int8_plan(
                     frag, f_tile=f_tile, interpret=interpret,
-                    chunk_nnzb=bsr.nnzb + 1,
+                    chunk_nnzb=bsr.nnzb + 1, calibration=calibration,
                 )
             )
 
@@ -158,6 +170,11 @@ def bsr_spmm_pallas_int8_plan(
     b = covered.b
     n_rows, n_cols = bsr.shape
     k_needed = covered.n_block_cols * b
+    static_scale = None
+    if calibration is not None:
+        from spmm_denseblock_tpu.ops.bsr_spmm_int8 import static_col_scale
+
+        static_scale = static_col_scale(calibration)
 
     def run(dense):
         dense = jnp.asarray(dense, jnp.float32)
@@ -168,7 +185,11 @@ def bsr_spmm_pallas_int8_plan(
         pad_c = f_padded - dense.shape[1]
         if pad_r or pad_c:
             dense = jnp.pad(dense, ((0, pad_r), (0, pad_c)))
-        qdense, col_scale = _quantize_cols(dense)
+        if static_scale is not None:
+            cs = np.pad(static_scale, (0, pad_c), constant_values=1.0)
+            qdense, col_scale = _quantize_cols_static(dense, jnp.asarray(cs))
+        else:
+            qdense, col_scale = _quantize_cols(dense)
         out = _pallas_int8_spmm(
             br, bc, qb, sc, qdense, col_scale,
             covered.n_block_rows, n_rows, ft, interpret,

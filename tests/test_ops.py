@@ -477,3 +477,35 @@ def test_csr_spmm_pallas_matches_oracle_and_grad(rng):
     g1 = jax.grad(lambda v: jnp.sum(jnp.sin(plan(v))))(xj)
     g2 = jax.grad(lambda v: jnp.sum(jnp.sin(a @ v)))(xj)
     assert_allclose(g1, g2, msg="csr_pallas grad")
+
+
+def test_int8_static_calibration_scales(rng):
+    """Static-scale serving: calibrated plans match the dynamic ones on
+    in-distribution operands (both tiers); scales come from the batch."""
+    import numpy as np
+    from spmm_denseblock_tpu.formats.bsr import random_bsr
+    from spmm_denseblock_tpu.ops import (
+        bsr_spmm_int8_plan,
+        bsr_spmm_pallas_int8_plan,
+        spmm_scipy,
+    )
+    from spmm_denseblock_tpu.ops.bsr_spmm_int8 import static_col_scale
+
+    bsr = random_bsr(0.3, 8, 8, block_size=16, seed=6)
+    cal = rng.standard_normal((bsr.shape[1], 24)).astype(np.float32)
+    x = rng.standard_normal((bsr.shape[1], 24)).astype(np.float32)
+    want = bsr.to_dense() @ x
+
+    for plan_fn in (bsr_spmm_int8_plan, bsr_spmm_pallas_int8_plan):
+        # same-batch calibration: quantization noise only (~1e-2)
+        got = np.asarray(plan_fn(bsr, calibration=x)(x))
+        rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+        assert rel < 3e-2, (plan_fn.__name__, rel)
+        # cross-batch calibration: adds clipping of out-of-range tails
+        got = np.asarray(plan_fn(bsr, calibration=cal)(x))
+        rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+        assert rel < 1.5e-1, (plan_fn.__name__, rel)
+
+    s = static_col_scale(cal)
+    assert s.shape == (24,)
+    assert np.all(s > 0)
