@@ -142,6 +142,8 @@ def bench_graph(
     x = _dense_operand(rcsr.n_cols, dim)
     secs = _time(plan, x)
     flops = 2.0 * csr.nnz * dim
+    from spmm_denseblock_tpu.io.datasets import dataset_provenance, graph_stats
+
     rec = {
         "kind": "graph", "dataset": dataset, "strategy": strategy,
         "b": block_size, "dim": dim, "impl": impl, "scale": scale,
@@ -149,6 +151,11 @@ def bench_graph(
         "gflops": flops / secs / 1e9, "nnz_per_s": csr.nnz / secs,
         "block_density": metrics["density"],
         "block_utilization": metrics["utilization"],
+        # honest provenance: which graph this actually measured, with
+        # its measured structure (synthetic stand-ins are labeled, and
+        # their stats make the gap to the real dataset visible)
+        "source": dataset_provenance(dataset),
+        "graph_stats": graph_stats(csr, sample=500),
     }
     rec.update(extra)
     return rec

@@ -32,12 +32,24 @@ DATASET_SIZES = {
 
 
 def synthetic_powerlaw(
-    n: int, nnz: int, seed: int = 1234, clustering: float = 0.5
+    n: int,
+    nnz: int,
+    seed: int = 1234,
+    clustering: float = 0.5,
+    triadic: float = 0.0,
 ) -> CSR:
     """Deterministic scale-free-ish symmetric graph: endpoint ids drawn
     with Zipf-like weights plus a fraction of short-range 'community'
     edges so reordering has structure to find (real OGB graphs have
-    both hubs and communities)."""
+    both hubs and communities).
+
+    triadic > 0 rewires that fraction of edges by one round of triadic
+    closure (u-v, v-w => u-w): raises the local clustering coefficient
+    toward real-graph values (OGB-paper-style graphs report avg local
+    clustering ~0.2-0.4; the base model measures near 0). Default 0
+    keeps the round-1 generator bit-identical, so existing cached
+    fixtures and artifacts stay valid; artifacts record measured stats
+    via graph_stats() either way."""
     rng = np.random.default_rng(seed)
     m = nnz // 2
     # hub endpoints: ids ~ (uniform^alpha) concentrates mass at low ids
@@ -50,12 +62,83 @@ def synthetic_powerlaw(
     far_dst = (n * rng.random(m - n_local) ** alpha).astype(np.int64) % n
     dst = np.concatenate([local_dst, far_dst])
     src = np.concatenate([local_src, src[: m - n_local]])
+    if triadic > 0:
+        # close wedges u-v-w: sample surviving edges (u, v), look up an
+        # edge (v, w) by binary search on sorted sources, and spend a
+        # DIFFERENT (sacrificed) edge slot on the new (u, w) — replacing
+        # the wedge's own edge would destroy the triangle being built
+        k = int(m * triadic) // 2
+        if k:
+            sac = rng.choice(m, size=k, replace=False)
+            wedge = rng.integers(0, m, size=k)
+            order = np.argsort(src, kind="stable")
+            pos = np.minimum(np.searchsorted(src[order], dst[wedge]), m - 1)
+            w = dst[order][pos]
+            u = src[wedge].copy()
+            valid = (src[order][pos] == dst[wedge]) & (w != u)
+            src[sac] = np.where(valid, u, src[sac])
+            dst[sac] = np.where(valid, w, dst[sac])
     # scatter communities across id space so 'original' order is poor
     scramble = rng.permutation(n)
     src, dst = scramble[src], scramble[dst]
     edges = np.stack([np.concatenate([src, dst]), np.concatenate([dst, src])], 1)
     keep = edges[:, 0] != edges[:, 1]
     return CSR.from_edges(edges[keep], n_rows=n)
+
+
+def graph_stats(csr: CSR, sample: int = 2000, seed: int = 0) -> dict:
+    """Measured structural statistics for honest artifact labeling
+    (degree distribution + sampled avg local clustering coefficient).
+    Every benchmark record on a synthetic stand-in carries these so the
+    gap to the real dataset is visible, not hidden."""
+    deg = csr.degrees().astype(np.int64)
+    n = csr.n_rows
+    rng = np.random.default_rng(seed)
+    indptr = np.asarray(csr.indptr)
+    indices = np.asarray(csr.indices)
+    cand = np.nonzero(deg >= 2)[0]
+    cc = 0.0
+    if cand.size:
+        pick = rng.choice(cand, size=min(sample, cand.size), replace=False)
+        coefs = []
+        for v in pick:
+            nb = indices[indptr[v]: indptr[v + 1]]
+            if nb.size > 400:  # cap hub cost; subsample neighbors
+                nb = rng.choice(nb, size=400, replace=False)
+            nbset = np.unique(nb)
+            d = nbset.size
+            if d < 2:
+                continue
+            # count edges among neighbors via sorted membership tests
+            links = 0
+            for u in nbset:
+                unb = indices[indptr[u]: indptr[u + 1]]
+                links += np.searchsorted(
+                    nbset, unb, side="right"
+                ).sum() - np.searchsorted(nbset, unb, side="left").sum()
+            coefs.append(links / (d * (d - 1)))
+        cc = float(np.mean(coefs)) if coefs else 0.0
+    return {
+        "n": int(n),
+        "nnz": int(csr.nnz),
+        "avg_degree": float(deg.mean()) if n else 0.0,
+        "max_degree": int(deg.max()) if n else 0,
+        "degree_p99": int(np.percentile(deg, 99)) if n else 0,
+        "clustering_sampled": round(cc, 4),
+    }
+
+
+def dataset_provenance(name: str) -> str:
+    """'ogb' when the real dataset is importable/downloadable, else
+    'synthetic_fallback' (this environment has zero egress — every
+    benchmark in benchmarks/ is on the deterministic stand-in at the
+    reference's published (n, nnz))."""
+    try:
+        import ogb  # noqa: F401
+
+        return "ogb"
+    except ImportError:
+        return "synthetic_fallback"
 
 
 def load_dataset(

@@ -33,6 +33,10 @@ import numpy as np
 from spmm_denseblock_tpu.formats.csr import CSR
 from spmm_denseblock_tpu.ops.plan import Plan, grad_plan
 
+# gather-intermediate budget: slots * F * 4 bytes; 2M slots keeps the
+# biggest per-chunk intermediate ~4 GB at F=512
+CHUNK_SLOTS = 2 << 20
+
 
 @functools.partial(jax.jit, static_argnames=("layout", "has_vals"))
 def _ell_spmm_device(idx_cat, vals_cat, positions, dense, layout, has_vals):
@@ -83,7 +87,12 @@ def _ell_layout(csr: CSR):
             v = np.zeros(m_k * K, dtype=np.float32)
             v[tgt] = vals[src]
             val_parts.append(v)
-        layout.append((int(m_k), int(K)))
+        # split giant classes so the gathered intermediate stays bounded
+        # (products-scale: one class can hold 10^8 slots; each chunk's
+        # (m, K, F) gather must fit HBM even if XLA fails to fuse the sum)
+        max_m = max(1, CHUNK_SLOTS // K)
+        for s in range(0, m_k, max_m):
+            layout.append((int(min(max_m, m_k - s)), int(K)))
 
     positions = np.empty(n, dtype=np.int32)
     positions[order] = np.arange(n, dtype=np.int32)

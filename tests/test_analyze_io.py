@@ -191,3 +191,31 @@ def test_bandwidth_profile_improves_with_rcm():
     assert after["bandwidth"] <= before["bandwidth"]
     empty = CSR.from_coo([], [], None, (4, 4))
     assert bandwidth_profile(empty)["bandwidth"] == 0.0
+
+
+def test_graph_stats_and_triadic_closure():
+    """graph_stats measures what it claims (clique -> clustering 1.0)
+    and triadic rewiring raises clustering over the base generator."""
+    import numpy as np
+    from spmm_denseblock_tpu.formats.csr import CSR
+    from spmm_denseblock_tpu.io.datasets import (
+        dataset_provenance,
+        graph_stats,
+        synthetic_powerlaw,
+    )
+
+    # K6 clique: every local clustering coefficient is 1
+    n = 6
+    rows, cols = np.nonzero(~np.eye(n, dtype=bool))
+    k6 = CSR.from_coo(rows, cols, None, (n, n))
+    s = graph_stats(k6)
+    assert s["clustering_sampled"] == 1.0
+    assert s["avg_degree"] == 5.0
+
+    base = synthetic_powerlaw(4000, 60000, seed=3)
+    closed = synthetic_powerlaw(4000, 60000, seed=3, triadic=0.5)
+    sb = graph_stats(base, sample=400, seed=1)
+    sc = graph_stats(closed, sample=400, seed=1)
+    assert sc["clustering_sampled"] > sb["clustering_sampled"]
+
+    assert dataset_provenance("ogbn-arxiv") in ("ogb", "synthetic_fallback")
