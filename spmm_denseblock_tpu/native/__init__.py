@@ -36,6 +36,7 @@ _SIGNATURES = {
     "sdb_gorder": [_I64, _PI32, _PI32, _I64, _PI64],
     "sdb_rabbit": [_I64, _PI32, _PI32, _PI64],
     "sdb_greedy_closest": [_I64, _PI32, _PI32, _I64, _PI64],
+    "sdb_permutate": [_I64, _PI32, _PI32, _PI64, _PI32, _PI32, _PI64],
 }
 
 
@@ -56,6 +57,7 @@ def _build() -> bool:
                 "-O3",
                 "-fPIC",
                 "-march=native",
+                "-fopenmp",
                 "-shared",
                 "-o",
                 tmp_path,

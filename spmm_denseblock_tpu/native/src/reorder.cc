@@ -185,16 +185,40 @@ struct OMap {  // insertion-ordered community -> weight map
     }
   }
   void erase(i64 k) {
+    // swap-remove: O(1). Perturbs insertion order at the erased slot,
+    // which only shifts tie-breaking among equal-gain candidates — the
+    // original O(size) reindexing erase made products-scale merges
+    // quadratic (every merge erases from the absorber's map).
     auto it = pos.find(k);
     if (it == pos.end()) return;
     size_t idx = it->second;
-    items.erase(items.begin() + idx);
     pos.erase(it);
-    for (auto& kv : pos)
-      if (kv.second > idx) --kv.second;
+    if (idx + 1 != items.size()) {
+      items[idx] = items.back();
+      pos[items[idx].first] = idx;
+    }
+    items.pop_back();
+  }
+  void prune_to(size_t cap) {
+    // keep the cap heaviest entries (community merges accumulate huge
+    // neighbor maps on hub-rich graphs; the tail carries negligible
+    // modularity gain). Amortized: callers prune at 2*cap.
+    if (items.size() <= cap) return;
+    std::nth_element(
+        items.begin(), items.begin() + cap, items.end(),
+        [](const std::pair<i64, double>& a, const std::pair<i64, double>& b) {
+          return a.second > b.second;
+        });
+    items.resize(cap);
+    pos.clear();
+    for (size_t i = 0; i < items.size(); ++i) pos.emplace(items[i].first, i);
   }
 };
 }  // namespace rabbit_detail
+
+// community-map cap for the rabbit fast path (see prune_to): bounds
+// total aggregation work to O(n * cap + nnz)
+static const size_t kRabbitCap = 1024;
 
 void sdb_rabbit(i64 n, const i32* indptr, const i32* indices, i64* old2new) {
   using rabbit_detail::OMap;
@@ -270,6 +294,11 @@ void sdb_rabbit(i64 n, const i32* indptr, const i32* indices, i64* old2new) {
     for (auto& [r, w] : combined.items)
       if (r != v) dv.add(r, w);
     dv.erase(u);
+    // cap the absorber's community map (top-weight entries): bounds
+    // per-merge work to O(cap) so the full products-scale graph
+    // aggregates in linear time; the reference instead parallelized
+    // (rabbit_order.hpp:267-310) — this is the sequential fast path.
+    if (dv.items.size() > 2 * kRabbitCap) dv.prune_to(kRabbitCap);
     strength[v] += strength[u];
     nbrs[u] = OMap();  // free
   }
@@ -339,6 +368,44 @@ void sdb_greedy_closest(i64 n, const i32* indptr, const i32* indices,
       best = scan;
     }
     x = best;
+  }
+}
+
+// Apply a square-matrix vertex permutation: new CSR with row i ->
+// old2new[i] and neighbor ids relabeled + per-row sorted. O(nnz) layout
+// pass + tiny per-row sorts (avg-degree-sized) instead of a global
+// comparison sort over nnz — ~10x the numpy fused-key argsort at
+// products scale (123M nnz), and trivially parallel over rows.
+// `order` receives, for every slot of the NEW indices array, the index
+// of the source element in the OLD indices array, so callers permute a
+// values array with one numpy gather (data_new = data[order]).
+void sdb_permutate(i64 n, const i32* indptr, const i32* indices,
+                   const i64* old2new, i32* out_indptr, i32* out_indices,
+                   i64* order) {
+  std::vector<i64> new2old(n);
+  for (i64 r = 0; r < n; ++r) new2old[old2new[r]] = r;
+  out_indptr[0] = 0;
+  for (i64 nr = 0; nr < n; ++nr) {
+    i64 r = new2old[nr];
+    out_indptr[nr + 1] = out_indptr[nr] + (indptr[r + 1] - indptr[r]);
+  }
+#pragma omp parallel
+  {
+    std::vector<std::pair<i32, i64>> row;  // (new col, old element idx)
+#pragma omp for schedule(dynamic, 256)
+    for (i64 nr = 0; nr < n; ++nr) {
+      i64 r = new2old[nr];
+      i32 s = indptr[r], e = indptr[r + 1];
+      row.clear();
+      for (i32 k = s; k < e; ++k)
+        row.emplace_back((i32)old2new[indices[k]], (i64)k);
+      std::sort(row.begin(), row.end());
+      i64 o = out_indptr[nr];
+      for (size_t j = 0; j < row.size(); ++j) {
+        out_indices[o + (i64)j] = row[j].first;
+        order[o + (i64)j] = row[j].second;
+      }
+    }
   }
 }
 

@@ -33,9 +33,12 @@ import numpy as np
 from spmm_denseblock_tpu.formats.csr import CSR
 from spmm_denseblock_tpu.ops.plan import Plan, grad_plan
 
-# gather-intermediate budget: slots * F * 4 bytes; 2M slots keeps the
-# biggest per-chunk intermediate ~4 GB at F=512
-CHUNK_SLOTS = 2 << 20
+# gather-intermediate budget: slots * F * 4 bytes; 8M slots keeps the
+# biggest per-chunk intermediate ~4 GB at F=128 (the GNN regime) while
+# holding the chunk count low enough for the remote compiler at
+# products scale (~30 chunks at 246M slots). Lower it for F >= 512
+# full-graph serving.
+CHUNK_SLOTS = 8 << 20
 
 
 @functools.partial(jax.jit, static_argnames=("layout", "has_vals"))

@@ -12,6 +12,8 @@ registry.py.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from spmm_denseblock_tpu.formats.csr import CSR
@@ -21,9 +23,32 @@ def permutate(old2new: np.ndarray, csr: CSR) -> CSR:
     """Apply a vertex permutation to both axes of a (square) sparse matrix.
 
     For rectangular matrices, the permutation applies to rows only.
+    Square matrices route through the native O(nnz) counting-layout pass
+    (sdb_permutate: per-row copies + avg-degree-sized sorts, OpenMP) —
+    ~10x the numpy global fused-key argsort at products scale; the numpy
+    path remains the spec and the fallback.
     """
     old2new = np.asarray(old2new, dtype=np.int64)
     n_rows, n_cols = csr.shape
+    if n_rows == n_cols and not os.environ.get("SDB_NO_NATIVE"):
+        from spmm_denseblock_tpu import native as _native
+
+        lib = _native.load()
+        if lib is not None:
+            indptr = np.ascontiguousarray(np.asarray(csr.indptr), np.int32)
+            indices = np.ascontiguousarray(np.asarray(csr.indices), np.int32)
+            o2n = np.ascontiguousarray(old2new)
+            out_indptr = np.empty(n_rows + 1, np.int32)
+            out_indices = np.empty(csr.nnz, np.int32)
+            order = np.empty(csr.nnz, np.int64)
+            lib.sdb_permutate(
+                n_rows, indptr, indices, o2n, out_indptr, out_indices, order
+            )
+            data = None if csr.data is None else np.asarray(csr.data)[order]
+            return CSR(
+                indptr=out_indptr, indices=out_indices, data=data,
+                shape=csr.shape,
+            )
     rows = old2new[csr.row_ids().astype(np.int64)]
     cols = np.asarray(csr.indices, dtype=np.int64)
     if n_rows == n_cols:

@@ -125,3 +125,50 @@ def test_native_scales_to_reference_size(lib):
     t_gorder = time.perf_counter() - t0
     check_permutation(perm, csr.n_rows)
     assert t_rcmk < 10 and t_gorder < 60, (t_rcmk, t_gorder)
+
+
+def test_native_permutate_bit_equal():
+    """sdb_permutate vs the numpy spec: identical indptr/indices/data on
+    valued and unvalued square matrices (stable duplicate handling)."""
+    import os
+
+    import numpy as np
+
+    from spmm_denseblock_tpu import native
+    from spmm_denseblock_tpu.formats.csr import CSR, random_csr
+    from spmm_denseblock_tpu.reorder.base import permutate
+
+    if native.load() is None:
+        import pytest
+
+        pytest.skip("no native lib")
+
+    rng = np.random.default_rng(0)
+    for seed, valued in ((1, True), (2, False)):
+        csr = random_csr(0.07, 150, 150, seed=seed,
+                         values=None if valued else "ones")
+        # duplicate edges exercise stable ordering
+        dup = CSR.from_coo(
+            np.concatenate([csr.row_ids(), [3, 3]]),
+            np.concatenate([np.asarray(csr.indices), [7, 7]]),
+            None if csr.data is None
+            else np.concatenate([np.asarray(csr.data), [0.5, 0.25]]),
+            csr.shape,
+        )
+        perm = rng.permutation(150).astype(np.int64)
+        got = permutate(perm, dup)
+        os.environ["SDB_NO_NATIVE"] = "1"
+        try:
+            want = permutate(perm, dup)
+        finally:
+            del os.environ["SDB_NO_NATIVE"]
+        np.testing.assert_array_equal(
+            np.asarray(got.indptr), np.asarray(want.indptr)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.indices), np.asarray(want.indices)
+        )
+        if dup.data is not None:
+            np.testing.assert_array_equal(
+                np.asarray(got.data), np.asarray(want.data)
+            )
