@@ -47,13 +47,15 @@ from spmm_denseblock_tpu.ops.hybrid_spmm import hybrid_spmm_plan
 from spmm_denseblock_tpu.ops.reference import spmm_dense_jnp
 
 
+def _dense_apply(statics, arrays, dense):
+    (a,) = arrays
+    return spmm_dense_jnp(a, dense)
+
+
 def _dense_plan(mat, **kw):
-    a = jnp.asarray(mat.to_dense())
+    from spmm_denseblock_tpu.ops.plan import Plan
 
-    def run(dense):
-        return spmm_dense_jnp(a, dense)
-
-    return run
+    return Plan((jnp.asarray(mat.to_dense()),), _dense_apply)
 
 
 def _as_csr(m):

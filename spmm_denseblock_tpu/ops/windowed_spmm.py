@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from spmm_denseblock_tpu.formats.windowed import Windowed
 from spmm_denseblock_tpu.ops.csr_spmm_ell import csr_spmm_ell_plan
+from spmm_denseblock_tpu.ops.plan import Plan, sum_plan
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows",))
@@ -44,8 +45,20 @@ def _windowed_matmul(tiles, win_idx, dense_blocked, n_rows: int):
     return out[:n_rows]
 
 
+def _windowed_apply(statics, arrays, dense):
+    n_rows, n_cols, k_padded, W, dtype_key = statics
+    tiles, win_idx = arrays
+    dense = jnp.asarray(dense)
+    assert dense.shape[0] == n_cols, (dense.shape, n_cols)
+    d = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
+    if dtype_key is not None:
+        d = d.astype(dtype_key)
+    blocked = d.reshape(k_padded // W, W, d.shape[1])
+    return _windowed_matmul(tiles, win_idx, blocked, n_rows)
+
+
 def windowed_spmm_plan(wt: Windowed, dtype=None):
-    """Host prep once -> jitted C = f(B)."""
+    """Host prep once -> Plan C = f(B) (callable pytree; see ops/plan.py)."""
     R, W = wt.tile_rows, wt.window
     n_rows, n_cols = wt.shape
     k_padded = -(-n_cols // W) * W
@@ -53,21 +66,15 @@ def windowed_spmm_plan(wt: Windowed, dtype=None):
     if dtype is not None:
         tiles = tiles.astype(dtype)
     win_idx = jnp.asarray(wt.win_idx)
-    rem_plan = csr_spmm_ell_plan(wt.remainder) if wt.remainder.nnz else None
-
-    def run(dense):
-        dense = jnp.asarray(dense)
-        assert dense.shape[0] == n_cols, (dense.shape, n_cols)
-        d = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
-        if dtype is not None:
-            d = d.astype(dtype)
-        blocked = d.reshape(k_padded // W, W, d.shape[1])
-        out = _windowed_matmul(tiles, win_idx, blocked, n_rows)
-        if rem_plan is not None:
-            out = out + rem_plan(dense)
-        return out
-
-    return run
+    dtype_key = None if dtype is None else jnp.dtype(dtype).name
+    win_plan = Plan(
+        (tiles, win_idx),
+        _windowed_apply,
+        (n_rows, n_cols, k_padded, W, dtype_key),
+    )
+    if not wt.remainder.nnz:
+        return win_plan
+    return sum_plan((win_plan, csr_spmm_ell_plan(wt.remainder)))
 
 
 def windowed_spmm(wt: Windowed, dense, **kw) -> jax.Array:
@@ -114,15 +121,16 @@ def windowed_spmm_int8_plan(wt: Windowed):
         out = jnp.sum(scaled, axis=1).reshape(-1, qd.shape[1])[:n_rows]
         return out * col_scale[None, :]
 
-    def run(dense):
+    def _int8_apply(statics, arrays, dense):
+        q_tiles, sc, win_idx = arrays
         dense = jnp.asarray(dense, jnp.float32)
         assert dense.shape[0] == n_cols, (dense.shape, n_cols)
-        out = run_impl(q_tiles, sc, win_idx, dense)
-        if rem_plan is not None:
-            out = out + rem_plan(dense)
-        return out
+        return run_impl(q_tiles, sc, win_idx, dense)
 
-    return run
+    win_plan = Plan((q_tiles, sc, win_idx), _int8_apply)
+    if rem_plan is None:
+        return win_plan
+    return sum_plan((win_plan, rem_plan))
 
 
 def tiered_spmm_plan(
@@ -162,13 +170,6 @@ def tiered_spmm_plan(
         runs.append(bsr_spmm_xla_plan(hyb.dense, dtype=dtype))
     if hyb.remainder.nnz:
         runs.append(csr_spmm_ell_plan(hyb.remainder))
-
-    def run(dense):
-        # no outer jit: sub-plans jit internally; an outer jit would embed
-        # their closed-over arrays as HLO constants (HTTP 413 at GB scale)
-        out = runs[0](dense)
-        for r in runs[1:]:
-            out = out + r(dense)
-        return out
-
-    return run
+    # Plan composition: sub-plan arrays stay jit ARGUMENTS (never HLO
+    # constants) even when a training step jits through the whole tier
+    return runs[0] if len(runs) == 1 else sum_plan(runs)

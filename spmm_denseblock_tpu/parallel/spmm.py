@@ -117,12 +117,15 @@ def dist_bsr_spmm_plan(
         if balance is True or (imbalance > 1.25 and not halo_eligible):
             perm = balanced_block_row_permutation(bsr, n_dev)
             b = bsr.b
+            # LPT assigns into n_dev stripes of rows_per0 slots each —
+            # the permuted grid must cover ALL slots (perm values reach
+            # n_dev*rows_per0 - 1 when nbr doesn't divide the mesh)
+            nbr_pad = n_dev * rows_per0
             permuted = BSR.from_parts(
                 perm[np.asarray(bsr.block_rows[: bsr.nnzb])].astype(np.int32),
                 np.asarray(bsr.block_cols[: bsr.nnzb]),
                 np.asarray(bsr.blocks[: bsr.nnzb]),
-                # cover the full block grid so no permuted row is truncated
-                (nbr * b, bsr.shape[1]),
+                (nbr_pad * b, bsr.shape[1]),
                 b,
             )
             inner = dist_bsr_spmm_plan(

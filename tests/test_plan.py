@@ -1,0 +1,78 @@
+"""Plan pytree API: composition, grads, and the GB-scale no-constants
+property (ROUND1_NOTES §0 / ops/plan.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spmm_denseblock_tpu.formats.bsr import random_bsr
+from spmm_denseblock_tpu.formats.csr import random_csr
+from spmm_denseblock_tpu.ops import (
+    Plan,
+    assert_allclose,
+    bsr_spmm_pallas_plan,
+    csr_spmm_ell_plan,
+    spmm_plan,
+    spmm_scipy,
+    sum_plan,
+)
+
+
+def test_plan_is_pytree_and_callable(rng):
+    csr = random_csr(0.08, 64, 64, seed=1)
+    plan = csr_spmm_ell_plan(csr, grad=False)
+    assert isinstance(plan, Plan)
+    leaves, treedef = jax.tree.flatten(plan)
+    assert all(hasattr(x, "dtype") for x in leaves)
+    rebuilt = jax.tree.unflatten(treedef, leaves)
+    x = rng.standard_normal((64, 8)).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(plan(x)), np.asarray(rebuilt(x)))
+
+
+def test_plan_passes_through_jit_as_argument(rng):
+    """The point of the API: plan arrays become jit PARAMETERS, not HLO
+    constants, when the plan is a jit argument."""
+    bsr = random_bsr(0.3, 8, 8, block_size=16, seed=2)
+    plan = bsr_spmm_pallas_plan(bsr, grad=False)
+    x = jnp.asarray(rng.standard_normal((bsr.shape[1], 8)).astype(np.float32))
+
+    as_arg = jax.jit(lambda p, v: p(v)).lower(plan, x).as_text()
+    as_closure = jax.jit(lambda v: plan(v)).lower(x).as_text()
+    # the (nnzb, 16, 16) block tensor must appear in the arg version's
+    # entry parameters, and as an embedded constant in the closure one
+    blocks_shape = "x".join(map(str, np.asarray(plan.arrays[2]).shape))
+    entry_line = next(
+        line for line in as_arg.splitlines() if "func.func public @main" in line
+    )
+    assert blocks_shape in entry_line, entry_line
+    closure_entry = next(
+        line
+        for line in as_closure.splitlines()
+        if "func.func public @main" in line
+    )
+    assert blocks_shape not in closure_entry, closure_entry
+
+    # and both still compute the same thing
+    got_arg = np.asarray(jax.jit(lambda p, v: p(v))(plan, x))
+    assert_allclose(got_arg, np.asarray(plan(x)))
+
+
+def test_sum_plan_and_grad_through_composition(rng):
+    csr = random_csr(0.1, 48, 48, seed=3)
+    p1 = csr_spmm_ell_plan(csr)  # grad wrapper
+    p2 = csr_spmm_ell_plan(csr)
+    s = sum_plan((p1, p2))
+    x = jnp.asarray(rng.standard_normal((48, 6)).astype(np.float32))
+    a = jnp.asarray(csr.to_dense())
+    g1 = jax.grad(lambda v: jnp.sum(jnp.cos(s(v))))(x)
+    g2 = jax.grad(lambda v: jnp.sum(jnp.cos(2.0 * (a @ v))))(x)
+    assert_allclose(g1, g2, msg="grad through sum_plan")
+
+
+def test_spmm_plan_returns_plans_for_main_tiers(rng):
+    csr = random_csr(0.05, 96, 96, seed=4, values="ones")
+    for impl in ("csr_xla", "csr_ell", "csr_pallas", "windowed", "tiered"):
+        p = spmm_plan(csr, impl=impl, block_size=16)
+        assert isinstance(p, Plan), impl
+        got = np.asarray(p(rng.standard_normal((96, 5)).astype(np.float32)))
+        assert got.shape == (96, 5)
