@@ -172,3 +172,34 @@ def test_native_permutate_bit_equal():
             np.testing.assert_array_equal(
                 np.asarray(got.data), np.asarray(want.data)
             )
+
+
+def test_native_products_scale_rate_gates(lib):
+    """Products-scale throughput gates at 10% size (full 123M-nnz
+    numbers, measured round 2: permutate ~22 s, degree ~22 s total,
+    rcmk ~48 s, rabbit ~165 s after the O(1)-erase + capped-map fixes —
+    before them rabbit did not terminate). The 10% gates here catch
+    complexity regressions without a 4-minute fixture build."""
+    import time
+
+    import numpy as np
+
+    from spmm_denseblock_tpu.reorder.base import permutate
+
+    csr = synthetic_powerlaw(2_449_029 // 10, 123_718_280 // 10, seed=2)
+
+    t0 = time.perf_counter()
+    out = permutate(
+        np.random.default_rng(0).permutation(csr.n_rows).astype(np.int64), csr
+    )
+    t_perm = time.perf_counter() - t0
+    assert out.nnz == csr.nnz
+
+    t0 = time.perf_counter()
+    perm = _native_impl("rabbit")(csr)
+    t_rabbit = time.perf_counter() - t0
+    check_permutation(perm, csr.n_rows)
+
+    # linear-ish scaling: 10% of products must stay well under 1/5 of
+    # the full-scale budgets (quadratic regressions blow these out)
+    assert t_perm < 15 and t_rabbit < 60, (t_perm, t_rabbit)
