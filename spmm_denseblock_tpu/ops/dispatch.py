@@ -152,7 +152,17 @@ def spmm_plan(matrix, impl: str = "auto", block_size: int = 128, **kw):
 
             budget = kw.pop("bsr_bytes_budget", 4 << 30)
             nnzb = calculate_nnzb(matrix, block_size)
-            if nnzb * block_size * block_size * 4 > budget:
+            # fill-amplification guard: a weakly-structured graph BSR-ifies
+            # into mostly-zero blocks; past ~32x zero-fill the MXU work is
+            # waste and the scatter-free ELL tier wins (measured: csr_ell
+            # 2.5x over csr_xla; BSR at 2000x fill would be >100x slower).
+            fill_amp = nnzb * block_size * block_size / max(matrix.nnz, 1)
+            if (
+                fill_amp > 32
+                and nnzb * block_size * block_size * 4 <= budget
+            ):
+                impl = "csr_ell"
+            elif nnzb * block_size * block_size * 4 > budget:
                 R, W = 256, 1024
                 T = -(-matrix.n_rows // R)
                 n_win = -(-matrix.n_cols // W)

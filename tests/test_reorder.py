@@ -296,3 +296,18 @@ def test_reordering_improves_block_structure(strategy):
     after = block_metrics(rcsr, [b])[b]["utilization"]
     # every strategy must materially densify blocks on this graph
     assert after > before * 1.2, (strategy, before, after)
+
+
+def test_auto_dispatch_fill_amplification_guard(rng):
+    """Weakly-structured CSR under the HBM budget must route to the
+    scatter-free ELL tier rather than BSR-ify into ~99%-zero blocks."""
+    from spmm_denseblock_tpu.formats.csr import random_csr
+    from spmm_denseblock_tpu.ops import spmm_plan, spmm_scipy
+    from spmm_denseblock_tpu.ops.plan import Plan
+
+    csr = random_csr(0.002, 1024, seed=9, values="ones")  # amp >> 32
+    plan = spmm_plan(csr, impl="auto", block_size=128)
+    assert isinstance(plan, Plan)
+    x = rng.standard_normal((1024, 8)).astype(np.float32)
+    got = np.asarray(plan(x))
+    np.testing.assert_allclose(got, spmm_scipy(csr, x), atol=1e-4)
