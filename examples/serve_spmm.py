@@ -38,6 +38,13 @@ def main():
     ap.add_argument("--block-size", type=int, default=128)
     ap.add_argument("--dim", type=int, default=256)
     ap.add_argument("--check", action="store_true", help="verify vs scipy")
+    ap.add_argument(
+        "--calibrate",
+        action="store_true",
+        help="int8 tiers: fix per-column operand scales from one "
+        "representative batch at plan time (static-scale serving — "
+        "skips the per-call absmax reduction)",
+    )
     args = ap.parse_args()
 
     t0 = time.perf_counter()
@@ -46,7 +53,13 @@ def main():
         csr, args.strategy, tag=f"{args.dataset}_s{args.scale}"
     )
     m = block_metrics(rcsr, [args.block_size])[args.block_size]
-    plan = spmm_plan(rcsr, impl=args.impl, block_size=args.block_size)
+    plan_kw = {}
+    if args.calibrate and "int8" in args.impl:
+        cal = np.random.default_rng(1).standard_normal(
+            (rcsr.n_cols, args.dim)
+        ).astype(np.float32)
+        plan_kw["calibration"] = cal
+    plan = spmm_plan(rcsr, impl=args.impl, block_size=args.block_size, **plan_kw)
     print(
         f"offline prep {time.perf_counter() - t0:.1f}s: n={csr.n_rows} "
         f"nnz={csr.nnz} density={m['density']:.5f}"
