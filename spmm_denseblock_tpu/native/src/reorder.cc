@@ -106,6 +106,13 @@ void sdb_gorder(i64 n, const i32* indptr, const i32* indices, i64 window,
   auto deg = degrees(n, indptr);
   double hub_cut = 1.0;
   if ((double)n > 1.0) hub_cut = std::max(1.0, std::sqrt((double)n));
+  // size-gated fast path — formula-identical with reorder/gorder.py
+  // (bit-equality tests): past 20M nnz cap score-update fan-out near
+  // the average degree; sum(deg^2) under the sqrt(n) cut goes
+  // superlinear on heavy-tailed graphs (115 s at 6M nnz, 380 s at 12M).
+  i64 nnz = indptr[n];
+  if (nnz > 20000000)
+    hub_cut = std::min(hub_cut, std::max(64.0, 4.0 * (double)nnz / (double)n));
   std::vector<i64> key(n, 0);
   std::vector<char> placed(n, 0);
   // max-heap on (key, -id): highest key first, then lowest id

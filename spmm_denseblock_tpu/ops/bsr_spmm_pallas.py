@@ -53,7 +53,7 @@ from spmm_denseblock_tpu.convert.pack import round_up
 from spmm_denseblock_tpu.ops.plan import Plan, grad_plan, sum_plan
 
 
-def _kernel(rows_ref, cols_ref, blocks_ref, *rest, precision, group):
+def _kernel(rows_ref, cols_ref, blocks_ref, *rest, precision, group, fuse_dot):
     dense_refs, out_ref = rest[:-1], rest[-1]
     j = pl.program_id(1)
     prev_row = rows_ref[jnp.maximum(j - 1, 0)]
@@ -72,6 +72,17 @@ def _kernel(rows_ref, cols_ref, blocks_ref, *rest, precision, group):
     # to the VMEM out tile once — amortizes the fixed per-step grid
     # cost over G MXU passes (the TPU analog of the per-wavefront
     # k-loop in rocsparse_bsrmm_impl.h:348-377).
+    if fuse_dot and group > 1:
+        # one (b, G*b) @ (G*b, F) systolic pass: amortizes MXU pipeline
+        # ramp across the group at the cost of two VMEM concat copies
+        lhs = jnp.concatenate([blocks_ref[g] for g in range(group)], axis=1)
+        rhs = jnp.concatenate(
+            [dense_refs[g][:] for g in range(group)], axis=0
+        )
+        out_ref[:] += jnp.dot(
+            lhs, rhs, preferred_element_type=jnp.float32, precision=precision
+        )
+        return
     acc = jnp.dot(
         blocks_ref[0],
         dense_refs[0][:],
@@ -117,7 +128,9 @@ def _ensure_covering(bsr: BSR) -> BSR:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_block_rows", "n_rows", "f_tile", "group", "interpret"),
+    static_argnames=(
+        "n_block_rows", "n_rows", "f_tile", "group", "fuse_dot", "interpret"
+    ),
 )
 def _pallas_spmm(
     step_rows,
@@ -128,6 +141,7 @@ def _pallas_spmm(
     n_rows: int,
     f_tile: int,
     group: int = 1,
+    fuse_dot: bool = False,
     interpret: bool = False,
 ):
     """step_rows: (n_steps,) block-row per grid step; slot_cols:
@@ -167,7 +181,9 @@ def _pallas_spmm(
         else jax.lax.Precision.DEFAULT
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, precision=precision, group=group),
+        functools.partial(
+            _kernel, precision=precision, group=group, fuse_dot=fuse_dot
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_block_rows * b, f_padded), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -239,6 +255,7 @@ def bsr_spmm_pallas_plan(
     grad: bool = True,
     chunk_nnzb: Optional[int] = None,
     group: Optional[int] = None,
+    fuse_dot: bool = False,
 ):
     """Host layout prep once -> jitted C = f(B).
 
@@ -263,12 +280,12 @@ def bsr_spmm_pallas_plan(
     if bsr.nnzb > chunk_nnzb:
         return _chunked_plan(
             bsr, dtype=dtype, f_tile=f_tile, interpret=interpret,
-            grad=grad, chunk_nnzb=chunk_nnzb, group=group,
+            grad=grad, chunk_nnzb=chunk_nnzb, group=group, fuse_dot=fuse_dot,
         )
     if grad:
         fwd = bsr_spmm_pallas_plan(
             bsr, dtype=dtype, f_tile=f_tile, interpret=interpret,
-            grad=False, group=group,
+            grad=False, group=group, fuse_dot=fuse_dot,
         )
         bwd = bsr_spmm_pallas_plan(
             bsr.transpose(),
@@ -277,6 +294,7 @@ def bsr_spmm_pallas_plan(
             interpret=interpret,
             grad=False,
             group=group,
+            fuse_dot=fuse_dot,
         )
         return grad_plan(fwd, bwd)
 
@@ -305,14 +323,14 @@ def bsr_spmm_pallas_plan(
     dtype_key = None if dtype is None else jnp.dtype(dtype).name
     statics = (
         covered.n_block_rows, n_rows, n_cols, k_needed,
-        f_tile, group, interpret, dtype_key,
+        f_tile, group, fuse_dot, interpret, dtype_key,
     )
     return Plan(arrays, _pallas_apply, statics)
 
 
 def _pallas_apply(statics, arrays, dense):
     (n_block_rows, n_rows, n_cols, k_needed,
-     f_tile, group, interpret, dtype_key) = statics
+     f_tile, group, fuse_dot, interpret, dtype_key) = statics
     step_rows, slot_cols, blocks_dev = arrays
     dense = jnp.asarray(dense)
     assert dense.shape[0] == n_cols, (dense.shape, n_cols)
@@ -333,6 +351,7 @@ def _pallas_apply(statics, arrays, dense):
         n_rows,
         ft,
         group,
+        fuse_dot,
         interpret,
     )
     return out[:, : out.shape[1] - pad_c] if pad_c else out
@@ -342,7 +361,8 @@ def bsr_spmm_pallas(bsr: BSR, dense, **kw) -> jnp.ndarray:
     return bsr_spmm_pallas_plan(bsr, **kw)(dense)
 
 
-def _chunked_plan(bsr, dtype, f_tile, interpret, grad, chunk_nnzb, group=None):
+def _chunked_plan(bsr, dtype, f_tile, interpret, grad, chunk_nnzb, group=None,
+                  fuse_dot=False):
     """Sum of per-chunk kernel launches for nnzb beyond the SMEM prefetch
     capacity. Blocks are row-sorted, so chunks are contiguous row bands
     (a row split across two chunks just contributes partial sums)."""
@@ -362,7 +382,7 @@ def _chunked_plan(bsr, dtype, f_tile, interpret, grad, chunk_nnzb, group=None):
             bsr_spmm_pallas_plan(
                 frag, dtype=dtype, f_tile=f_tile, interpret=interpret,
                 grad=grad, chunk_nnzb=bsr.nnzb + 1,  # no recursion
-                group=group,
+                group=group, fuse_dot=fuse_dot,
             )
         )
     return sum_plan(plans)

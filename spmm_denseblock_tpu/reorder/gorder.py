@@ -36,6 +36,14 @@ def gorder(csr: CSR, window: int = 5) -> np.ndarray:
     indices = np.asarray(csr.indices, dtype=np.int64)
     deg = np.diff(indptr)
     hub_cut = max(1.0, np.sqrt(n))
+    # size-gated fast path: the score updates cost ~sum(deg^2) under the
+    # sqrt(n) hub cut, which goes superlinear on heavy-tailed graphs
+    # (measured: 6.2M nnz 115 s, 12.3M nnz 380 s). Past 20M nnz, cap the
+    # update fan-out near the average degree — hubs contribute little
+    # window locality anyway (the same reasoning as the sqrt(n) skip).
+    # MUST stay formula-identical with sdb_gorder (bit-equality tests).
+    if csr.nnz > 20_000_000:
+        hub_cut = min(hub_cut, max(64.0, 4.0 * csr.nnz / n))
 
     def out_neighbors(v):
         return indices[indptr[v] : indptr[v + 1]]
