@@ -55,8 +55,10 @@ def _ell_spmm_device(idx_cat, vals_cat, positions, dense, layout, has_vals):
         g = jnp.take(dense, idx, axis=0)
         if has_vals:
             v = jax.lax.dynamic_slice_in_dim(vals_cat, off, m_k * K)
-            g = g * v[:, None]
-        outs.append(g.reshape(m_k, K, dense.shape[1]).sum(axis=1))
+            g = g * v[:, None].astype(g.dtype)
+        outs.append(
+            g.reshape(m_k, K, dense.shape[1]).sum(axis=1, dtype=jnp.float32)
+        )
         off += m_k * K
     cat = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
     return jnp.take(cat, positions, axis=0).astype(jnp.float32)
@@ -107,12 +109,16 @@ def _ell_layout(csr: CSR):
     return idx_cat, vals_cat, positions, tuple(layout), has_vals
 
 
-def csr_spmm_ell_plan(csr: CSR, grad: bool = True):
-    """Host layout prep once -> Plan C = f(B)."""
+def csr_spmm_ell_plan(csr: CSR, grad: bool = True, dtype=None):
+    """Host layout prep once -> Plan C = f(B).
+
+    dtype=jnp.bfloat16: gather in bf16 (halves the dominant HBM gather
+    traffic on full-graph serving), accumulate in f32 — ~1e-3 relative
+    error, outside the 1e-4 oracle gate, so it is opt-in."""
     if grad:
         return grad_plan(
-            csr_spmm_ell_plan(csr, grad=False),
-            csr_spmm_ell_plan(csr.transpose(), grad=False),
+            csr_spmm_ell_plan(csr, grad=False, dtype=dtype),
+            csr_spmm_ell_plan(csr.transpose(), grad=False, dtype=dtype),
         )
     idx_cat, vals_cat, positions, layout, has_vals = _ell_layout(csr)
     arrays = (
@@ -120,16 +126,19 @@ def csr_spmm_ell_plan(csr: CSR, grad: bool = True):
         jnp.asarray(vals_cat),
         jnp.asarray(positions),
     )
-    statics = (csr.shape, layout, has_vals)
+    dtype_key = None if dtype is None else jnp.dtype(dtype).name
+    statics = (csr.shape, layout, has_vals, dtype_key)
     return Plan(arrays, _ell_apply, statics)
 
 
 def _ell_apply(statics, arrays, dense):
-    (n_rows, n_cols), layout, has_vals = statics
+    (n_rows, n_cols), layout, has_vals, dtype_key = statics
     idx_cat, vals_cat, positions = arrays
     dense = jnp.asarray(dense)
     assert dense.shape[0] == n_cols, (dense.shape, n_cols)
-    if dense.dtype != jnp.float32:
+    if dtype_key is not None:
+        dense = dense.astype(dtype_key)
+    elif dense.dtype != jnp.float32:
         dense = dense.astype(jnp.float32)
     if not layout:  # empty matrix
         return jnp.zeros((n_rows, dense.shape[1]), jnp.float32)
