@@ -175,10 +175,35 @@ def spmm_plan(matrix, impl: str = "auto", block_size: int = 128, **kw):
                     matrix = divide_windowed(matrix, tile_rows=R, window=W)
                     impl = "windowed"
                 else:
-                    matrix = divide(
-                        matrix, block_size, auto_threshold(matrix, block_size)
-                    )
-                    impl = "hybrid"
+                    # candidate thresholds: the analytics-driven one and
+                    # the reference's 0.05 default; score each by a
+                    # simple time model (dense MXU flops + tile-amplified
+                    # remainder gathers) and require the dense part to
+                    # fit the budget. measured: full proteins at thr=0.05
+                    # ran 2x faster than the auto_threshold choice; full
+                    # products OOM'd without the byte cap.
+                    best, best_t = None, float("inf")
+                    for thr in {auto_threshold(matrix, block_size), 0.05}:
+                        hyb = divide(matrix, block_size, thr)
+                        dense_bytes = (
+                            hyb.dense.nnzb * block_size * block_size * 4
+                        )
+                        if dense_bytes > budget:
+                            continue
+                        f_nominal = feat_dim or 128
+                        t_est = (
+                            2.0 * hyb.dense.nnzb * block_size**2 * f_nominal
+                            / (33e12 * 0.6)
+                            + hyb.remainder.nnz * 4096 / 819e9
+                        )
+                        if t_est < best_t:
+                            best, best_t = hyb, t_est
+                    rem_only_t = matrix.nnz * 4096 / 819e9
+                    if best is not None and best_t < rem_only_t:
+                        matrix = best
+                        impl = "hybrid"
+                    else:  # densification pays nothing here
+                        impl = "csr_ell"
     kw.pop("bsr_bytes_budget", None)
     if impl.startswith("bsr") and isinstance(matrix, CSR):
         matrix = csr_to_bsr(matrix, block_size)
