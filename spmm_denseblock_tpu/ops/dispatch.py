@@ -215,7 +215,7 @@ def spmm_plan(matrix, impl: str = "auto", block_size: int = 128, **kw):
 def spmm_tune(
     matrix,
     sample_dense,
-    candidates=("bsr_pallas", "bsr_xla", "csr_xla", "hybrid", "windowed"),
+    candidates=("bsr_pallas", "bsr_xla", "csr_ell", "csr_xla", "hybrid", "windowed"),
     block_size: int = 128,
     **kw,
 ):

@@ -25,7 +25,12 @@ from spmm_denseblock_tpu import native as _native
 
 def gorder(csr: CSR, window: int = 5) -> np.ndarray:
     """Returns old2new. window=5 matches the reference CLI default
-    (/root/reference/Gorder/main.cpp, gorder.py:1-10)."""
+    (/root/reference/Gorder/main.cpp, gorder.py:1-10).
+
+    Practical envelope: the greedy window scan is inherently sequential
+    (the reference ran it offline on arxiv-scale graphs); even with the
+    hub-cap fast path, 100M+-nnz graphs take hours — use rcmk (~48 s at
+    full ogbn-products) or rabbit (~165 s) there."""
     import ctypes
 
     out = _native.run("sdb_gorder", csr, ctypes.c_int64(window))
