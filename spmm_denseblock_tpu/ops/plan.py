@@ -82,12 +82,22 @@ def _vjp_fwd(statics, fwd_plan, bwd_plan, dense):
     return fwd_plan(dense), (fwd_plan, bwd_plan, proto)
 
 
+def _zero_cotangent(x):
+    # integer/bool leaves take float0 cotangents (JAX's tangent type for
+    # non-differentiable arrays); float leaves get DCE-able zeros
+    import numpy as np
+
+    if jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact):
+        return jnp.zeros_like(x)
+    return np.zeros(jnp.shape(x), jax.dtypes.float0)
+
+
 def _vjp_bwd(statics, res, g):
     fwd_plan, bwd_plan, proto = res
     # plan arrays are constants of the computation: zero cotangents
     # (XLA DCEs them — they are never consumed by an optimizer)
-    zf = jax.tree.map(jnp.zeros_like, fwd_plan)
-    zb = jax.tree.map(jnp.zeros_like, bwd_plan)
+    zf = jax.tree.map(_zero_cotangent, fwd_plan)
+    zb = jax.tree.map(_zero_cotangent, bwd_plan)
     return zf, zb, bwd_plan(g).astype(proto.dtype)
 
 
