@@ -110,7 +110,9 @@ def bench_graph(
     rcsr, _ = reorder(csr, strategy)
     metrics = block_metrics(rcsr, [block_size])[block_size]
 
-    kw = dict(dtype=dtype) if dtype else {}
+    # inference plans: grad=True would build transposed-layout copies and
+    # double device memory (full-products hybrid OOM'd on it)
+    kw = dict(dtype=dtype, grad=False) if dtype else dict(grad=False)
     if impl == "windowed":
         from spmm_denseblock_tpu.formats.windowed import divide_windowed
 
@@ -136,7 +138,7 @@ def bench_graph(
         plan = spmm_plan(bsr, impl=impl, **kw)
         extra = {"nnzb": bsr.nnzb}
     else:
-        plan = spmm_plan(rcsr, impl=impl)
+        plan = spmm_plan(rcsr, impl=impl, **kw)
         extra = {}
 
     x = _dense_operand(rcsr.n_cols, dim)

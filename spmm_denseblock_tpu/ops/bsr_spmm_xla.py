@@ -47,7 +47,7 @@ def _bsr_spmm_device(block_rows, block_cols, blocks, dense, n_block_rows, n_rows
     return out[:n_rows].astype(jnp.float32)
 
 
-def bsr_spmm_xla_plan(bsr: BSR, dtype=None):
+def bsr_spmm_xla_plan(bsr: BSR, dtype=None, **_ignored):
     """Host prep once -> jitted C = f(B). B is zero-padded to the block
     grid's column coverage on the fly (cheap, fused by XLA)."""
     dev = bsr.device_put(dtype=dtype)

@@ -71,7 +71,7 @@ def _as_csr(m):
 
 PLANNERS: Dict[str, Callable] = {
     # CSR tier
-    "csr_xla": lambda m, **kw: csr_spmm_plan(_as_csr(m)),
+    "csr_xla": lambda m, **kw: csr_spmm_plan(_as_csr(m)),  # autodiff, no copies
     "csr_pallas": lambda m, **kw: csr_spmm_pallas_plan(_as_csr(m), **kw),
     "csr_ell": lambda m, **kw: csr_spmm_ell_plan(_as_csr(m), **kw),
     "bcoo": lambda m, **kw: bcoo_spmm_plan(_as_csr(m)),
@@ -83,7 +83,7 @@ PLANNERS: Dict[str, Callable] = {
     # hybrid tier
     "hybrid": lambda m, **kw: hybrid_spmm_plan(m, **kw),
     "windowed": lambda m, **kw: windowed_spmm_plan(m, **kw),
-    "windowed_int8": lambda m, **kw: windowed_spmm_int8_plan(m),
+    "windowed_int8": lambda m, **kw: windowed_spmm_int8_plan(m, **kw),
     "tiered": lambda m, **kw: tiered_spmm_plan(m, **kw),
     # oracle tier
     "dense": _dense_plan,
@@ -188,7 +188,9 @@ def spmm_plan(matrix, impl: str = "auto", block_size: int = 128, **kw):
                         dense_bytes = (
                             hyb.dense.nnzb * block_size * block_size * 4
                         )
-                        if dense_bytes > budget:
+                        # half budget: the ELL remainder's gather chunks
+                        # and the dense operand/output share the HBM
+                        if dense_bytes > budget // 2:
                             continue
                         f_nominal = feat_dim or 128
                         t_est = (

@@ -18,14 +18,19 @@ from spmm_denseblock_tpu.ops.bsr_spmm_pallas import bsr_spmm_pallas_plan
 from spmm_denseblock_tpu.ops.plan import sum_plan
 
 
-def hybrid_spmm_plan(hyb: Hybrid, dense_impl: str = "pallas", dtype=None):
+def hybrid_spmm_plan(
+    hyb: Hybrid, dense_impl: str = "pallas", dtype=None, grad: bool = True
+):
+    """grad=False skips the transposed-layout copies the VJP needs —
+    halves device memory for inference/bench plans (a full-products
+    hybrid OOM'd on the doubled footprint)."""
     if hyb.dense.nnzb == 0:
-        return csr_spmm_ell_plan(hyb.remainder)
+        return csr_spmm_ell_plan(hyb.remainder, grad=grad)
     if dense_impl == "pallas":
-        bsr_run = bsr_spmm_pallas_plan(hyb.dense, dtype=dtype)
+        bsr_run = bsr_spmm_pallas_plan(hyb.dense, dtype=dtype, grad=grad)
     else:
         bsr_run = bsr_spmm_xla_plan(hyb.dense, dtype=dtype)
-    csr_run = csr_spmm_ell_plan(hyb.remainder)
+    csr_run = csr_spmm_ell_plan(hyb.remainder, grad=grad)
 
     if hyb.remainder.nnz == 0:
         return bsr_run

@@ -57,7 +57,7 @@ def _windowed_apply(statics, arrays, dense):
     return _windowed_matmul(tiles, win_idx, blocked, n_rows)
 
 
-def windowed_spmm_plan(wt: Windowed, dtype=None):
+def windowed_spmm_plan(wt: Windowed, dtype=None, grad: bool = True):
     """Host prep once -> Plan C = f(B) (callable pytree; see ops/plan.py)."""
     R, W = wt.tile_rows, wt.window
     n_rows, n_cols = wt.shape
@@ -74,14 +74,14 @@ def windowed_spmm_plan(wt: Windowed, dtype=None):
     )
     if not wt.remainder.nnz:
         return win_plan
-    return sum_plan((win_plan, csr_spmm_ell_plan(wt.remainder)))
+    return sum_plan((win_plan, csr_spmm_ell_plan(wt.remainder, grad=grad)))
 
 
 def windowed_spmm(wt: Windowed, dense, **kw) -> jax.Array:
     return windowed_spmm_plan(wt, **kw)(dense)
 
 
-def windowed_spmm_int8_plan(wt: Windowed):
+def windowed_spmm_int8_plan(wt: Windowed, **_ignored):
     """Quantized windowed tier: per-(tile,slot) int8 weight scales x
     per-column dynamic operand scales, int32 MXU accumulation — the
     serving path for reordered real graphs (inference-only)."""
@@ -140,6 +140,7 @@ def tiered_spmm_plan(
     block_size: int = 128,
     density_threshold=None,
     dtype=None,
+    grad: bool = True,
 ):
     """Three-tier executor: row-band window tiles (MXU streaming) +
     square dense blocks mined from the windowed remainder (the hybrid
@@ -159,7 +160,7 @@ def tiered_spmm_plan(
         tile_rows=wt.tile_rows,
         window=wt.window,
     )
-    win_run = windowed_spmm_plan(wt_only, dtype=dtype)
+    win_run = windowed_spmm_plan(wt_only, dtype=dtype, grad=grad)
 
     rem = wt.remainder
     if density_threshold is None:
@@ -169,7 +170,7 @@ def tiered_spmm_plan(
     if hyb.dense.nnzb:
         runs.append(bsr_spmm_xla_plan(hyb.dense, dtype=dtype))
     if hyb.remainder.nnz:
-        runs.append(csr_spmm_ell_plan(hyb.remainder))
+        runs.append(csr_spmm_ell_plan(hyb.remainder, grad=grad))
     # Plan composition: sub-plan arrays stay jit ARGUMENTS (never HLO
     # constants) even when a training step jits through the whole tier
     return runs[0] if len(runs) == 1 else sum_plan(runs)
