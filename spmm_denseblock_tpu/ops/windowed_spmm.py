@@ -99,7 +99,11 @@ def windowed_spmm_int8_plan(wt: Windowed, **_ignored):
     q_tiles = jnp.asarray(q.reshape(T, K, R, W))
     sc = jnp.asarray(scales.reshape(T, K).astype(np.float32))
     win_idx = jnp.asarray(wt.win_idx)
-    rem_plan = csr_spmm_ell_plan(wt.remainder) if wt.remainder.nnz else None
+    # inference-only tier: no VJP layout copies for the remainder
+    rem_plan = (
+        csr_spmm_ell_plan(wt.remainder, grad=False)
+        if wt.remainder.nnz else None
+    )
 
     @jax.jit
     def run_impl(q_tiles, sc, win_idx, dense):
