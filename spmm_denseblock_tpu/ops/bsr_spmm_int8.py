@@ -93,17 +93,23 @@ def bsr_spmm_int8_plan(bsr: BSR, calibration=None, **_ignored):
     n_rows, n_cols = bsr.shape
     k_needed = bsr.n_block_cols * bsr.b
     cs = None if calibration is None else jnp.asarray(static_col_scale(calibration))
+    from spmm_denseblock_tpu.ops.plan import Plan
 
-    def run(dense):
-        dense = jnp.asarray(dense, dtype=jnp.float32)
-        assert dense.shape[0] == n_cols, (dense.shape, n_cols)
-        if k_needed != dense.shape[0]:
-            dense = jnp.pad(dense, ((0, k_needed - dense.shape[0]), (0, 0)))
-        return _int8_spmm(
-            br, bc, qb, sc, dense, bsr.n_block_rows, n_rows, col_scale=cs
-        )
+    arrays = (br, bc, qb, sc, cs)
+    statics = (bsr.n_block_rows, n_rows, n_cols, k_needed)
+    return Plan(arrays, _int8_xla_apply, statics)
 
-    return run
+
+def _int8_xla_apply(statics, arrays, dense):
+    n_block_rows, n_rows, n_cols, k_needed = statics
+    br, bc, qb, sc, cs = arrays
+    dense = jnp.asarray(dense, dtype=jnp.float32)
+    assert dense.shape[0] == n_cols, (dense.shape, n_cols)
+    if k_needed != dense.shape[0]:
+        dense = jnp.pad(dense, ((0, k_needed - dense.shape[0]), (0, 0)))
+    return _int8_spmm(
+        br, bc, qb, sc, dense, n_block_rows, n_rows, col_scale=cs
+    )
 
 
 def bsr_spmm_int8(bsr: BSR, dense) -> jax.Array:

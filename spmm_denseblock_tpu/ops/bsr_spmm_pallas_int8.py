@@ -149,13 +149,9 @@ def bsr_spmm_pallas_int8_plan(
                 )
             )
 
-        def run_chunked(dense):
-            out = plans[0](dense)
-            for p in plans[1:]:
-                out = out + p(dense)
-            return out
+        from spmm_denseblock_tpu.ops.plan import sum_plan
 
-        return run_chunked
+        return sum_plan(plans)
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -176,24 +172,37 @@ def bsr_spmm_pallas_int8_plan(
 
         static_scale = static_col_scale(calibration)
 
-    def run(dense):
-        dense = jnp.asarray(dense, jnp.float32)
-        assert dense.shape[0] == n_cols, (dense.shape, n_cols)
-        ft = f_tile or min(512, round_up(dense.shape[1], 128))
-        f_padded = round_up(dense.shape[1], ft)
-        pad_r = k_needed - dense.shape[0]
-        pad_c = f_padded - dense.shape[1]
-        if pad_r or pad_c:
-            dense = jnp.pad(dense, ((0, pad_r), (0, pad_c)))
-        if static_scale is not None:
-            cs = np.pad(static_scale, (0, pad_c), constant_values=1.0)
-            qdense, col_scale = _quantize_cols_static(dense, jnp.asarray(cs))
-        else:
-            qdense, col_scale = _quantize_cols(dense)
-        out = _pallas_int8_spmm(
-            br, bc, qb, sc, qdense, col_scale,
-            covered.n_block_rows, n_rows, ft, interpret,
-        )
-        return out[:, : out.shape[1] - pad_c] if pad_c else out
+    from spmm_denseblock_tpu.ops.plan import Plan
 
-    return run
+    arrays = (br, bc, qb, sc)
+    statics = (
+        covered.n_block_rows, n_rows, n_cols, k_needed, f_tile, interpret,
+        None if static_scale is None else tuple(float(v) for v in static_scale),
+    )
+    return Plan(arrays, _int8_pallas_apply, statics)
+
+
+def _int8_pallas_apply(statics, arrays, dense):
+    (n_block_rows, n_rows, n_cols, k_needed,
+     f_tile, interpret, static_scale) = statics
+    br, bc, qb, sc = arrays
+    dense = jnp.asarray(dense, jnp.float32)
+    assert dense.shape[0] == n_cols, (dense.shape, n_cols)
+    ft = f_tile or min(512, round_up(dense.shape[1], 128))
+    f_padded = round_up(dense.shape[1], ft)
+    pad_r = k_needed - dense.shape[0]
+    pad_c = f_padded - dense.shape[1]
+    if pad_r or pad_c:
+        dense = jnp.pad(dense, ((0, pad_r), (0, pad_c)))
+    if static_scale is not None:
+        cs = np.pad(
+            np.asarray(static_scale, np.float32), (0, pad_c),
+            constant_values=1.0,
+        )
+        qdense, col_scale = _quantize_cols_static(dense, jnp.asarray(cs))
+    else:
+        qdense, col_scale = _quantize_cols(dense)
+    out = _pallas_int8_spmm(
+        br, bc, qb, sc, qdense, col_scale, n_block_rows, n_rows, ft, interpret
+    )
+    return out[:, : out.shape[1] - pad_c] if pad_c else out
