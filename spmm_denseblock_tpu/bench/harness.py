@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Dict, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from spmm_denseblock_tpu.analyze.metrics import block_metrics
@@ -149,6 +150,7 @@ def bench_graph(
     rec = {
         "kind": "graph", "dataset": dataset, "strategy": strategy,
         "b": block_size, "dim": dim, "impl": impl, "scale": scale,
+        "dtype": jnp.dtype(dtype).name if dtype else "float32",
         "n": csr.n_rows, "nnz": csr.nnz, "ms": secs * 1e3,
         "gflops": flops / secs / 1e9, "nnz_per_s": csr.nnz / secs,
         "block_density": metrics["density"],

@@ -25,12 +25,15 @@ def hybrid_spmm_plan(
     halves device memory for inference/bench plans (a full-products
     hybrid OOM'd on the doubled footprint)."""
     if hyb.dense.nnzb == 0:
-        return csr_spmm_ell_plan(hyb.remainder, grad=grad)
+        return csr_spmm_ell_plan(hyb.remainder, grad=grad, dtype=dtype)
     if dense_impl == "pallas":
         bsr_run = bsr_spmm_pallas_plan(hyb.dense, dtype=dtype, grad=grad)
     else:
         bsr_run = bsr_spmm_xla_plan(hyb.dense, dtype=dtype)
-    csr_run = csr_spmm_ell_plan(hyb.remainder, grad=grad)
+    # dtype also reaches the ELL remainder: on gather-bound graphs
+    # (proteins/products) the remainder gather IS the runtime, and a bf16
+    # gather halves that traffic (opt-in reduced precision, ~1e-3 rel).
+    csr_run = csr_spmm_ell_plan(hyb.remainder, grad=grad, dtype=dtype)
 
     if hyb.remainder.nnz == 0:
         return bsr_run
