@@ -319,11 +319,142 @@ def dist_bsr_spmm_plan(
     )
 
 
-def dist_csr_spmm_plan(
-    csr: CSR, mesh: Optional[Mesh] = None, axis: str = "row"
+def _ell_layout_stripes(csr: CSR, n_shards: int):
+    """Cross-stripe-uniform degree-bucketed ELL layouts for shard_map.
+
+    shard_map traces ONE program for every device, so per-stripe layouts
+    must agree statically: each degree class K is padded to its maximum
+    row count over all stripes (capacity), and every stripe carries the
+    same (slots,) index buffer with pad slots pointing at column n_cols
+    (a zero row of the padded operand — no zero-row concat on device).
+
+    Returns (idx, vals, positions, layout, has_vals): idx/vals are
+    (n_shards, slots); positions (n_shards, rows_per) maps each local
+    row to its row in the class-concatenated output; layout is the
+    shared tuple of (m, K) chunks (same CHUNK_SLOTS splitting as the
+    single-chip tier, ops/csr_spmm_ell.py)."""
+    from spmm_denseblock_tpu.ops.csr_spmm_ell import CHUNK_SLOTS
+    from spmm_denseblock_tpu.reorder.simple import _ragged_arange
+
+    n_rows, n_cols = csr.shape
+    rows_per = -(-n_rows // n_shards)
+    n_tot = n_shards * rows_per
+    indptr = np.asarray(csr.indptr, np.int64)
+    deg = np.zeros(n_tot, np.int64)
+    deg[:n_rows] = np.diff(indptr)
+    cols = np.asarray(csr.indices, np.int64)
+    has_vals = csr.data is not None
+    vals = np.asarray(csr.data, np.float32) if has_vals else None
+
+    K_r = np.maximum(
+        1, 2 ** np.ceil(np.log2(np.maximum(deg, 1))).astype(np.int64)
+    ).reshape(n_shards, rows_per)
+    Ks = np.unique(K_r)
+    counts = np.stack([(K_r == K).sum(axis=1) for K in Ks], axis=1)
+    caps = counts.max(axis=0)  # class capacity = max count over stripes
+
+    slot_off = np.concatenate([[0], np.cumsum(caps * Ks)])
+    cat_off = np.concatenate([[0], np.cumsum(caps)])
+    slots = int(slot_off[-1])
+
+    idx = np.full((n_shards, slots), n_cols, dtype=np.int32)
+    val = np.zeros((n_shards, slots), np.float32) if has_vals else None
+    pos = np.zeros((n_shards, rows_per), np.int32)
+    starts = np.zeros(n_tot, np.int64)
+    starts[:n_rows] = indptr[:-1]
+    for s in range(n_shards):
+        for j, K in enumerate(Ks):
+            loc = np.nonzero(K_r[s] == K)[0]
+            if loc.size == 0:
+                continue
+            g_rows = s * rows_per + loc
+            d = deg[g_rows]
+            base = slot_off[j] + np.arange(loc.size, dtype=np.int64) * K
+            tgt = np.repeat(base, d) + _ragged_arange(d)
+            src = np.repeat(starts[g_rows], d) + _ragged_arange(d)
+            idx[s, tgt] = cols[src]
+            if has_vals:
+                val[s, tgt] = vals[src]
+            pos[s, loc] = cat_off[j] + np.arange(loc.size, dtype=np.int64)
+
+    layout = []
+    for j, K in enumerate(Ks):
+        max_m = max(1, CHUNK_SLOTS // int(K))
+        m_k = int(caps[j])
+        for t in range(0, m_k, max_m):
+            layout.append((int(min(max_m, m_k - t)), int(K)))
+    return idx, val, pos, tuple(layout), has_vals
+
+
+def dist_csr_spmm_ell_plan(
+    csr: CSR, mesh: Optional[Mesh] = None, axis: str = "row", dtype=None
 ):
-    """Row-partitioned element-sparse SpMM: per-stripe gather + segment-sum
-    after a tiled all_gather of B. The CSR tier of the distributed layer."""
+    """Row-partitioned ELL SpMM: the scatter-free degree-bucketed tier
+    (2.5x over gather+segment-sum single-chip, ops/csr_spmm_ell.py)
+    distributed via shard_map. B is cast to `dtype` BEFORE the tiled
+    all_gather, so bf16 serving also halves the ICI exchange bytes."""
+    if mesh is None:
+        mesh = make_mesh_1d()
+    n = int(mesh.shape[axis])
+    n_rows, n_cols = csr.shape
+    rows_per = -(-n_rows // n)
+    # pad strictly past n_cols so index n_cols is a guaranteed-zero row
+    k_padded = -(-(n_cols + 1) // n) * n
+    idx, val, pos, layout, has_vals = _ell_layout_stripes(csr, n)
+
+    stripe = NamedSharding(mesh, P(axis))
+    idx_d = jax.device_put(idx, stripe)
+    val_d = jax.device_put(
+        val if has_vals else np.zeros((n, 1), np.float32), stripe
+    )
+    pos_d = jax.device_put(pos, stripe)
+
+    def stripe_fn(idx, val, pos, b_local):
+        if dtype is not None:
+            b_local = b_local.astype(dtype)
+        b_full = jax.lax.all_gather(b_local, axis, tiled=True)
+        outs = []
+        off = 0
+        for m, K in layout:
+            sl = jax.lax.dynamic_slice_in_dim(idx[0], off, m * K)
+            g = jnp.take(b_full, sl, axis=0)
+            if has_vals:
+                v = jax.lax.dynamic_slice_in_dim(val[0], off, m * K)
+                g = g * v[:, None].astype(g.dtype)
+            outs.append(
+                g.reshape(m, K, b_full.shape[1]).sum(axis=1, dtype=jnp.float32)
+            )
+            off += m * K
+        cat = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+        return jnp.take(cat, pos[0], axis=0)
+
+    fn = jax.shard_map(
+        stripe_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis, None)),
+        out_specs=P(axis, None),
+    )
+
+    @jax.jit
+    def run_impl(idx, val, pos, dense):
+        dense = dense.astype(jnp.float32)
+        dense = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
+        dense = jax.lax.with_sharding_constraint(dense, stripe)
+        return fn(idx, val, pos, dense)[:n_rows]
+
+    return lambda dense: run_impl(idx_d, val_d, pos_d, jnp.asarray(dense))
+
+
+def dist_csr_spmm_plan(
+    csr: CSR, mesh: Optional[Mesh] = None, axis: str = "row",
+    impl: str = "ell", dtype=None,
+):
+    """Row-partitioned element-sparse SpMM. impl="ell" (default) is the
+    scatter-free degree-bucketed tier; impl="segment" keeps the original
+    per-stripe gather + segment-sum after a tiled all_gather of B."""
+    if impl == "ell":
+        return dist_csr_spmm_ell_plan(csr, mesh=mesh, axis=axis, dtype=dtype)
+    assert impl == "segment", impl
     if mesh is None:
         mesh = make_mesh_1d()
     n = int(mesh.shape[axis])
@@ -380,7 +511,9 @@ def dist_hybrid_spmm_plan(
     )
     if hyb.remainder.nnz == 0:
         return bsr_run
-    csr_run = dist_csr_spmm_plan(hyb.remainder, mesh=mesh, axis=axis)
+    csr_run = dist_csr_spmm_plan(
+        hyb.remainder, mesh=mesh, axis=axis, dtype=dtype
+    )
 
     def run(dense):
         # no outer jit: it would re-trace the sub-plans and embed their

@@ -384,3 +384,57 @@ def test_comms_model():
     assert 20668 < need < 500_000, need
     big = efficiency_model("allgather", 8, need, 128, K, F)
     assert big["efficiency"] >= 0.8, big
+
+
+def test_dist_csr_ell_matches_segment_and_oracle(mesh, rng):
+    """The scatter-free dist ELL tier (default) and the segment-sum tier
+    agree with the scipy oracle on a degree-skewed valued matrix (hub
+    rows put stripes in different class sets, exercising the
+    cross-stripe-uniform capacity padding)."""
+    csr = random_csr(0.03, 300, 200, seed=5)
+    # graft two hub rows so class sets differ per stripe
+    s = csr.to_scipy().tolil()
+    s[0, :150] = 1.5
+    s[299, ::2] = -0.5
+    from spmm_denseblock_tpu.formats.csr import CSR
+
+    csr = CSR.from_scipy(s.tocsr())
+    dense = rng.standard_normal((200, 17)).astype(np.float32)
+    want = spmm_scipy(csr, dense)
+    for impl in ("ell", "segment"):
+        run = dist_csr_spmm_plan(csr, mesh=mesh, impl=impl)
+        assert_allclose(np.asarray(run(dense)), want)
+
+
+def test_dist_csr_ell_bf16_gather(mesh, rng):
+    """dtype=bf16 casts B before the all_gather (halves ICI + gather
+    bytes); f32 accumulate keeps rel err ~1e-3 — outside the 1e-4 oracle
+    gate, so it is opt-in (mirrors ops/csr_spmm_ell.py)."""
+    import jax.numpy as jnp
+
+    csr = random_csr(0.05, 256, 192, seed=9)
+    dense = rng.standard_normal((192, 16)).astype(np.float32)
+    want = spmm_scipy(csr, dense)
+    run = dist_csr_spmm_plan(csr, mesh=mesh, dtype=jnp.bfloat16)
+    got = np.asarray(run(dense))
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert 0 < rel < 5e-3, rel
+
+
+def test_dist_hybrid_bf16_remainder(mesh, rng):
+    """dist hybrid forwards dtype to both the dense stripes and the ELL
+    remainder."""
+    import jax.numpy as jnp
+
+    from spmm_denseblock_tpu.convert.divide import divide
+    from spmm_denseblock_tpu.parallel.spmm import dist_hybrid_spmm_plan
+
+    csr = random_csr(0.05, 256, 256, seed=3)
+    hyb = divide(csr, 16, 0.05)
+    assert hyb.dense.nnzb > 0 and hyb.remainder.nnz > 0
+    dense = rng.standard_normal((256, 16)).astype(np.float32)
+    want = spmm_scipy(csr, dense)
+    run = dist_hybrid_spmm_plan(hyb, mesh=mesh, dtype=jnp.bfloat16)
+    got = np.asarray(run(dense))
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 5e-3, rel
