@@ -19,6 +19,7 @@ from spmm_denseblock_tpu.parallel.multihost import (
 )
 from spmm_denseblock_tpu.parallel.spmm import (
     dist_bsr_spmm_plan,
+    dist_csr_spmm_ell_plan,
     dist_csr_spmm_plan,
     dist_hybrid_spmm_plan,
     dist_windowed_spmm_plan,
@@ -38,6 +39,7 @@ __all__ = [
     "bucket_by_col_chunk",
     "shard_stats",
     "dist_bsr_spmm_plan",
+    "dist_csr_spmm_ell_plan",
     "dist_csr_spmm_plan",
     "dist_hybrid_spmm_plan",
     "dist_windowed_spmm_plan",

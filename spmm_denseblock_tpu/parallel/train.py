@@ -67,25 +67,37 @@ def make_dist_train_step(
     mask) -> (params, opt_state, metrics) is one fully-jitted training
     step; inputs are constrained to the mesh layout on entry.
     """
-    if isinstance(adjacency, CSR):
-        bsr = csr_to_bsr(adjacency, block_size)
-    else:
-        bsr = adjacency
-    assert isinstance(bsr, BSR)
+    from spmm_denseblock_tpu.formats.hybrid import Hybrid
+    from spmm_denseblock_tpu.parallel.spmm import dist_hybrid_spmm_plan
 
     row_axis = mesh.axis_names[0]
     col_axis = None
     if len(mesh.axis_names) > 1 and int(mesh.shape[mesh.axis_names[1]]) > 1:
         col_axis = mesh.axis_names[1]
 
-    spmm = dist_bsr_spmm_plan(
-        bsr,
-        mesh=mesh,
-        axis=row_axis,
-        strategy=strategy,
-        dtype=dtype,
-        feature_axis=col_axis,
-    )
+    if isinstance(adjacency, Hybrid):
+        # the north-star path for gather-bound graphs (proteins/products):
+        # BSR-ification is infeasible there (~200x zero fill), so the
+        # aggregation runs dense stripes + the dist ELL remainder. The
+        # SpMM output is replicated over the tp axis (GSPMD re-shards).
+        spmm = dist_hybrid_spmm_plan(
+            adjacency, mesh=mesh, axis=row_axis, strategy=strategy,
+            dtype=dtype,
+        )
+    else:
+        if isinstance(adjacency, CSR):
+            bsr = csr_to_bsr(adjacency, block_size)
+        else:
+            bsr = adjacency
+        assert isinstance(bsr, BSR)
+        spmm = dist_bsr_spmm_plan(
+            bsr,
+            mesh=mesh,
+            axis=row_axis,
+            strategy=strategy,
+            dtype=dtype,
+            feature_axis=col_axis,
+        )
 
     init_fn, apply_fn = MODELS[model]
     params = init_fn(jax.random.PRNGKey(seed), dims)

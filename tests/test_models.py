@@ -288,3 +288,26 @@ def test_eval_step(rng):
     y = rng.integers(0, 3, size=40).astype(np.int32)
     m = ev(params, x, y, np.ones(40, np.float32))
     assert np.isfinite(float(m["loss"])) and 0 <= float(m["acc"]) <= 1
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_dist_train_step_hybrid(mesh_shape, rng):
+    """Hybrid adjacency (dense stripes + dist ELL remainder) through the
+    full distributed train step — the north-star aggregation path for
+    gather-bound graphs where BSR-ification is infeasible."""
+    from spmm_denseblock_tpu.convert.divide import divide
+
+    mesh = make_mesh(mesh_shape)
+    dims = [8, 16, 4]
+    adj, x, y, mask = random_problem(128, dims, p=0.05, seed=3)
+    hyb = divide(adj, 16, 0.05)
+    assert hyb.remainder.nnz > 0  # the ELL tier must actually run
+    params, opt_state, step = make_dist_train_step(
+        hyb, mesh, dims, model="gcn", block_size=16
+    )
+    losses = []
+    for _ in range(10):
+        params, opt_state, m = step(params, opt_state, x, y, mask)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
