@@ -74,7 +74,12 @@ def _kernel(rows_ref, cols_ref, blocks_ref, *rest, precision, group, fuse_dot):
     # k-loop in rocsparse_bsrmm_impl.h:348-377).
     if fuse_dot and group > 1:
         # one (b, G*b) @ (G*b, F) systolic pass: amortizes MXU pipeline
-        # ramp across the group at the cost of two VMEM concat copies
+        # ramp across the group at the cost of two VMEM concat copies.
+        # Measured on chip (benchmarks/tpu_v5e_fusedot_ab.jsonl, G=4
+        # headline config): parity with the unfused G-pass loop — f32
+        # 24.79 vs 24.77 TF/s, bf16 49.05 vs 49.18. Mosaic already
+        # pipelines the G accumulating dots, so fusing buys nothing;
+        # kept (off by default) as the seed for K-dim packing work.
         lhs = jnp.concatenate([blocks_ref[g] for g in range(group)], axis=1)
         rhs = jnp.concatenate(
             [dense_refs[g][:] for g in range(group)], axis=0
