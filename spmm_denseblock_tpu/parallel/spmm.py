@@ -35,6 +35,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from spmm_denseblock_tpu.formats.bsr import BSR
 from spmm_denseblock_tpu.formats.csr import CSR
 from spmm_denseblock_tpu.parallel.mesh import make_mesh_1d
+from spmm_denseblock_tpu.ops.plan import Plan, sum_plan
 from spmm_denseblock_tpu.parallel.shard import (
     bucket_by_col_chunk,
     bucket_halo,
@@ -61,6 +62,158 @@ def _local_bsr_spmm(local_rows, cols, blocks, b_blocked, n_seg):
         precision=prec,
     )
     return jax.ops.segment_sum(prod, local_rows, num_segments=n_seg)
+
+
+# ---------------------------------------------------------------------------
+# Module-level apply functions: every dist plan is a Plan PYTREE (arrays as
+# leaves, apply + hashable statics in the treedef), so a jitted train step
+# can take the plan as an ARGUMENT — its sharded device arrays stay runtime
+# parameters instead of being re-embedded as HLO constants when an outer jit
+# traces through the plan (the GB-scale failure mode, ops/plan.py). Each
+# apply routes through a module-level jit keyed on the statics tuple, so
+# direct plan(x) calls stay compiled and retraces are shared per family.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames="statics")
+def _ag_run(statics, lr, bc, bv, dense):
+    (mesh, axis, feature_axis, local_impl, interpret, rows_per, cpc, n, b,
+     n_rows, k_padded) = statics
+    b_spec = P(axis, feature_axis)
+    f_orig = dense.shape[1]
+    if local_impl == "pallas":
+        # the flat Pallas kernel wants F in whole tiles
+        ft = min(512, -(-f_orig // 128) * 128)
+        f_padded = -(-f_orig // ft) * ft
+    else:
+        ft, f_padded = 0, f_orig
+    dense = jnp.pad(
+        dense, ((0, k_padded - dense.shape[0]), (0, f_padded - f_orig))
+    )
+    dense = jax.lax.with_sharding_constraint(dense, NamedSharding(mesh, b_spec))
+
+    def stripe_fn(lr, bc, bv, b_local):
+        # (1, m) locals -> (m,); B local stripe (k_padded/n, F)
+        b_full = jax.lax.all_gather(b_local, axis, tiled=True)
+        if local_impl == "pallas":
+            # per-stripe flat Pallas kernel (shards are covered +
+            # row-sorted by shard_bsr, so every tile is written)
+            from spmm_denseblock_tpu.ops.bsr_spmm_pallas import _pallas_spmm
+
+            return _pallas_spmm(
+                lr[0], bc[0], bv[0], b_full,
+                rows_per, rows_per * b, ft,
+                group=1, interpret=interpret,
+            )
+        b_blocked = b_full.reshape(n * cpc, b, b_full.shape[1])
+        out = _local_bsr_spmm(lr[0], bc[0], bv[0], b_blocked, rows_per)
+        return out.reshape(rows_per * b, b_full.shape[1])
+
+    fn = jax.shard_map(
+        stripe_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), b_spec),
+        out_specs=b_spec,
+        # pallas_call's out_shape carries no vma annotation; skip
+        # the varying-axes check for the hand-written kernel path
+        check_vma=(local_impl != "pallas"),
+    )
+    out = fn(lr, bc, bv, dense)[:n_rows].astype(jnp.float32)
+    return out[:, :f_orig] if f_padded != f_orig else out
+
+
+@functools.partial(jax.jit, static_argnames="statics")
+def _ring_run(statics, lr, cc, bv, dense):
+    (mesh, axis, feature_axis, rows_per, cpc, n, b, n_rows,
+     k_padded) = statics
+    b_spec = P(axis, feature_axis)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def stripe_fn(lr, cc, bv, b_local):
+        lr, cc, bv = lr[0], cc[0], bv[0]  # (n, mb[, b, b])
+        me = jax.lax.axis_index(axis)
+        f_dim = b_local.shape[1]
+        acc0 = jnp.zeros((rows_per, b, f_dim), jnp.float32)
+        # mark the carry as device-varying so the fori_loop carry type
+        # matches its (axis_index-dependent) output (shard_map vma rule);
+        # it varies over the feature axis too when B is tp-sharded
+        vary = (axis,) + ((feature_axis,) if feature_axis else ())
+        acc0 = jax.lax.pcast(acc0, vary, to="varying")
+
+        def step(s, carry):
+            b_chunk, acc = carry
+            c = jax.lax.rem(me - s + n, n)  # chunk currently held
+            b_blocked = b_chunk.reshape(cpc, b, f_dim)
+            acc = acc + _local_bsr_spmm(
+                jnp.take(lr, c, axis=0),
+                jnp.take(cc, c, axis=0),
+                jnp.take(bv, c, axis=0),
+                b_blocked,
+                rows_per,
+            )
+            b_chunk = jax.lax.ppermute(b_chunk, axis, perm)
+            return b_chunk, acc
+
+        _, acc = jax.lax.fori_loop(0, n, step, (b_local, acc0))
+        return acc.reshape(rows_per * b, f_dim)
+
+    fn = jax.shard_map(
+        stripe_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), b_spec), out_specs=b_spec,
+    )
+    dense = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
+    dense = jax.lax.with_sharding_constraint(dense, NamedSharding(mesh, b_spec))
+    return fn(lr, cc, bv, dense)[:n_rows].astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames="statics")
+def _halo_run(statics, lr, cc, bv, dense):
+    (mesh, axis, feature_axis, rows_per, cpc, n, b, n_rows, k_padded,
+     halo) = statics
+    b_spec = P(axis, feature_axis)
+    width = 2 * halo + 1
+
+    def stripe_fn(lr, cc, bv, b_local):
+        lr, cc, bv = lr[0], cc[0], bv[0]
+        f_dim = b_local.shape[1]
+        out = jnp.zeros((rows_per, b, f_dim), jnp.float32)
+        for h in range(width):
+            off = h - halo
+            if off == 0:
+                chunk = b_local
+            else:
+                perm_h = [(src, (src - off) % n) for src in range(n)]
+                chunk = jax.lax.ppermute(b_local, axis, perm_h)
+            out = out + _local_bsr_spmm(
+                lr[h], cc[h], bv[h],
+                chunk.reshape(cpc, b, f_dim), rows_per,
+            )
+        return out.reshape(rows_per * b, f_dim)
+
+    fn = jax.shard_map(
+        stripe_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), b_spec), out_specs=b_spec,
+    )
+    dense = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
+    dense = jax.lax.with_sharding_constraint(dense, NamedSharding(mesh, b_spec))
+    return fn(lr, cc, bv, dense)[:n_rows].astype(jnp.float32)
+
+
+def _dist_bsr_apply(statics, arrays, dense):
+    run, inner_statics, dtype_key = statics
+    dense = jnp.asarray(dense)
+    if dtype_key is not None:
+        dense = dense.astype(dtype_key)
+    return {"allgather": _ag_run, "ring": _ring_run, "halo": _halo_run}[run](
+        inner_statics, *arrays, dense
+    )
+
+
+def _undo_apply(statics, arrays, dense):
+    """LPT-balance wrapper: inner plan on the permuted matrix, then gather
+    output rows back to caller order — all inside the same program."""
+    inner, undo = arrays
+    return jnp.take(inner(dense), undo, axis=0)
 
 
 def dist_bsr_spmm_plan(
@@ -137,12 +290,7 @@ def dist_bsr_spmm_plan(
             undo = jnp.asarray(
                 (perm[rows // b] * b + rows % b).astype(np.int32)
             )
-
-            @jax.jit
-            def _undo(out, undo):
-                return jnp.take(out, undo, axis=0)
-
-            return lambda dense: _undo(inner(dense), undo)
+            return Plan((inner, undo), _undo_apply)
     n = int(mesh.shape[axis])
     b = bsr.b
     sh = shard_bsr(bsr, n)
@@ -156,64 +304,17 @@ def dist_bsr_spmm_plan(
 
     stripe = NamedSharding(mesh, P(axis))
     cast = (lambda x: x.astype(dtype)) if dtype is not None else (lambda x: x)
-    b_spec = P(axis, feature_axis)
-    b_sharding = NamedSharding(mesh, b_spec)
+    dtype_key = None if dtype is None else jnp.dtype(dtype).name
 
     if strategy == "allgather":
         lr = jax.device_put(sh.local_rows, stripe)
         bc = jax.device_put(sh.block_cols, stripe)
         bv = jax.device_put(cast(jnp.asarray(sh.blocks)), stripe)
         interpret = jax.default_backend() != "tpu"
-
-        @jax.jit
-        def run_impl(lr, bc, bv, dense):
-            f_orig = dense.shape[1]
-            if local_impl == "pallas":
-                # the flat Pallas kernel wants F in whole tiles
-                ft = min(512, -(-f_orig // 128) * 128)
-                f_padded = -(-f_orig // ft) * ft
-            else:
-                ft, f_padded = 0, f_orig
-            dense = jnp.pad(
-                dense,
-                ((0, k_padded - dense.shape[0]), (0, f_padded - f_orig)),
-            )
-            dense = jax.lax.with_sharding_constraint(dense, b_sharding)
-
-            def stripe_fn(lr, bc, bv, b_local):
-                # (1, m) locals -> (m,); B local stripe (k_padded/n, F)
-                b_full = jax.lax.all_gather(b_local, axis, tiled=True)
-                if local_impl == "pallas":
-                    # per-stripe flat Pallas kernel (shards are covered +
-                    # row-sorted by shard_bsr, so every tile is written)
-                    from spmm_denseblock_tpu.ops.bsr_spmm_pallas import (
-                        _pallas_spmm,
-                    )
-
-                    return _pallas_spmm(
-                        lr[0], bc[0], bv[0], b_full,
-                        rows_per, rows_per * b, ft,
-                        group=1, interpret=interpret,
-                    )
-                b_blocked = b_full.reshape(n * cpc, b, b_full.shape[1])
-                out = _local_bsr_spmm(lr[0], bc[0], bv[0], b_blocked, rows_per)
-                return out.reshape(rows_per * b, b_full.shape[1])
-
-            fn = jax.shard_map(
-                stripe_fn,
-                mesh=mesh,
-                in_specs=(P(axis), P(axis), P(axis), b_spec),
-                out_specs=b_spec,
-                # pallas_call's out_shape carries no vma annotation; skip
-                # the varying-axes check for the hand-written kernel path
-                check_vma=(local_impl != "pallas"),
-            )
-            out = fn(lr, bc, bv, dense)[:n_rows].astype(jnp.float32)
-            return out[:, :f_orig] if f_padded != f_orig else out
-
-        # arrays enter as ARGUMENTS (not jit closure constants — closed-over
-        # arrays are embedded into the HLO, which breaks at GB scale)
-        return lambda dense: run_impl(lr, bc, bv, cast(jnp.asarray(dense)))
+        inner = (mesh, axis, feature_axis, local_impl, interpret,
+                 rows_per, cpc, n, b, n_rows, k_padded)
+        return Plan((lr, bc, bv), _dist_bsr_apply,
+                    ("allgather", inner, dtype_key))
 
     if strategy == "ring":
         if local_impl != "xla":
@@ -222,48 +323,9 @@ def dist_bsr_spmm_plan(
         lr = jax.device_put(lr_b, stripe)
         cc = jax.device_put(cc_b, stripe)
         bv = jax.device_put(cast(jnp.asarray(bv_b)), stripe)
-        perm = [(i, (i + 1) % n) for i in range(n)]
-
-        def stripe_fn(lr, cc, bv, b_local):
-            lr, cc, bv = lr[0], cc[0], bv[0]  # (n, mb[, b, b])
-            me = jax.lax.axis_index(axis)
-            f_dim = b_local.shape[1]
-            acc0 = jnp.zeros((rows_per, b, f_dim), jnp.float32)
-            # mark the carry as device-varying so the fori_loop carry type
-            # matches its (axis_index-dependent) output (shard_map vma rule);
-            # it varies over the feature axis too when B is tp-sharded
-            vary = (axis,) + ((feature_axis,) if feature_axis else ())
-            acc0 = jax.lax.pcast(acc0, vary, to="varying")
-
-            def step(s, carry):
-                b_chunk, acc = carry
-                c = jax.lax.rem(me - s + n, n)  # chunk currently held
-                b_blocked = b_chunk.reshape(cpc, b, f_dim)
-                acc = acc + _local_bsr_spmm(
-                    jnp.take(lr, c, axis=0),
-                    jnp.take(cc, c, axis=0),
-                    jnp.take(bv, c, axis=0),
-                    b_blocked,
-                    rows_per,
-                )
-                b_chunk = jax.lax.ppermute(b_chunk, axis, perm)
-                return b_chunk, acc
-
-            _, acc = jax.lax.fori_loop(0, n, step, (b_local, acc0))
-            return acc.reshape(rows_per * b, f_dim)
-
-        spec_in = (P(axis), P(axis), P(axis), b_spec)
-        fn = jax.shard_map(
-            stripe_fn, mesh=mesh, in_specs=spec_in, out_specs=b_spec
-        )
-
-        @jax.jit
-        def run_impl(lr, cc, bv, dense):
-            dense = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
-            dense = jax.lax.with_sharding_constraint(dense, b_sharding)
-            return fn(lr, cc, bv, dense)[:n_rows].astype(jnp.float32)
-
-        return lambda dense: run_impl(lr, cc, bv, cast(jnp.asarray(dense)))
+        inner = (mesh, axis, feature_axis, rows_per, cpc, n, b, n_rows,
+                 k_padded)
+        return Plan((lr, cc, bv), _dist_bsr_apply, ("ring", inner, dtype_key))
 
     if strategy == "halo":
         # true halo exchange: each stripe receives only its 2*halo
@@ -280,39 +342,9 @@ def dist_bsr_spmm_plan(
         lr = jax.device_put(lr_b, stripe)
         cc = jax.device_put(cc_b, stripe)
         bv = jax.device_put(cast(jnp.asarray(bv_b)), stripe)
-        width = 2 * halo + 1
-
-        def stripe_fn(lr, cc, bv, b_local):
-            lr, cc, bv = lr[0], cc[0], bv[0]
-            f_dim = b_local.shape[1]
-            out = jnp.zeros((rows_per, b, f_dim), jnp.float32)
-            for h in range(width):
-                off = h - halo
-                if off == 0:
-                    chunk = b_local
-                else:
-                    perm_h = [(src, (src - off) % n) for src in range(n)]
-                    chunk = jax.lax.ppermute(b_local, axis, perm_h)
-                out = out + _local_bsr_spmm(
-                    lr[h], cc[h], bv[h],
-                    chunk.reshape(cpc, b, f_dim), rows_per,
-                )
-            return out.reshape(rows_per * b, f_dim)
-
-        fn = jax.shard_map(
-            stripe_fn,
-            mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis), b_spec),
-            out_specs=b_spec,
-        )
-
-        @jax.jit
-        def run_impl(lr, cc, bv, dense):
-            dense = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
-            dense = jax.lax.with_sharding_constraint(dense, b_sharding)
-            return fn(lr, cc, bv, dense)[:n_rows].astype(jnp.float32)
-
-        return lambda dense: run_impl(lr, cc, bv, cast(jnp.asarray(dense)))
+        inner = (mesh, axis, feature_axis, rows_per, cpc, n, b, n_rows,
+                 k_padded, halo)
+        return Plan((lr, cc, bv), _dist_bsr_apply, ("halo", inner, dtype_key))
 
     raise ValueError(
         f"unknown strategy {strategy!r}; use 'allgather', 'ring', or 'halo'"
@@ -386,32 +418,14 @@ def _ell_layout_stripes(csr: CSR, n_shards: int):
     return idx, val, pos, tuple(layout), has_vals
 
 
-def dist_csr_spmm_ell_plan(
-    csr: CSR, mesh: Optional[Mesh] = None, axis: str = "row", dtype=None
-):
-    """Row-partitioned ELL SpMM: the scatter-free degree-bucketed tier
-    (2.5x over gather+segment-sum single-chip, ops/csr_spmm_ell.py)
-    distributed via shard_map. B is cast to `dtype` BEFORE the tiled
-    all_gather, so bf16 serving also halves the ICI exchange bytes."""
-    if mesh is None:
-        mesh = make_mesh_1d()
-    n = int(mesh.shape[axis])
-    n_rows, n_cols = csr.shape
-    rows_per = -(-n_rows // n)
-    # pad strictly past n_cols so index n_cols is a guaranteed-zero row
-    k_padded = -(-(n_cols + 1) // n) * n
-    idx, val, pos, layout, has_vals = _ell_layout_stripes(csr, n)
-
+@functools.partial(jax.jit, static_argnames="statics")
+def _dist_ell_run(statics, idx, val, pos, dense):
+    (mesh, axis, layout, has_vals, dtype_key, n_rows, k_padded) = statics
     stripe = NamedSharding(mesh, P(axis))
-    idx_d = jax.device_put(idx, stripe)
-    val_d = jax.device_put(
-        val if has_vals else np.zeros((n, 1), np.float32), stripe
-    )
-    pos_d = jax.device_put(pos, stripe)
 
     def stripe_fn(idx, val, pos, b_local):
-        if dtype is not None:
-            b_local = b_local.astype(dtype)
+        if dtype_key is not None:
+            b_local = b_local.astype(dtype_key)
         b_full = jax.lax.all_gather(b_local, axis, tiled=True)
         outs = []
         off = 0
@@ -434,15 +448,105 @@ def dist_csr_spmm_ell_plan(
         in_specs=(P(axis), P(axis), P(axis), P(axis, None)),
         out_specs=P(axis, None),
     )
+    dense = dense.astype(jnp.float32)
+    dense = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
+    dense = jax.lax.with_sharding_constraint(dense, stripe)
+    return fn(idx, val, pos, dense)[:n_rows]
 
-    @jax.jit
-    def run_impl(idx, val, pos, dense):
-        dense = dense.astype(jnp.float32)
-        dense = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
-        dense = jax.lax.with_sharding_constraint(dense, stripe)
-        return fn(idx, val, pos, dense)[:n_rows]
 
-    return lambda dense: run_impl(idx_d, val_d, pos_d, jnp.asarray(dense))
+def _dist_ell_apply(statics, arrays, dense):
+    return _dist_ell_run(statics, *arrays, jnp.asarray(dense))
+
+
+@functools.partial(jax.jit, static_argnames="statics")
+def _dist_segment_run(statics, lr, ci, va, dense):
+    (mesh, axis, rows_per, n_rows, k_padded) = statics
+    stripe = NamedSharding(mesh, P(axis))
+
+    def stripe_fn(lr, ci, va, b_local):
+        b_full = jax.lax.all_gather(b_local, axis, tiled=True)
+        gathered = jnp.take(b_full, ci[0], axis=0) * va[0][:, None]
+        return jax.ops.segment_sum(gathered, lr[0], num_segments=rows_per)
+
+    fn = jax.shard_map(
+        stripe_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis, None)),
+        out_specs=P(axis, None),
+    )
+    dense = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
+    dense = jax.lax.with_sharding_constraint(dense, stripe)
+    return fn(lr, ci, va, dense)[:n_rows].astype(jnp.float32)
+
+
+def _dist_segment_apply(statics, arrays, dense):
+    return _dist_segment_run(statics, *arrays, jnp.asarray(dense))
+
+
+@functools.partial(jax.jit, static_argnames="statics")
+def _dist_win_run(statics, tiles, win, dense):
+    (mesh, axis, R, W, K, tiles_per, k_padded, n_rows, dtype_key) = statics
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if dtype_key is None
+        else jax.lax.Precision.DEFAULT
+    )
+
+    def stripe_fn(tiles, win, b_local):
+        b_full = jax.lax.all_gather(b_local, axis, tiled=True)
+        blocked = b_full.reshape(k_padded // W, W, b_full.shape[1])
+        wins = jnp.take(blocked, win, axis=0)  # (tiles_per, K, W, F)
+        out = jax.lax.dot_general(
+            tiles,
+            wins,
+            dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+        return jnp.sum(out, axis=1).reshape(tiles_per * R, b_full.shape[1])
+
+    fn = jax.shard_map(
+        stripe_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis, None)),
+        out_specs=P(axis, None),
+    )
+    d = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
+    if dtype_key is not None:
+        d = d.astype(dtype_key)
+    d = jax.lax.with_sharding_constraint(d, NamedSharding(mesh, P(axis, None)))
+    return fn(tiles, win, d)[:n_rows].astype(jnp.float32)
+
+
+def _dist_win_apply(statics, arrays, dense):
+    return _dist_win_run(statics, *arrays, jnp.asarray(dense))
+
+
+def dist_csr_spmm_ell_plan(
+    csr: CSR, mesh: Optional[Mesh] = None, axis: str = "row", dtype=None
+):
+    """Row-partitioned ELL SpMM: the scatter-free degree-bucketed tier
+    (2.5x over gather+segment-sum single-chip, ops/csr_spmm_ell.py)
+    distributed via shard_map. B is cast to `dtype` BEFORE the tiled
+    all_gather, so bf16 serving also halves the ICI exchange bytes.
+    Returns a Plan pytree (sharded arrays as leaves)."""
+    if mesh is None:
+        mesh = make_mesh_1d()
+    n = int(mesh.shape[axis])
+    n_rows, n_cols = csr.shape
+    # pad strictly past n_cols so index n_cols is a guaranteed-zero row
+    k_padded = -(-(n_cols + 1) // n) * n
+    idx, val, pos, layout, has_vals = _ell_layout_stripes(csr, n)
+
+    stripe = NamedSharding(mesh, P(axis))
+    idx_d = jax.device_put(idx, stripe)
+    val_d = jax.device_put(
+        val if has_vals else np.zeros((n, 1), np.float32), stripe
+    )
+    pos_d = jax.device_put(pos, stripe)
+    dtype_key = None if dtype is None else jnp.dtype(dtype).name
+    statics = (mesh, axis, layout, has_vals, dtype_key, n_rows, k_padded)
+    return Plan((idx_d, val_d, pos_d), _dist_ell_apply, statics)
 
 
 def dist_csr_spmm_plan(
@@ -459,7 +563,6 @@ def dist_csr_spmm_plan(
         mesh = make_mesh_1d()
     n = int(mesh.shape[axis])
     sh = shard_csr(csr, n)
-    rows_per = sh.rows_per_shard
     n_rows, n_cols = csr.shape
     k_padded = -(-n_cols // n) * n
 
@@ -467,26 +570,8 @@ def dist_csr_spmm_plan(
     lr = jax.device_put(sh.local_rows, stripe)
     ci = jax.device_put(sh.col_ids, stripe)
     va = jax.device_put(sh.vals, stripe)
-
-    def stripe_fn(lr, ci, va, b_local):
-        b_full = jax.lax.all_gather(b_local, axis, tiled=True)
-        gathered = jnp.take(b_full, ci[0], axis=0) * va[0][:, None]
-        return jax.ops.segment_sum(gathered, lr[0], num_segments=rows_per)
-
-    fn = jax.shard_map(
-        stripe_fn,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis, None)),
-        out_specs=P(axis, None),
-    )
-
-    @jax.jit
-    def run_impl(lr, ci, va, dense):
-        dense = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
-        dense = jax.lax.with_sharding_constraint(dense, stripe)
-        return fn(lr, ci, va, dense)[:n_rows].astype(jnp.float32)
-
-    return lambda dense: run_impl(lr, ci, va, jnp.asarray(dense))
+    statics = (mesh, axis, sh.rows_per_shard, n_rows, k_padded)
+    return Plan((lr, ci, va), _dist_segment_apply, statics)
 
 
 def dist_hybrid_spmm_plan(
@@ -514,13 +599,10 @@ def dist_hybrid_spmm_plan(
     csr_run = dist_csr_spmm_plan(
         hyb.remainder, mesh=mesh, axis=axis, dtype=dtype
     )
-
-    def run(dense):
-        # no outer jit: it would re-trace the sub-plans and embed their
-        # closed-over arrays as HLO constants (blows up at GB scale)
-        return bsr_run(dense) + csr_run(dense)
-
-    return run
+    # both parts are Plan pytrees on the same row partition: the generic
+    # sum composition keeps the whole thing a Plan (passable through jit
+    # boundaries without HLO-constant blowup)
+    return sum_plan((bsr_run, csr_run))
 
 
 def balanced_block_row_permutation(bsr: BSR, n_shards: int) -> "np.ndarray":
@@ -590,54 +672,13 @@ def dist_windowed_spmm_plan(
     tiles_d = jax.device_put(jnp.asarray(tiles_h), stripe)
     win_d = jax.device_put(jnp.asarray(win_h), stripe)
 
-    prec = (
-        jax.lax.Precision.HIGHEST
-        if tiles_h.dtype == np.float32
-        else jax.lax.Precision.DEFAULT
-    )
-
-    def stripe_fn(tiles, win, b_local):
-        b_full = jax.lax.all_gather(b_local, axis, tiled=True)
-        blocked = b_full.reshape(k_padded // W, W, b_full.shape[1])
-        wins = jnp.take(blocked, win, axis=0)  # (tiles_per, K, W, F)
-        out = jax.lax.dot_general(
-            tiles,
-            wins,
-            dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
-            preferred_element_type=jnp.float32,
-            precision=prec,
-        )
-        return jnp.sum(out, axis=1).reshape(tiles_per * R, b_full.shape[1])
-
-    fn = jax.shard_map(
-        stripe_fn,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis, None)),
-        out_specs=P(axis, None),
-    )
-
-    rem_run = (
-        dist_csr_spmm_plan(wt.remainder, mesh=mesh, axis=axis)
-        if wt.remainder.nnz
-        else None
-    )
-
-    @jax.jit
-    def run_impl(tiles, win, dense):
-        d = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
-        if dtype is not None:
-            d = d.astype(dtype)
-        d = jax.lax.with_sharding_constraint(d, NamedSharding(mesh, P(axis, None)))
-        return fn(tiles, win, d)[:n_rows].astype(jnp.float32)
-
-    def run(dense):
-        dense = jnp.asarray(dense)
-        out = run_impl(tiles_d, win_d, dense)
-        if rem_run is not None:
-            out = out + rem_run(dense)
-        return out
-
-    return run
+    dtype_key = None if dtype is None else jnp.dtype(dtype).name
+    statics = (mesh, axis, R, W, K, tiles_per, k_padded, n_rows, dtype_key)
+    win_plan = Plan((tiles_d, win_d), _dist_win_apply, statics)
+    if not wt.remainder.nnz:
+        return win_plan
+    rem_plan = dist_csr_spmm_plan(wt.remainder, mesh=mesh, axis=axis)
+    return sum_plan((win_plan, rem_plan))
 
 
 def dist_sddmm_plan(csr: CSR, mesh: Optional[Mesh] = None, axis: str = "row"):

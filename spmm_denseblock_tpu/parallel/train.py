@@ -108,21 +108,28 @@ def make_dist_train_step(
     x_sharding = NamedSharding(mesh, P(row_axis, col_axis))
     node_sharding = NamedSharding(mesh, P(row_axis))
 
-    def loss_fn(params, x, y, mask):
-        logits = apply_fn(params, spmm, x)
+    def loss_fn(params, spmm_arg, x, y, mask):
+        logits = apply_fn(params, spmm_arg, x)
         return masked_cross_entropy(logits, y, mask), logits
 
+    # GB-scale note (ops/plan.py): dist plans are Plan pytrees, so the
+    # jitted step takes the plan as an ARGUMENT — its sharded device
+    # arrays stay runtime parameters instead of HLO constants (which
+    # blow up the program upload at products scale).
     @jax.jit
-    def step(params, opt_state, x, y, mask):
+    def _step(spmm_arg, params, opt_state, x, y, mask):
         x = jax.lax.with_sharding_constraint(x, x_sharding)
         y = jax.lax.with_sharding_constraint(y, node_sharding)
         mask = jax.lax.with_sharding_constraint(mask, node_sharding)
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, x, y, mask
+            params, spmm_arg, x, y, mask
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, {"loss": loss, "acc": accuracy(logits, y, mask)}
+
+    def step(params, opt_state, x, y, mask):
+        return _step(spmm, params, opt_state, x, y, mask)
 
     return params, opt_state, step
 

@@ -438,3 +438,41 @@ def test_dist_hybrid_bf16_remainder(mesh, rng):
     got = np.asarray(run(dense))
     rel = np.linalg.norm(got - want) / np.linalg.norm(want)
     assert rel < 5e-3, rel
+
+
+def test_dist_plans_are_plan_pytrees_no_hlo_constants(mesh, rng):
+    """Every dist plan is a Plan pytree; passed as a jit argument, its
+    sharded arrays enter the program as PARAMETERS, not constants — the
+    GB-scale property (ops/plan.py) extended to the distributed layer."""
+    import jax.numpy as jnp
+
+    from spmm_denseblock_tpu.ops.plan import Plan
+    from spmm_denseblock_tpu.parallel.spmm import dist_hybrid_spmm_plan
+    from spmm_denseblock_tpu.convert.divide import divide
+
+    csr = random_csr(0.05, 256, 256, seed=3)
+    hyb = divide(csr, 16, 0.05)
+    bsr = csr_to_bsr(csr, 16)
+    plans = {
+        "bsr_allgather": dist_bsr_spmm_plan(bsr, mesh=mesh, strategy="allgather"),
+        "bsr_ring": dist_bsr_spmm_plan(bsr, mesh=mesh, strategy="ring"),
+        "csr_ell": dist_csr_spmm_plan(csr, mesh=mesh),
+        "csr_segment": dist_csr_spmm_plan(csr, mesh=mesh, impl="segment"),
+        "hybrid": dist_hybrid_spmm_plan(hyb, mesh=mesh),
+    }
+    x = jnp.asarray(rng.standard_normal((256, 16)).astype(np.float32))
+    want = spmm_scipy(csr, x)
+    for name, plan in plans.items():
+        assert isinstance(plan, Plan), name
+        lowered = jax.jit(lambda p, v: p(v)).lower(plan, x).as_text()
+        entry = next(
+            l for l in lowered.splitlines() if "func.func public @main" in l
+        )
+        # the largest plan leaf must be an entry parameter, not a constant
+        leaves = jax.tree.leaves(plan)
+        big = max(leaves, key=lambda a: a.size)
+        shape_str = "x".join(map(str, big.shape))
+        assert shape_str in entry, (name, shape_str, entry)
+        # and passing through jit computes the right thing
+        got = np.asarray(jax.jit(lambda p, v: p(v))(plan, x))
+        assert_allclose(got, want)
