@@ -94,3 +94,81 @@ def auto_threshold(csr: CSR, block_size: int, dense_speedup: float = 4.0) -> flo
     if densest_edge < breakeven:
         return 1.0  # nothing qualifies: pure CSR
     return float(breakeven)
+
+
+def ell_padded_slots(degrees: np.ndarray) -> int:
+    """Total gather slots the degree-bucketed ELL tier issues for rows
+    with these degrees: sum of next_pow2(degree) (ops/csr_spmm_ell.py's
+    class layout). The measured remainder cost on v5e tracks this count
+    (per-index-bound gather, ~3.7 ns/slot on proteins-scale operands),
+    not raw nnz or tile-amplified bytes (ROUND2_NOTES capture sweep)."""
+    deg = np.asarray(degrees, dtype=np.int64)
+    K = np.maximum(1, 2 ** np.ceil(np.log2(np.maximum(deg, 1))).astype(np.int64))
+    return int(K[deg > 0].sum())
+
+
+def score_thresholds(
+    csr: CSR,
+    block_size: int,
+    candidates=(0.02, 0.03, 0.05),
+    slots_per_block: float = 600.0,
+    dense_bytes_budget: int = 2 << 30,
+    dtype_bytes: int = 4,
+    margin: float = 0.02,
+):
+    """Measurement-calibrated threshold selection for divide().
+
+    Cost model (full-proteins capture sweep, tpu_v5e_fullscale_r2.jsonl,
+    7 configs across rcmk/rabbit x thr 0.02-0.08): within one graph,
+        t(thr) ~ c_blk * dense_nnzb(thr) + c_slot * ell_padded_slots(rem)
+    with c_blk/c_slot ~ 600 — i.e. a dense block pays for itself iff it
+    drains >= ~600 padded ELL slots from the remainder. This ranks every
+    measured config correctly to within measurement noise (222 vs 239 ms
+    at the rabbit crossover) and, unlike the round-1 byte model, knows
+    that capturing HIGH-degree rows is worth far more than raw nnz says
+    (draining a row past a pow2 class boundary halves its padding).
+
+    One expensive pass (per-block nnz counts) is shared by all
+    candidates; each candidate then costs one boolean mask + bincount.
+    Returns (best_threshold_or_None, report). None means no candidate
+    beat the pure-ELL score by more than `margin` (building a dense tier
+    costs memory and plan time; a sub-noise win — products rcmk scored
+    hybrid 0.7% ahead but measured 4% behind — is not worth it), or
+    every qualifying dense part exceeded `dense_bytes_budget`.
+    """
+    b = block_size
+    n_rows, n_cols = csr.shape
+    nbc = -(-n_cols // b)
+    rows = csr.row_ids().astype(np.int64)
+    bkey = (rows // b) * nbc + (np.asarray(csr.indices, np.int64) // b)
+    uniq, inv, counts = np.unique(bkey, return_inverse=True, return_counts=True)
+    occupancy = counts.astype(np.float64) / (b * b)
+    block_bytes = b * b * dtype_bytes
+
+    report = []
+    best_thr, best_score = None, float("inf")
+    # None (= pure ELL) goes first so score ties resolve to NO dense
+    # part rather than an empty hybrid
+    for thr in [None] + sorted(set(candidates)):
+        if thr is None:
+            dense_mask_blk = np.zeros(uniq.shape[0], dtype=bool)
+        else:
+            dense_mask_blk = occupancy >= thr
+        nnzb = int(dense_mask_blk.sum())
+        if nnzb * block_bytes > dense_bytes_budget:
+            report.append({"thr": thr, "nnzb": nnzb, "score": None,
+                           "reason": "over dense-bytes budget"})
+            continue
+        rem_rows = rows[~dense_mask_blk[inv]]
+        rem_deg = np.bincount(rem_rows, minlength=n_rows)
+        slots = ell_padded_slots(rem_deg)
+        score = slots_per_block * nnzb + slots
+        report.append({"thr": thr, "nnzb": nnzb, "padded_slots": slots,
+                       "score": float(score)})
+        if score < best_score:
+            best_thr, best_score = thr, score
+        if thr is None:
+            ell_score = score
+    if best_thr is not None and best_score > ell_score * (1.0 - margin):
+        best_thr = None
+    return best_thr, report

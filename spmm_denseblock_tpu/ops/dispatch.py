@@ -111,11 +111,24 @@ def spmm_plan(matrix, impl: str = "auto", block_size: int = 128, **kw):
         # 128x128 MXU"): trades zero-fill FLOPs for full systolic tiles.
         matrix = repack_bsr(matrix, repack_to)
     if impl == "hybrid" and isinstance(matrix, CSR):
-        from spmm_denseblock_tpu.convert.divide import auto_threshold, divide
+        from spmm_denseblock_tpu.convert.divide import (
+            auto_threshold,
+            divide,
+            score_thresholds,
+        )
 
         thr = kw.pop("density_threshold", None)
         if thr is None:
-            thr = auto_threshold(matrix, block_size)
+            # measurement-calibrated selection (see the auto branch);
+            # margin=0 because the caller asked for a hybrid explicitly
+            thr, _ = score_thresholds(
+                matrix, block_size,
+                candidates={0.02, 0.03, 0.05,
+                            auto_threshold(matrix, block_size)},
+                margin=0.0,
+            )
+            if thr is None:  # nothing qualifies: densest blocks only
+                thr = auto_threshold(matrix, block_size)
         matrix = divide(matrix, block_size, thr)
     if impl.startswith("windowed") and isinstance(matrix, CSR):
         matrix = divide_windowed(
@@ -140,13 +153,9 @@ def spmm_plan(matrix, impl: str = "auto", block_size: int = 128, **kw):
             impl = "bsr_pallas" if (wide and b_eff >= 64) else "bsr_xla"
         # memory guard: a BSR-ified element-sparse graph can exceed HBM
         # (nnzb * b^2 * 4 bytes — full ogbn-arxiv at b=128 is tens of GB).
-        # Route such inputs to a densifying tier instead: windowed when a
-        # cheap capture estimate says the reordering concentrated enough
-        # nonzeros into row-band windows (measured: windowed beat csr at
-        # 37% capture), else hybrid (dense blocks + CSR tail).
+        # Route such inputs to a densifying tier instead: scored hybrid
+        # (dense blocks + ELL tail) or pure csr_ell.
         if impl.startswith("bsr") and isinstance(matrix, CSR):
-            import numpy as _np
-
             from spmm_denseblock_tpu.analyze.metrics import calculate_nnzb
             from spmm_denseblock_tpu.convert.divide import auto_threshold, divide
 
@@ -163,49 +172,35 @@ def spmm_plan(matrix, impl: str = "auto", block_size: int = 128, **kw):
             ):
                 impl = "csr_ell"
             elif nnzb * block_size * block_size * 4 > budget:
-                R, W = 256, 1024
-                T = -(-matrix.n_rows // R)
-                n_win = -(-matrix.n_cols // W)
-                pair = (
-                    matrix.row_ids().astype(_np.int64) // R
-                ) * n_win + _np.asarray(matrix.indices, dtype=_np.int64) // W
-                counts = _np.bincount(pair, minlength=T * n_win).reshape(T, n_win)
-                capture = counts.max(axis=1).sum() / max(matrix.nnz, 1)
-                if capture >= 0.3:
-                    matrix = divide_windowed(matrix, tile_rows=R, window=W)
-                    impl = "windowed"
-                else:
-                    # candidate thresholds: the analytics-driven one and
-                    # the reference's 0.05 default; score each by a
-                    # simple time model (dense MXU flops + tile-amplified
-                    # remainder gathers) and require the dense part to
-                    # fit the budget. measured: full proteins at thr=0.05
-                    # ran 2x faster than the auto_threshold choice; full
-                    # products OOM'd without the byte cap.
-                    best, best_t = None, float("inf")
-                    for thr in {auto_threshold(matrix, block_size), 0.05}:
-                        hyb = divide(matrix, block_size, thr)
-                        dense_bytes = (
-                            hyb.dense.nnzb * block_size * block_size * 4
-                        )
-                        # half budget: the ELL remainder's gather chunks
-                        # and the dense operand/output share the HBM
-                        if dense_bytes > budget // 2:
-                            continue
-                        f_nominal = feat_dim or 128
-                        t_est = (
-                            2.0 * hyb.dense.nnzb * block_size**2 * f_nominal
-                            / (33e12 * 0.6)
-                            + hyb.remainder.nnz * 4096 / 819e9
-                        )
-                        if t_est < best_t:
-                            best, best_t = hyb, t_est
-                    rem_only_t = matrix.nnz * 4096 / 819e9
-                    if best is not None and best_t < rem_only_t:
-                        matrix = best
-                        impl = "hybrid"
-                    else:  # densification pays nothing here
-                        impl = "csr_ell"
+                # measurement-calibrated threshold scoring
+                # (convert/divide.score_thresholds): dense-block count
+                # vs padded-ELL-slot count at the ~600 slots/block
+                # break-even fit on the full-proteins capture sweep.
+                # This replaced both the round-1 windowed capture probe
+                # (windowed measured 671 ms vs hybrid 289 on full
+                # proteins — never the right auto route) and the
+                # two-candidate byte model (which picked thr=0.05 =
+                # 519 ms where thr~0.03 runs 222).
+                from spmm_denseblock_tpu.convert.divide import (
+                    score_thresholds,
+                )
+
+                dt = kw.get("dtype")
+                dtype_bytes = 2 if dt is not None and jnp.dtype(
+                    dt
+                ).itemsize == 2 else 4
+                cands = {0.02, 0.03, 0.05, auto_threshold(matrix, block_size)}
+                # half budget: the ELL remainder's gather chunks and the
+                # dense operand/output share the HBM
+                best_thr, _ = score_thresholds(
+                    matrix, block_size, candidates=cands,
+                    dense_bytes_budget=budget // 2, dtype_bytes=dtype_bytes,
+                )
+                if best_thr is not None:
+                    matrix = divide(matrix, block_size, best_thr)
+                    impl = "hybrid"
+                else:  # densification pays nothing here
+                    impl = "csr_ell"
     kw.pop("bsr_bytes_budget", None)
     if impl.startswith("bsr") and isinstance(matrix, CSR):
         matrix = csr_to_bsr(matrix, block_size)

@@ -209,3 +209,52 @@ def test_pad_dense_rows():
     y = pad_dense_rows(x, 8)
     assert y.shape == (8, 3) and y[5:].sum() == 0
     assert pad_dense_rows(x, 5) is x
+
+
+def test_score_thresholds_dense_structure(rng):
+    """A graph with genuinely dense blocks + a sparse tail must pick a
+    threshold; a uniform low-degree graph must return None (pure ELL)."""
+    import numpy as np
+
+    from spmm_denseblock_tpu.convert.divide import (
+        ell_padded_slots,
+        score_thresholds,
+    )
+    from spmm_denseblock_tpu.formats.csr import CSR, random_csr
+
+    b, nb = 16, 32
+    n = b * nb
+    # 8 fully dense diagonal blocks + uniform sparse background
+    rr, cc = np.meshgrid(np.arange(b), np.arange(b), indexing="ij")
+    rows = [(rr + i * b).ravel() for i in range(8)]
+    cols = [(cc + i * b).ravel() for i in range(8)]
+    bg = random_csr(0.01, n, n, seed=5, values="ones")
+    rows.append(bg.row_ids())
+    cols.append(np.asarray(bg.indices))
+    dense_csr = CSR.from_coo(
+        np.concatenate(rows), np.concatenate(cols), None, (n, n)
+    )
+    thr, report = score_thresholds(dense_csr, b, slots_per_block=64.0)
+    assert thr is not None
+    by_thr = {r["thr"]: r for r in report}
+    assert by_thr[thr]["nnzb"] >= 8
+
+    uniform = random_csr(0.005, n, n, seed=6, values="ones")
+    thr_u, _ = score_thresholds(uniform, b)
+    assert thr_u is None
+
+    # padded-slot arithmetic: degrees pad to next pow2, zeros drop out
+    assert ell_padded_slots(np.array([0, 1, 2, 3, 5, 9])) == 1 + 2 + 4 + 8 + 16
+
+
+def test_score_thresholds_budget(rng):
+    """Candidates whose dense part exceeds the byte budget are skipped."""
+    import numpy as np
+
+    from spmm_denseblock_tpu.convert.divide import score_thresholds
+    from spmm_denseblock_tpu.formats.csr import random_csr
+
+    csr = random_csr(0.3, 256, 256, seed=7, values="ones")
+    thr, report = score_thresholds(csr, 16, dense_bytes_budget=0)
+    assert thr is None
+    assert all(r["score"] is None for r in report if r["thr"] is not None)
