@@ -1,0 +1,83 @@
+"""Microbenchmark: XLA TPU gather per-index rate vs source-table size.
+
+Round-2 full-scale runs put full-products csr_ell at 2355 ms f32 =
+~13 ns/slot, 2.3x the 5.7 ns/index rate measured on proteins-sized
+tables (ROUND2_NOTES "gather-floor answer"). Hypothesis: the per-index
+rate of XLA's TPU row-gather degrades with source-table size (HBM page
+locality), so the products number may already be near its real floor.
+
+Measures: random row-gather + K-axis sum (the exact ELL inner shape) at
+fixed slot count, sweeping the source-table row count 128k -> 2.45M,
+f32 and bf16, plus a clustered-index variant (indices sorted in windows,
+modeling rabbit locality). One JSONL per point ->
+benchmarks/tpu_v5e_gather_floor.jsonl.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/sdb_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from spmm_denseblock_tpu.bench.timing import time_chained
+
+OUT = "/root/repo/benchmarks/tpu_v5e_gather_floor.jsonl"
+F = 128
+SLOTS = 32 << 20  # 33.5M slots per measurement (m=SLOTS/K rows)
+K = 64            # products' dominant class
+
+
+def run(n_rows, dtype, clustered):
+    rng = np.random.default_rng(0)
+    idx = rng.integers(0, n_rows, size=SLOTS, dtype=np.int32)
+    if clustered:
+        # model rabbit locality: sort indices within 64k-slot windows
+        w = 1 << 16
+        idx = idx[: (SLOTS // w) * w].reshape(-1, w)
+        idx = np.sort(idx, axis=1).reshape(-1)
+    m = idx.size // K
+    idx = idx[: m * K]
+    table = jnp.asarray(
+        rng.standard_normal((n_rows, F)).astype(np.float32)
+    ).astype(dtype)
+    idx_d = jnp.asarray(idx)
+
+    @jax.jit
+    def ell_step(idx_d, table):
+        g = jnp.take(table, idx_d, axis=0)
+        return g.reshape(m, K, F).sum(axis=1, dtype=jnp.float32)
+
+    # chain via the index argument (output feeds nothing; use a barrier
+    # harness on the table instead): time_chained perturbs arg0
+    secs = time_chained(lambda t: ell_step(idx_d, t), table, iters=5)
+    ns_per_idx = secs * 1e9 / idx.size
+    rec = {
+        "kind": "gather_floor", "n_rows": int(n_rows),
+        "table_mb": round(n_rows * F * table.dtype.itemsize / 2**20, 1),
+        "dtype": str(table.dtype), "clustered": bool(clustered),
+        "slots": int(idx.size), "K": K, "F": F,
+        "ms": secs * 1e3, "ns_per_idx": round(ns_per_idx, 3),
+        "idx_per_s": idx.size / secs,
+    }
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(f"[gather-floor] rows={n_rows:>8} {str(table.dtype):>9} "
+          f"clustered={clustered}: {ns_per_idx:6.2f} ns/idx "
+          f"({secs*1e3:7.1f} ms)", flush=True)
+
+
+if __name__ == "__main__":
+    t0 = time.time()
+    for n_rows in (1 << 17, 1 << 19, 1 << 21, 2449029):
+        for dtype in (jnp.float32, jnp.bfloat16):
+            for clustered in (False, True):
+                run(n_rows, dtype, clustered)
+    print(f"[gather-floor] done in {time.time()-t0:.0f}s", flush=True)

@@ -64,10 +64,26 @@ def _ell_spmm_device(idx_cat, vals_cat, positions, dense, layout, has_vals):
     return jnp.take(cat, positions, axis=0).astype(jnp.float32)
 
 
-def _ell_layout(csr: CSR):
+def _row_widths(deg: np.ndarray, bucket: str) -> np.ndarray:
+    """Per-row ELL width. bucket="pow2": next power of two (<2x waste,
+    ~15 classes). bucket="quarter": round up to a multiple of
+    next_pow2(deg)/4 — same asymptotic class count (~2x pow2's, 29 at
+    products scale) but <=1.25x waste per row; measured on full
+    synthetic ogbn-products: padded slots 179.8M -> 147.4M (1.459x ->
+    1.196x of nnz)."""
+    p2 = np.maximum(1, 2 ** np.ceil(np.log2(np.maximum(deg, 1))).astype(np.int64))
+    if bucket == "pow2":
+        return p2
+    if bucket != "quarter":
+        raise ValueError(f"unknown ELL bucket scheme: {bucket!r}")
+    step = np.maximum(1, p2 // 4)
+    return np.maximum(1, ((deg + step - 1) // step) * step)
+
+
+def _ell_layout(csr: CSR, bucket: str = "pow2"):
     deg = csr.degrees().astype(np.int64)
     n = csr.n_rows
-    K_r = np.maximum(1, 2 ** np.ceil(np.log2(np.maximum(deg, 1))).astype(np.int64))
+    K_r = _row_widths(deg, bucket)
     order = np.argsort(K_r, kind="stable")  # rows grouped by class
     indptr = np.asarray(csr.indptr, dtype=np.int64)
     cols = np.asarray(csr.indices, dtype=np.int64)
@@ -109,18 +125,22 @@ def _ell_layout(csr: CSR):
     return idx_cat, vals_cat, positions, tuple(layout), has_vals
 
 
-def csr_spmm_ell_plan(csr: CSR, grad: bool = True, dtype=None):
+def csr_spmm_ell_plan(csr: CSR, grad: bool = True, dtype=None,
+                      bucket: str = "pow2"):
     """Host layout prep once -> Plan C = f(B).
 
     dtype=jnp.bfloat16: gather in bf16 (halves the dominant HBM gather
     traffic on full-graph serving), accumulate in f32 — ~1e-3 relative
-    error, outside the 1e-4 oracle gate, so it is opt-in."""
+    error, outside the 1e-4 oracle gate, so it is opt-in.
+    bucket="quarter": finer degree classes, ~18% fewer padded slots at
+    products scale (see _row_widths) at ~2x the class/launch count."""
     if grad:
         return grad_plan(
-            csr_spmm_ell_plan(csr, grad=False, dtype=dtype),
-            csr_spmm_ell_plan(csr.transpose(), grad=False, dtype=dtype),
+            csr_spmm_ell_plan(csr, grad=False, dtype=dtype, bucket=bucket),
+            csr_spmm_ell_plan(csr.transpose(), grad=False, dtype=dtype,
+                              bucket=bucket),
         )
-    idx_cat, vals_cat, positions, layout, has_vals = _ell_layout(csr)
+    idx_cat, vals_cat, positions, layout, has_vals = _ell_layout(csr, bucket)
     arrays = (
         jnp.asarray(idx_cat),
         jnp.asarray(vals_cat),

@@ -76,3 +76,18 @@ def test_spmm_plan_returns_plans_for_main_tiers(rng):
         assert isinstance(p, Plan), impl
         got = np.asarray(p(rng.standard_normal((96, 5)).astype(np.float32)))
         assert got.shape == (96, 5)
+
+
+def test_ell_quarter_bucket_matches_oracle(rng):
+    """bucket="quarter" (finer ELL classes, ~18% fewer padded slots at
+    products scale) must be numerically identical to pow2 bucketing."""
+    csr = random_csr(0.05, 96, 80, seed=7)
+    x = rng.standard_normal((80, 16)).astype(np.float32)
+    want = spmm_scipy(csr, x)
+    for grad in (False, True):
+        got = csr_spmm_ell_plan(csr, grad=grad, bucket="quarter")(x)
+        assert_allclose(np.asarray(got), want)
+    # the quarter layout really is smaller on a skewed-degree matrix
+    from spmm_denseblock_tpu.ops.csr_spmm_ell import _ell_layout
+    slots = lambda b: sum(m * k for m, k in _ell_layout(csr, b)[3])
+    assert slots("quarter") <= slots("pow2")
