@@ -31,7 +31,9 @@ from spmm_denseblock_tpu.reorder.registry import reorder_cached
 OUT = "/root/repo/benchmarks/tpu_v5e_fullscale_r2.jsonl"
 B, DIM = 128, 128
 
-for dataset, strategy in (("ogbn-proteins", "rabbit"), ("ogbn-products", "rabbit")):
+TARGETS = {"ogbn-proteins": "rabbit", "ogbn-products": "rabbit"}
+names = sys.argv[1:] or list(TARGETS)
+for dataset, strategy in ((d, TARGETS[d]) for d in names):
     t0 = time.time()
     csr = load_dataset(dataset, scale=1.0)
     rcsr, _ = reorder_cached(csr, strategy, cache_dir="/root/repo/tmp",

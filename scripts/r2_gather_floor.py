@@ -35,12 +35,12 @@ SLOTS = 32 << 20  # 33.5M slots per measurement (m=SLOTS/K rows)
 K = 64            # products' dominant class
 
 
-def run(n_rows, dtype, clustered):
+def run(n_rows, dtype, clustered, variant):
     rng = np.random.default_rng(0)
     idx = rng.integers(0, n_rows, size=SLOTS, dtype=np.int32)
     if clustered:
         # model rabbit locality: sort indices within 64k-slot windows
-        w = 1 << 16
+        w = min(1 << 16, idx.size)
         idx = idx[: (SLOTS // w) * w].reshape(-1, w)
         idx = np.sort(idx, axis=1).reshape(-1)
     m = idx.size // K
@@ -48,19 +48,35 @@ def run(n_rows, dtype, clustered):
     table = jnp.asarray(
         rng.standard_normal((n_rows, F)).astype(np.float32)
     ).astype(dtype)
-    idx_d = jnp.asarray(idx)
 
-    @jax.jit
-    def ell_step(idx_d, table):
-        g = jnp.take(table, idx_d, axis=0)
-        return g.reshape(m, K, F).sum(axis=1, dtype=jnp.float32)
+    if variant == "matsum":  # the shipping csr_ell formulation
+        idx_d = jnp.asarray(idx)
 
-    # chain via the index argument (output feeds nothing; use a barrier
-    # harness on the table instead): time_chained perturbs arg0
-    secs = time_chained(lambda t: ell_step(idx_d, t), table, iters=5)
+        @jax.jit
+        def step(idx_d, table):
+            g = jnp.take(table, idx_d, axis=0)
+            return g.reshape(m, K, F).sum(axis=1, dtype=jnp.float32)
+
+    elif variant == "scan":  # K fused gather+add passes, no (m,K,F)
+        idx_km = jnp.asarray(idx.reshape(m, K).T.copy())  # (K, m)
+
+        @jax.jit
+        def step(idx_d, table):
+            def body(acc, ik):
+                return acc + jnp.take(table, ik, axis=0).astype(
+                    jnp.float32
+                ), None
+            acc0 = jnp.zeros((m, F), jnp.float32)
+            return jax.lax.scan(body, acc0, idx_d)[0]
+
+        idx_d = idx_km
+    else:
+        raise ValueError(variant)
+
+    secs = time_chained(lambda t: step(idx_d, t), table, iters=5)
     ns_per_idx = secs * 1e9 / idx.size
     rec = {
-        "kind": "gather_floor", "n_rows": int(n_rows),
+        "kind": "gather_floor", "variant": variant, "n_rows": int(n_rows),
         "table_mb": round(n_rows * F * table.dtype.itemsize / 2**20, 1),
         "dtype": str(table.dtype), "clustered": bool(clustered),
         "slots": int(idx.size), "K": K, "F": F,
@@ -69,15 +85,16 @@ def run(n_rows, dtype, clustered):
     }
     with open(OUT, "a") as f:
         f.write(json.dumps(rec) + "\n")
-    print(f"[gather-floor] rows={n_rows:>8} {str(table.dtype):>9} "
-          f"clustered={clustered}: {ns_per_idx:6.2f} ns/idx "
-          f"({secs*1e3:7.1f} ms)", flush=True)
+    print(f"[gather-floor] {variant:>6} rows={n_rows:>8} "
+          f"{str(table.dtype):>9} clustered={clustered}: "
+          f"{ns_per_idx:6.2f} ns/idx ({secs*1e3:7.1f} ms)", flush=True)
 
 
 if __name__ == "__main__":
     t0 = time.time()
-    for n_rows in (1 << 17, 1 << 19, 1 << 21, 2449029):
+    for n_rows in (1 << 17, 1 << 19, 2449029):
         for dtype in (jnp.float32, jnp.bfloat16):
             for clustered in (False, True):
-                run(n_rows, dtype, clustered)
+                for variant in ("matsum", "scan"):
+                    run(n_rows, dtype, clustered, variant)
     print(f"[gather-floor] done in {time.time()-t0:.0f}s", flush=True)

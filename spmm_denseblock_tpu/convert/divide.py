@@ -96,14 +96,17 @@ def auto_threshold(csr: CSR, block_size: int, dense_speedup: float = 4.0) -> flo
     return float(breakeven)
 
 
-def ell_padded_slots(degrees: np.ndarray) -> int:
+def ell_padded_slots(degrees: np.ndarray, bucket: str = "pow2") -> int:
     """Total gather slots the degree-bucketed ELL tier issues for rows
-    with these degrees: sum of next_pow2(degree) (ops/csr_spmm_ell.py's
-    class layout). The measured remainder cost on v5e tracks this count
+    with these degrees: sum of per-row ELL widths (ops/csr_spmm_ell.py's
+    class layout; `bucket` must match the plan that will execute the
+    remainder). The measured remainder cost on v5e tracks this count
     (per-index-bound gather, ~3.7 ns/slot on proteins-scale operands),
     not raw nnz or tile-amplified bytes (ROUND2_NOTES capture sweep)."""
+    from spmm_denseblock_tpu.ops.csr_spmm_ell import _row_widths
+
     deg = np.asarray(degrees, dtype=np.int64)
-    K = np.maximum(1, 2 ** np.ceil(np.log2(np.maximum(deg, 1))).astype(np.int64))
+    K = _row_widths(deg, bucket)
     return int(K[deg > 0].sum())
 
 

@@ -33,12 +33,15 @@ import numpy as np
 from spmm_denseblock_tpu.formats.csr import CSR
 from spmm_denseblock_tpu.ops.plan import Plan, grad_plan
 
-# gather-intermediate budget: slots * F * 4 bytes; 8M slots keeps the
-# biggest per-chunk intermediate ~4 GB at F=128 (the GNN regime) while
-# holding the chunk count low enough for the remote compiler at
-# products scale (~30 chunks at 246M slots). Lower it for F >= 512
-# full-graph serving.
-CHUNK_SLOTS = 8 << 20
+# gather-intermediate budget: slots * F * 4 bytes; 4M slots keeps the
+# biggest per-chunk intermediate ~2 GB f32 / 1 GB bf16 at F=128 (the
+# GNN regime) while holding the chunk count low enough for the remote
+# compiler at products scale (~37 chunks at 147M slots). The round-2
+# full-products hybrid run OOM'd at 8M slots once a 2 GB dense-block
+# tier shared HBM with the chunk + table + chained outputs; chunk
+# launches are noise next to the per-index gather cost, so smaller is
+# safe. Lower further for F >= 512 full-graph serving.
+CHUNK_SLOTS = 4 << 20
 
 
 @functools.partial(jax.jit, static_argnames=("layout", "has_vals"))

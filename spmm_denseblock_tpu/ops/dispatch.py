@@ -190,11 +190,13 @@ def spmm_plan(matrix, impl: str = "auto", block_size: int = 128, **kw):
                     dt
                 ).itemsize == 2 else 4
                 cands = {0.02, 0.03, 0.05, auto_threshold(matrix, block_size)}
-                # half budget: the ELL remainder's gather chunks and the
-                # dense operand/output share the HBM
+                # quarter budget: the dense tier shares HBM with the ELL
+                # gather chunk, the operand table, the output, and the
+                # timing/train step's in-flight buffers — a products-scale
+                # run with dense at budget//2 exhausted the chip
                 best_thr, _ = score_thresholds(
                     matrix, block_size, candidates=cands,
-                    dense_bytes_budget=budget // 2, dtype_bytes=dtype_bytes,
+                    dense_bytes_budget=budget // 4, dtype_bytes=dtype_bytes,
                 )
                 if best_thr is not None:
                     matrix = divide(matrix, block_size, best_thr)
