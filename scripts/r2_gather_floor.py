@@ -31,7 +31,9 @@ from spmm_denseblock_tpu.bench.timing import time_chained
 
 OUT = "/root/repo/benchmarks/tpu_v5e_gather_floor.jsonl"
 F = 128
-SLOTS = 32 << 20  # 33.5M slots per measurement (m=SLOTS/K rows)
+SLOTS = 4 << 20   # one csr_ell CHUNK_SLOTS worth of gather per call —
+                  # the (slots, F) f32 intermediate stays ~2 GB; 32M
+                  # slots OOM'd the chip at compile (16 GB HLO temp)
 K = 64            # products' dominant class
 
 
