@@ -59,6 +59,37 @@ def run(n_rows, dtype, clustered, variant):
             g = jnp.take(table, idx_d, axis=0)
             return g.reshape(m, K, F).sum(axis=1, dtype=jnp.float32)
 
+    elif variant.startswith("banded"):
+        # variant forms: banded / banded_copy / banded@18 (W=2^18) —
+        # probing whether the fast/slow boundary is the band's BYTE
+        # size (~128 vs 256 MB) rather than its row count
+        # the banded-ELL hypothesis: per-index cost tracks the SOURCE
+        # RANGE, not the logical table — slice a 2^19-row band out of
+        # the big table, gather inside it. If this runs at the 524288-row
+        # rate (2.5-4 ns vs 8.4-11.5 full-table), a banded-ELL layout
+        # (rows bucketed by home band under rabbit locality) is worth
+        # ~3x on products-scale remainders.
+        wbits = int(variant.split("@")[1]) if "@" in variant else 19
+        W = min(n_rows, 1 << wbits)
+        idx = idx % W  # in-band offsets
+        m = idx.size // K
+        idx_d = jnp.asarray(idx[: m * K])
+        start = (n_rows - W) // 2
+
+        copy = "copy" in variant
+
+        @jax.jit
+        def step(idx_d, table):
+            band = jax.lax.dynamic_slice_in_dim(table, start, W, axis=0)
+            if copy:
+                # force a real (W, F) copy — otherwise XLA folds the
+                # slice into the gather and the operand is still the
+                # full table (banded-view measured 11.74 ns/idx, no
+                # better than unbanded)
+                band = jax.lax.optimization_barrier(band)
+            g = jnp.take(band, idx_d, axis=0)
+            return g.reshape(m, K, F).sum(axis=1, dtype=jnp.float32)
+
     elif variant == "scan":  # K fused gather+add passes, no (m,K,F)
         idx_km = jnp.asarray(idx.reshape(m, K).T.copy())  # (K, m)
 
@@ -94,9 +125,21 @@ def run(n_rows, dtype, clustered, variant):
 
 if __name__ == "__main__":
     t0 = time.time()
-    for n_rows in (1 << 17, 1 << 19, 2449029):
-        for dtype in (jnp.float32, jnp.bfloat16):
-            for clustered in (False, True):
-                for variant in ("matsum", "scan"):
-                    run(n_rows, dtype, clustered, variant)
+    if len(sys.argv) > 1 and sys.argv[1] == "banded":
+        for variant in ("banded", "banded_copy"):
+            for dtype in (jnp.float32, jnp.bfloat16):
+                run(2449029, dtype, False, variant)
+    elif len(sys.argv) > 1 and sys.argv[1] == "bandwidth":
+        # byte-boundary probe: f32 at 2^17/2^18 bands (64/128 MB),
+        # bf16 at 2^20 (256 MB) — is the boundary bytes or rows?
+        run(2449029, jnp.float32, False, "banded@18")
+        run(2449029, jnp.float32, False, "banded@17")
+        run(2449029, jnp.bfloat16, False, "banded@20")
+        run(2449029, jnp.bfloat16, False, "banded@18")
+    else:
+        for n_rows in (1 << 17, 1 << 19, 2449029):
+            for dtype in (jnp.float32, jnp.bfloat16):
+                for clustered in (False, True):
+                    for variant in ("matsum", "scan"):
+                        run(n_rows, dtype, clustered, variant)
     print(f"[gather-floor] done in {time.time()-t0:.0f}s", flush=True)

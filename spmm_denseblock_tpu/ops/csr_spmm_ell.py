@@ -46,22 +46,45 @@ CHUNK_SLOTS = 4 << 20
 
 @functools.partial(jax.jit, static_argnames=("layout", "has_vals"))
 def _ell_spmm_device(idx_cat, vals_cat, positions, dense, layout, has_vals):
-    """layout: tuple of (m_k, K) per class, concatenated in idx_cat."""
+    """layout: tuple of (m_k, K, mode) per class chunk, concatenated in
+    idx_cat. mode "matsum" stores the chunk row-major (m*K) and reduces
+    a materialized (m, K, F) gather; mode "scan" stores it TRANSPOSED
+    (K*m) and runs K fused gather+accumulate passes with no (m, K, F)
+    intermediate — measured on v5e (tpu_v5e_gather_floor.jsonl) the
+    scan form wins on big source tables (products 2.45M rows: 10.0 vs
+    11.5 ns/idx f32, 8.4 vs 11.1 bf16) while matsum wins on small ones
+    (proteins 131k rows: 2.6 vs 9.1 — per-step scan overhead)."""
     # one zero row at the end serves every pad slot (index n_cols)
     dense = jnp.concatenate(
         [dense, jnp.zeros((1, dense.shape[1]), dense.dtype)], axis=0
     )
+    F = dense.shape[1]
     outs = []
     off = 0
-    for m_k, K in layout:
+    for m_k, K, mode in layout:
         idx = jax.lax.dynamic_slice_in_dim(idx_cat, off, m_k * K)
-        g = jnp.take(dense, idx, axis=0)
-        if has_vals:
-            v = jax.lax.dynamic_slice_in_dim(vals_cat, off, m_k * K)
-            g = g * v[:, None].astype(g.dtype)
-        outs.append(
-            g.reshape(m_k, K, dense.shape[1]).sum(axis=1, dtype=jnp.float32)
+        v = (
+            jax.lax.dynamic_slice_in_dim(vals_cat, off, m_k * K)
+            if has_vals
+            else None
         )
+        if mode == "scan":
+            idx = idx.reshape(K, m_k)
+            xs = (idx, v.reshape(K, m_k)) if has_vals else (idx,)
+
+            def body(acc, x):
+                g = jnp.take(dense, x[0], axis=0)
+                if has_vals:
+                    g = g * x[1][:, None].astype(g.dtype)
+                return acc + g.astype(jnp.float32), None
+
+            out = jax.lax.scan(body, jnp.zeros((m_k, F), jnp.float32), xs)[0]
+        else:
+            g = jnp.take(dense, idx, axis=0)
+            if has_vals:
+                g = g * v[:, None].astype(g.dtype)
+            out = g.reshape(m_k, K, F).sum(axis=1, dtype=jnp.float32)
+        outs.append(out)
         off += m_k * K
     cat = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
     return jnp.take(cat, positions, axis=0).astype(jnp.float32)
@@ -83,7 +106,25 @@ def _row_widths(deg: np.ndarray, bucket: str) -> np.ndarray:
     return np.maximum(1, ((deg + step - 1) // step) * step)
 
 
-def _ell_layout(csr: CSR, bucket: str = "pow2"):
+# scan reduce pays off when the gather SOURCE is big (per-index cost
+# rises ~4x past the last cache/TLB-friendly size; tpu_v5e_gather_floor
+# .jsonl shows the crossover between 2^17 and 2^19 source rows) and the
+# class is wide enough to amortize per-step overhead.
+SCAN_MIN_SOURCE_ROWS = 1 << 19
+_SCAN_MIN_M, _SCAN_MAX_K = 4096, 256
+
+
+def _chunk_mode(reduce: str, n_cols: int, m: int, K: int) -> str:
+    if reduce == "matsum" or K < 2:
+        return "matsum"
+    if m < _SCAN_MIN_M or K > _SCAN_MAX_K:
+        return "matsum"
+    if reduce == "scan":
+        return "scan"
+    return "scan" if n_cols >= SCAN_MIN_SOURCE_ROWS else "matsum"
+
+
+def _ell_layout(csr: CSR, bucket: str = "pow2", reduce: str = "auto"):
     deg = csr.degrees().astype(np.int64)
     n = csr.n_rows
     K_r = _row_widths(deg, bucket)
@@ -106,17 +147,31 @@ def _ell_layout(csr: CSR, bucket: str = "pow2"):
         tgt = np.repeat(np.arange(m_k, dtype=np.int64) * K, d) + _ragged_arange(d)
         src = np.repeat(starts, d) + _ragged_arange(d)
         idx[tgt] = cols[src]
-        idx_parts.append(idx)
+        v = None
         if has_vals:
             v = np.zeros(m_k * K, dtype=np.float32)
             v[tgt] = vals[src]
-            val_parts.append(v)
         # split giant classes so the gathered intermediate stays bounded
         # (products-scale: one class can hold 10^8 slots; each chunk's
-        # (m, K, F) gather must fit HBM even if XLA fails to fuse the sum)
+        # (m, K, F) gather must fit HBM even if XLA fails to fuse the
+        # sum), emitting each chunk in its mode's storage order:
+        # row-major (m*K) for matsum, transposed (K*m) for scan.
         max_m = max(1, CHUNK_SLOTS // K)
         for s in range(0, m_k, max_m):
-            layout.append((int(min(max_m, m_k - s)), int(K)))
+            m = int(min(max_m, m_k - s))
+            mode = _chunk_mode(reduce, csr.n_cols, m, int(K))
+            seg = idx[s * K: (s + m) * K]
+            vseg = v[s * K: (s + m) * K] if has_vals else None
+            if mode == "scan":
+                seg = np.ascontiguousarray(seg.reshape(m, K).T).ravel()
+                if has_vals:
+                    vseg = np.ascontiguousarray(
+                        vseg.reshape(m, K).T
+                    ).ravel()
+            idx_parts.append(seg)
+            if has_vals:
+                val_parts.append(vseg)
+            layout.append((m, int(K), mode))
 
     positions = np.empty(n, dtype=np.int32)
     positions[order] = np.arange(n, dtype=np.int32)
@@ -129,21 +184,26 @@ def _ell_layout(csr: CSR, bucket: str = "pow2"):
 
 
 def csr_spmm_ell_plan(csr: CSR, grad: bool = True, dtype=None,
-                      bucket: str = "pow2"):
+                      bucket: str = "pow2", reduce: str = "auto"):
     """Host layout prep once -> Plan C = f(B).
 
     dtype=jnp.bfloat16: gather in bf16 (halves the dominant HBM gather
     traffic on full-graph serving), accumulate in f32 — ~1e-3 relative
     error, outside the 1e-4 oracle gate, so it is opt-in.
     bucket="quarter": finer degree classes, ~18% fewer padded slots at
-    products scale (see _row_widths) at ~2x the class/launch count."""
+    products scale (see _row_widths) at ~2x the class/launch count.
+    reduce: "auto" picks matsum/scan per chunk by the measured v5e
+    crossover (_chunk_mode); "matsum"/"scan" force one form."""
     if grad:
         return grad_plan(
-            csr_spmm_ell_plan(csr, grad=False, dtype=dtype, bucket=bucket),
+            csr_spmm_ell_plan(csr, grad=False, dtype=dtype, bucket=bucket,
+                              reduce=reduce),
             csr_spmm_ell_plan(csr.transpose(), grad=False, dtype=dtype,
-                              bucket=bucket),
+                              bucket=bucket, reduce=reduce),
         )
-    idx_cat, vals_cat, positions, layout, has_vals = _ell_layout(csr, bucket)
+    idx_cat, vals_cat, positions, layout, has_vals = _ell_layout(
+        csr, bucket, reduce
+    )
     arrays = (
         jnp.asarray(idx_cat),
         jnp.asarray(vals_cat),

@@ -20,7 +20,7 @@ from spmm_denseblock_tpu.ops.plan import sum_plan
 
 def hybrid_spmm_plan(
     hyb: Hybrid, dense_impl: str = "pallas", dtype=None, grad: bool = True,
-    bucket: str = "pow2",
+    bucket: str = "pow2", reduce: str = "auto",
 ):
     """grad=False skips the transposed-layout copies the VJP needs —
     halves device memory for inference/bench plans (a full-products
@@ -28,7 +28,7 @@ def hybrid_spmm_plan(
     remainder's degree-class scheme (csr_spmm_ell._row_widths)."""
     if hyb.dense.nnzb == 0:
         return csr_spmm_ell_plan(hyb.remainder, grad=grad, dtype=dtype,
-                                 bucket=bucket)
+                                 bucket=bucket, reduce=reduce)
     if dense_impl == "pallas":
         bsr_run = bsr_spmm_pallas_plan(hyb.dense, dtype=dtype, grad=grad)
     else:
@@ -37,7 +37,7 @@ def hybrid_spmm_plan(
     # (proteins/products) the remainder gather IS the runtime, and a bf16
     # gather halves that traffic (opt-in reduced precision, ~1e-3 rel).
     csr_run = csr_spmm_ell_plan(hyb.remainder, grad=grad, dtype=dtype,
-                                bucket=bucket)
+                                bucket=bucket, reduce=reduce)
 
     if hyb.remainder.nnz == 0:
         return bsr_run

@@ -89,5 +89,32 @@ def test_ell_quarter_bucket_matches_oracle(rng):
         assert_allclose(np.asarray(got), want)
     # the quarter layout really is smaller on a skewed-degree matrix
     from spmm_denseblock_tpu.ops.csr_spmm_ell import _ell_layout
-    slots = lambda b: sum(m * k for m, k in _ell_layout(csr, b)[3])
+    slots = lambda b: sum(m * k for m, k, _ in _ell_layout(csr, b)[3])
     assert slots("quarter") <= slots("pow2")
+
+
+def test_ell_scan_reduce_matches_oracle(rng):
+    """reduce="scan" (transposed storage + K fused gather+add passes)
+    must match the matsum form bit-for-bit in f32; the crossover guards
+    (_chunk_mode) are bypassed by forcing the mode and shrinking the
+    thresholds."""
+    import importlib
+
+    # the ops package re-exports a FUNCTION named csr_spmm_ell that
+    # shadows the submodule attribute; import_module gets the module
+    mod = importlib.import_module("spmm_denseblock_tpu.ops.csr_spmm_ell")
+
+    old = mod._SCAN_MIN_M
+    mod._SCAN_MIN_M = 1
+    try:
+        csr = random_csr(0.08, 64, 48, seed=11)
+        x = rng.standard_normal((48, 16)).astype(np.float32)
+        want = spmm_scipy(csr, x)
+        for grad in (False, True):
+            got = csr_spmm_ell_plan(csr, grad=grad, reduce="scan")(x)
+            assert_allclose(np.asarray(got), want)
+        # the forced layout really contains scan chunks
+        layout = mod._ell_layout(csr, reduce="scan")[3]
+        assert any(mode == "scan" for _, _, mode in layout)
+    finally:
+        mod._SCAN_MIN_M = old
