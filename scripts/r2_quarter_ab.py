@@ -40,22 +40,25 @@ OUT = "/root/repo/benchmarks/tpu_v5e_fullscale_r2.jsonl"
 B, DIM = 128, 128
 
 
-def run(dataset, strategy, impl, thr=None, bucket="pow2", impl_label=None):
+def run(dataset, strategy, impl, thr=None, bucket="pow2", impl_label=None,
+        reduce="auto"):
     t0 = time.time()
     csr = load_dataset(dataset, scale=1.0)
     rcsr, _ = reorder_cached(csr, strategy, cache_dir="/root/repo/tmp",
                              tag=dataset.replace("-", "_"))
     metrics = block_metrics(rcsr, [B])[B]
     kw = dict(dtype=jnp.bfloat16, grad=False)
-    extra = {"bucket": bucket}
+    extra = {"bucket": bucket, "reduce": reduce}
     if impl == "hybrid":
         hyb = divide(rcsr, B, thr)
-        plan = spmm_plan(hyb, impl="hybrid", bucket=bucket, **kw)
+        plan = spmm_plan(hyb, impl="hybrid", bucket=bucket, reduce=reduce,
+                         **kw)
         extra.update(dense_nnzb=hyb.dense.nnzb,
                      remainder_nnz=hyb.remainder.nnz,
                      density_threshold=thr)
     elif impl == "csr_ell":
-        plan = spmm_plan(rcsr, impl="csr_ell", bucket=bucket, **kw)
+        plan = spmm_plan(rcsr, impl="csr_ell", bucket=bucket, reduce=reduce,
+                         **kw)
     else:  # auto — router picks its own bucket/threshold
         plan = spmm_plan(rcsr, impl=impl, block_size=B, **kw)
         extra.pop("bucket")
@@ -85,7 +88,10 @@ def run(dataset, strategy, impl, thr=None, bucket="pow2", impl_label=None):
 
 if __name__ == "__main__":
     t0 = time.time()
-    run("ogbn-products", "rabbit", "csr_ell", bucket="quarter")
+    run("ogbn-products", "rabbit", "csr_ell", bucket="quarter",
+        impl_label="csr_ell")          # reduce=auto -> scan chunks
+    run("ogbn-products", "rabbit", "csr_ell", bucket="quarter",
+        reduce="matsum", impl_label="csr_ell")  # isolate the scan effect
     run("ogbn-proteins", "rabbit", "hybrid", thr=0.03, bucket="quarter")
     run("ogbn-products", "rabbit", "auto", impl_label="auto(scored)")
     print(f"[quarter-ab] done in {time.time()-t0:.0f}s", flush=True)
