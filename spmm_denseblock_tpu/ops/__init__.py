@@ -3,7 +3,11 @@ from spmm_denseblock_tpu.ops.csr_spmm_pallas import (
     csr_spmm_pallas,
     csr_spmm_pallas_plan,
 )
-from spmm_denseblock_tpu.ops.csr_spmm_ell import csr_spmm_ell, csr_spmm_ell_plan
+from spmm_denseblock_tpu.ops.csr_spmm_ell import (
+    csr_spmm_ell,
+    csr_spmm_ell_banded_plan,
+    csr_spmm_ell_plan,
+)
 from spmm_denseblock_tpu.ops.plan import Plan, grad_plan, sum_plan
 from spmm_denseblock_tpu.ops.bsr_spmm_xla import bsr_spmm_xla, bsr_spmm_xla_plan
 from spmm_denseblock_tpu.ops.bsr_spmm_pallas import (
@@ -35,6 +39,7 @@ __all__ = [
     "csr_spmm_pallas",
     "csr_spmm_pallas_plan",
     "csr_spmm_ell",
+    "csr_spmm_ell_banded_plan",
     "csr_spmm_ell_plan",
     "Plan",
     "grad_plan",

@@ -44,16 +44,30 @@ from spmm_denseblock_tpu.ops.plan import Plan, grad_plan
 CHUNK_SLOTS = 4 << 20
 
 
-@functools.partial(jax.jit, static_argnames=("layout", "has_vals"))
-def _ell_spmm_device(idx_cat, vals_cat, positions, dense, layout, has_vals):
-    """layout: tuple of (m_k, K, mode) per class chunk, concatenated in
-    idx_cat. mode "matsum" stores the chunk row-major (m*K) and reduces
-    a materialized (m, K, F) gather; mode "scan" stores it TRANSPOSED
+@functools.partial(
+    jax.jit, static_argnames=("layout", "has_vals", "band_rows")
+)
+def _ell_spmm_device(
+    idx_cat, vals_cat, positions, dense, layout, has_vals, band_rows=0
+):
+    """layout: tuple of (m_k, K, mode, band_start) per class chunk,
+    concatenated in idx_cat.
+
+    mode "matsum" stores the chunk row-major (m*K) and reduces a
+    materialized (m, K, F) gather; mode "scan" stores it TRANSPOSED
     (K*m) and runs K fused gather+accumulate passes with no (m, K, F)
     intermediate — measured on v5e (tpu_v5e_gather_floor.jsonl) the
     scan form wins on big source tables (products 2.45M rows: 10.0 vs
     11.5 ns/idx f32, 8.4 vs 11.1 bf16) while matsum wins on small ones
-    (proteins 131k rows: 2.6 vs 9.1 — per-step scan overhead)."""
+    (proteins 131k rows: 2.6 vs 9.1 — per-step scan overhead).
+
+    band_start >= 0: the chunk's indices are LOCAL offsets into the
+    `band_rows`-row slice dense[band_start : band_start+band_rows] —
+    XLA folds the dynamic_slice into the gather and the per-index cost
+    drops to the small-table rate (bf16: 2.8-4.5 vs 11.1 ns/idx at the
+    full products table). Banded chunks REQUIRE vals (pads carry 0 and
+    point at local row 0; there is no zero row inside a band).
+    band_start == -1: full padded table, pads at index n_cols."""
     # one zero row at the end serves every pad slot (index n_cols)
     dense = jnp.concatenate(
         [dense, jnp.zeros((1, dense.shape[1]), dense.dtype)], axis=0
@@ -61,26 +75,31 @@ def _ell_spmm_device(idx_cat, vals_cat, positions, dense, layout, has_vals):
     F = dense.shape[1]
     outs = []
     off = 0
-    for m_k, K, mode in layout:
+    for m_k, K, mode, band_start in layout:
         idx = jax.lax.dynamic_slice_in_dim(idx_cat, off, m_k * K)
         v = (
             jax.lax.dynamic_slice_in_dim(vals_cat, off, m_k * K)
             if has_vals
             else None
         )
+        src = (
+            jax.lax.dynamic_slice_in_dim(dense, band_start, band_rows, 0)
+            if band_start >= 0
+            else dense
+        )
         if mode == "scan":
             idx = idx.reshape(K, m_k)
             xs = (idx, v.reshape(K, m_k)) if has_vals else (idx,)
 
-            def body(acc, x):
-                g = jnp.take(dense, x[0], axis=0)
+            def body(acc, x, src=src):
+                g = jnp.take(src, x[0], axis=0)
                 if has_vals:
                     g = g * x[1][:, None].astype(g.dtype)
                 return acc + g.astype(jnp.float32), None
 
             out = jax.lax.scan(body, jnp.zeros((m_k, F), jnp.float32), xs)[0]
         else:
-            g = jnp.take(dense, idx, axis=0)
+            g = jnp.take(src, idx, axis=0)
             if has_vals:
                 g = g * v[:, None].astype(g.dtype)
             out = g.reshape(m_k, K, F).sum(axis=1, dtype=jnp.float32)
@@ -171,7 +190,7 @@ def _ell_layout(csr: CSR, bucket: str = "pow2", reduce: str = "auto"):
             idx_parts.append(seg)
             if has_vals:
                 val_parts.append(vseg)
-            layout.append((m, int(K), mode))
+            layout.append((m, int(K), mode, -1))
 
     positions = np.empty(n, dtype=np.int32)
     positions[order] = np.arange(n, dtype=np.int32)
@@ -181,6 +200,139 @@ def _ell_layout(csr: CSR, bucket: str = "pow2", reduce: str = "auto"):
         else np.zeros(0, np.float32)
     )
     return idx_cat, vals_cat, positions, tuple(layout), has_vals
+
+
+def _banded_split(csr: CSR, band_rows: int):
+    """Per-row home band (majority vote over disjoint `band_rows`-wide
+    column bands, start clamped so the band fits the table) and the
+    in-band membership mask per nonzero. Returns (row_start, in_mask)."""
+    W = band_rows
+    n_rows, n_cols = csr.shape
+    indptr = np.asarray(csr.indptr, np.int64)
+    cols = np.asarray(csr.indices, np.int64)
+    deg = np.diff(indptr)
+    rows = np.repeat(np.arange(n_rows, dtype=np.int64), deg)
+    nbands = max(1, -(-n_cols // W))
+    key = rows * nbands + cols // W
+    cnt = np.bincount(key, minlength=n_rows * nbands).reshape(n_rows, nbands)
+    home = cnt.argmax(1)
+    row_start = np.minimum(home * W, max(0, n_cols - W)).astype(np.int64)
+    in_mask = (cols >= row_start[rows]) & (cols < row_start[rows] + W)
+    return row_start, in_mask
+
+
+def _ell_layout_banded(csr: CSR, band_rows: int, bucket: str):
+    """In-band ELL layout: rows grouped by (home band, width class),
+    indices stored as LOCAL band offsets, pads at local 0 with val 0 —
+    every chunk carries vals (a 0/1 mask when the matrix is pattern-
+    only), because a band slice has no guaranteed zero row. Returns the
+    same tuple shape as _ell_layout plus the overflow COO (rows, cols,
+    vals_or_None) for the caller to wrap in a full-table plan."""
+    n_rows, n_cols = csr.shape
+    indptr = np.asarray(csr.indptr, np.int64)
+    cols = np.asarray(csr.indices, np.int64)
+    deg = np.diff(indptr)
+    rows = np.repeat(np.arange(n_rows, dtype=np.int64), deg)
+    has_vals = csr.data is not None
+    vals = np.asarray(csr.data, np.float32) if has_vals else None
+
+    row_start, in_mask = _banded_split(csr, band_rows)
+    in_rows, in_cols = rows[in_mask], cols[in_mask]
+    in_vals = vals[in_mask] if has_vals else np.ones(in_mask.sum(), np.float32)
+    in_local = (in_cols - row_start[in_rows]).astype(np.int32)
+    d_in = np.bincount(in_rows, minlength=n_rows).astype(np.int64)
+    K_r = _row_widths(d_in, bucket)
+
+    # rows grouped by (band start, width class); stable keeps the
+    # caller's (reorder-locality) order inside each group
+    order = np.lexsort((K_r, row_start))
+    # per-row contiguous slices of in_* come from cumsum of d_in in the
+    # ORIGINAL row order (in_rows is sorted because rows was)
+    in_ptr = np.concatenate([[0], np.cumsum(d_in)])
+
+    from spmm_denseblock_tpu.reorder.simple import _ragged_arange
+
+    idx_parts, val_parts, layout = [], [], []
+    group_key = row_start[order] * (K_r.max() + 1) + K_r[order]
+    boundaries = np.flatnonzero(
+        np.concatenate([[True], group_key[1:] != group_key[:-1]])
+    )
+    for gi, b0 in enumerate(boundaries):
+        b1 = boundaries[gi + 1] if gi + 1 < boundaries.size else order.size
+        rows_g = order[b0:b1]
+        K = int(K_r[rows_g[0]])
+        start = int(row_start[rows_g[0]])
+        m_g = rows_g.size
+        idx = np.zeros(m_g * K, dtype=np.int32)  # pads: local 0, val 0
+        v = np.zeros(m_g * K, dtype=np.float32)
+        d = d_in[rows_g]
+        tgt = np.repeat(np.arange(m_g, dtype=np.int64) * K, d) + _ragged_arange(d)
+        src = np.repeat(in_ptr[rows_g], d) + _ragged_arange(d)
+        idx[tgt] = in_local[src]
+        v[tgt] = in_vals[src]
+        max_m = max(1, CHUNK_SLOTS // K)
+        for s in range(0, m_g, max_m):
+            m = int(min(max_m, m_g - s))
+            idx_parts.append(idx[s * K: (s + m) * K])
+            val_parts.append(v[s * K: (s + m) * K])
+            layout.append((m, K, "matsum", start))
+
+    positions = np.empty(n_rows, dtype=np.int32)
+    positions[order] = np.arange(n_rows, dtype=np.int32)
+    idx_cat = np.concatenate(idx_parts) if idx_parts else np.zeros(0, np.int32)
+    vals_cat = (
+        np.concatenate(val_parts) if val_parts else np.zeros(0, np.float32)
+    )
+    ovf = (
+        rows[~in_mask],
+        cols[~in_mask],
+        vals[~in_mask] if has_vals else None,
+    )
+    return idx_cat, vals_cat, positions, tuple(layout), ovf
+
+
+def csr_spmm_ell_banded_plan(
+    csr: CSR,
+    band_rows: int = 1 << 19,
+    grad: bool = True,
+    dtype=None,
+    bucket: str = "quarter",
+    reduce: str = "auto",
+):
+    """Banded ELL: in-band gathers read a `band_rows`-row slice of the
+    operand (per-index cost drops ~3x at products scale in bf16 —
+    tpu_v5e_gather_floor.jsonl banded probes), out-of-band nonzeros run
+    through the regular full-table ELL plan; outputs sum. Pays off when
+    the operand table is much bigger than a band AND the reordering
+    localizes columns (rabbit on products: 64% in-band at W=2^19).
+    Measured band guidance (F=128): bf16 <= 2^19 rows fast; f32 needs
+    <= 2^17 (capture usually too low to pay) — use with 2-byte dtypes."""
+    if grad:
+        return grad_plan(
+            csr_spmm_ell_banded_plan(csr, band_rows, grad=False, dtype=dtype,
+                                     bucket=bucket, reduce=reduce),
+            csr_spmm_ell_banded_plan(csr.transpose(), band_rows, grad=False,
+                                     dtype=dtype, bucket=bucket,
+                                     reduce=reduce),
+        )
+    if csr.n_cols <= band_rows:  # nothing to band
+        return csr_spmm_ell_plan(csr, grad=False, dtype=dtype, bucket=bucket,
+                                 reduce=reduce)
+    idx_cat, vals_cat, positions, layout, (orows, ocols, ovals) = (
+        _ell_layout_banded(csr, band_rows, bucket)
+    )
+    dtype_key = None if dtype is None else jnp.dtype(dtype).name
+    in_plan = Plan(
+        (jnp.asarray(idx_cat), jnp.asarray(vals_cat), jnp.asarray(positions)),
+        _ell_apply,
+        (csr.shape, layout, True, dtype_key, int(band_rows)),
+    )
+    ovf_csr = CSR.from_coo(orows, ocols, ovals, shape=csr.shape)
+    ovf_plan = csr_spmm_ell_plan(ovf_csr, grad=False, dtype=dtype,
+                                 bucket=bucket, reduce=reduce)
+    from spmm_denseblock_tpu.ops.plan import sum_plan
+
+    return sum_plan((in_plan, ovf_plan))
 
 
 def csr_spmm_ell_plan(csr: CSR, grad: bool = True, dtype=None,
@@ -215,7 +367,8 @@ def csr_spmm_ell_plan(csr: CSR, grad: bool = True, dtype=None,
 
 
 def _ell_apply(statics, arrays, dense):
-    (n_rows, n_cols), layout, has_vals, dtype_key = statics
+    (n_rows, n_cols), layout, has_vals, dtype_key, *rest = statics
+    band_rows = rest[0] if rest else 0  # >0 only for banded in-plans
     idx_cat, vals_cat, positions = arrays
     dense = jnp.asarray(dense)
     assert dense.shape[0] == n_cols, (dense.shape, n_cols)
@@ -226,7 +379,7 @@ def _ell_apply(statics, arrays, dense):
     if not layout:  # empty matrix
         return jnp.zeros((n_rows, dense.shape[1]), jnp.float32)
     return _ell_spmm_device(
-        idx_cat, vals_cat, positions, dense, layout, has_vals
+        idx_cat, vals_cat, positions, dense, layout, has_vals, band_rows
     )
 
 

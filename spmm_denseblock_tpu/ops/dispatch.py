@@ -38,7 +38,10 @@ from spmm_denseblock_tpu.ops.windowed_spmm import (
 from spmm_denseblock_tpu.convert.csr2bsr import csr_to_bsr
 from spmm_denseblock_tpu.ops.csr_spmm import csr_spmm_plan, bcoo_spmm_plan
 from spmm_denseblock_tpu.ops.csr_spmm_pallas import csr_spmm_pallas_plan
-from spmm_denseblock_tpu.ops.csr_spmm_ell import csr_spmm_ell_plan
+from spmm_denseblock_tpu.ops.csr_spmm_ell import (
+    csr_spmm_ell_banded_plan,
+    csr_spmm_ell_plan,
+)
 from spmm_denseblock_tpu.ops.bsr_spmm_xla import bsr_spmm_xla_plan
 from spmm_denseblock_tpu.ops.bsr_spmm_pallas import bsr_spmm_pallas_plan
 from spmm_denseblock_tpu.ops.bsr_spmm_int8 import bsr_spmm_int8_plan
@@ -74,6 +77,7 @@ PLANNERS: Dict[str, Callable] = {
     "csr_xla": lambda m, **kw: csr_spmm_plan(_as_csr(m)),  # autodiff, no copies
     "csr_pallas": lambda m, **kw: csr_spmm_pallas_plan(_as_csr(m), **kw),
     "csr_ell": lambda m, **kw: csr_spmm_ell_plan(_as_csr(m), **kw),
+    "csr_ell_banded": lambda m, **kw: csr_spmm_ell_banded_plan(_as_csr(m), **kw),
     "bcoo": lambda m, **kw: bcoo_spmm_plan(_as_csr(m)),
     # BSR tier
     "bsr_xla": lambda m, **kw: bsr_spmm_xla_plan(m, **kw),

@@ -89,7 +89,7 @@ def test_ell_quarter_bucket_matches_oracle(rng):
         assert_allclose(np.asarray(got), want)
     # the quarter layout really is smaller on a skewed-degree matrix
     from spmm_denseblock_tpu.ops.csr_spmm_ell import _ell_layout
-    slots = lambda b: sum(m * k for m, k, _ in _ell_layout(csr, b)[3])
+    slots = lambda b: sum(m * k for m, k, _, _ in _ell_layout(csr, b)[3])
     assert slots("quarter") <= slots("pow2")
 
 
@@ -115,6 +115,29 @@ def test_ell_scan_reduce_matches_oracle(rng):
             assert_allclose(np.asarray(got), want)
         # the forced layout really contains scan chunks
         layout = mod._ell_layout(csr, reduce="scan")[3]
-        assert any(mode == "scan" for _, _, mode in layout)
+        assert any(mode == "scan" for _, _, mode, _ in layout)
     finally:
         mod._SCAN_MIN_M = old
+
+
+def test_ell_banded_matches_oracle(rng):
+    """Banded ELL (in-band gathers from a band slice + overflow plan,
+    summed) must match the oracle for pattern-only AND valued matrices,
+    including through grad_plan."""
+    from spmm_denseblock_tpu.ops import csr_spmm_ell_banded_plan
+
+    for valued in (False, True):
+        csr = random_csr(0.07, 80, 96, seed=13)
+        if not valued:
+            csr = type(csr)(indptr=csr.indptr, indices=csr.indices,
+                            data=None, shape=csr.shape)
+        x = rng.standard_normal((96, 8)).astype(np.float32)
+        want = spmm_scipy(csr, x)
+        for grad in (False, True):
+            plan = csr_spmm_ell_banded_plan(csr, band_rows=32, grad=grad)
+            assert_allclose(np.asarray(plan(x)), want)
+    # banded layout really has banded chunks
+    import importlib
+    mod = importlib.import_module("spmm_denseblock_tpu.ops.csr_spmm_ell")
+    layout = mod._ell_layout_banded(csr, 32, "quarter")[3]
+    assert layout and all(start >= 0 for _, _, _, start in layout)
