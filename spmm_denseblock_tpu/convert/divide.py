@@ -96,7 +96,7 @@ def auto_threshold(csr: CSR, block_size: int, dense_speedup: float = 4.0) -> flo
     return float(breakeven)
 
 
-def ell_padded_slots(degrees: np.ndarray, bucket: str = "pow2") -> int:
+def ell_padded_slots(degrees: np.ndarray, bucket: str = "quarter") -> int:
     """Total gather slots the degree-bucketed ELL tier issues for rows
     with these degrees: sum of per-row ELL widths (ops/csr_spmm_ell.py's
     class layout; `bucket` must match the plan that will execute the

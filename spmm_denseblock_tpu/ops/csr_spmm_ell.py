@@ -143,7 +143,7 @@ def _chunk_mode(reduce: str, n_cols: int, m: int, K: int) -> str:
     return "scan" if n_cols >= SCAN_MIN_SOURCE_ROWS else "matsum"
 
 
-def _ell_layout(csr: CSR, bucket: str = "pow2", reduce: str = "auto"):
+def _ell_layout(csr: CSR, bucket: str = "quarter", reduce: str = "auto"):
     deg = csr.degrees().astype(np.int64)
     n = csr.n_rows
     K_r = _row_widths(deg, bucket)
@@ -336,7 +336,7 @@ def csr_spmm_ell_banded_plan(
 
 
 def csr_spmm_ell_plan(csr: CSR, grad: bool = True, dtype=None,
-                      bucket: str = "pow2", reduce: str = "auto"):
+                      bucket: str = "quarter", reduce: str = "auto"):
     """Host layout prep once -> Plan C = f(B).
 
     dtype=jnp.bfloat16: gather in bf16 (halves the dominant HBM gather

@@ -20,7 +20,7 @@ from spmm_denseblock_tpu.ops.plan import sum_plan
 
 def hybrid_spmm_plan(
     hyb: Hybrid, dense_impl: str = "pallas", dtype=None, grad: bool = True,
-    bucket: str = "pow2", reduce: str = "auto",
+    bucket: str = "quarter", reduce: str = "auto",
 ):
     """grad=False skips the transposed-layout copies the VJP needs —
     halves device memory for inference/bench plans (a full-products

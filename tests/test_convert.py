@@ -243,8 +243,12 @@ def test_score_thresholds_dense_structure(rng):
     thr_u, _ = score_thresholds(uniform, b)
     assert thr_u is None
 
-    # padded-slot arithmetic: degrees pad to next pow2, zeros drop out
-    assert ell_padded_slots(np.array([0, 1, 2, 3, 5, 9])) == 1 + 2 + 4 + 8 + 16
+    # padded-slot arithmetic: zeros drop out; default quarter buckets
+    # pad to multiples of next_pow2/4 (3->3, 5->6, 9->12), pow2 to the
+    # full power of two
+    deg = np.array([0, 1, 2, 3, 5, 9])
+    assert ell_padded_slots(deg, bucket="pow2") == 1 + 2 + 4 + 8 + 16
+    assert ell_padded_slots(deg) == 1 + 2 + 3 + 6 + 12
 
 
 def test_score_thresholds_budget(rng):
