@@ -67,11 +67,17 @@ def _ell_spmm_device(
     drops to the small-table rate (bf16: 2.8-4.5 vs 11.1 ns/idx at the
     full products table). Banded chunks REQUIRE vals (pads carry 0 and
     point at local row 0; there is no zero row inside a band).
-    band_start == -1: full padded table, pads at index n_cols."""
-    # one zero row at the end serves every pad slot (index n_cols)
-    dense = jnp.concatenate(
-        [dense, jnp.zeros((1, dense.shape[1]), dense.dtype)], axis=0
-    )
+    band_start == -1: full table; pattern-only (has_vals=False) chunks
+    pad at index n_cols into an appended zero row, valued chunks pad at
+    index 0 with val 0 — the valued form needs NO padded copy of the
+    table (a products-scale bf16 cast + zero-row concatenate costs a
+    full extra table buffer per call, which tipped the banded plan
+    over HBM)."""
+    if not has_vals:
+        # one zero row at the end serves every pad slot (index n_cols)
+        dense = jnp.concatenate(
+            [dense, jnp.zeros((1, dense.shape[1]), dense.dtype)], axis=0
+        )
     F = dense.shape[1]
     outs = []
     off = 0
@@ -155,7 +161,10 @@ def _ell_layout(csr: CSR, bucket: str = "quarter", reduce: str = "auto"):
 
     from spmm_denseblock_tpu.reorder.simple import _ragged_arange
 
-    pad_idx = csr.n_cols  # the appended zero row
+    # valued layouts pad at row 0 (val 0 kills the contribution; no
+    # appended zero row -> no per-call padded copy of the table);
+    # pattern-only layouts pad at the appended zero row n_cols
+    pad_idx = 0 if has_vals else csr.n_cols
     idx_parts, val_parts, layout = [], [], []
     for K in np.unique(K_r[order]):
         rows_k = order[K_r[order] == K]
@@ -327,6 +336,11 @@ def csr_spmm_ell_banded_plan(
         _ell_apply,
         (csr.shape, layout, True, dtype_key, int(band_rows)),
     )
+    if ovals is None:
+        # force the valued (pad-at-0) form: the overflow then needs no
+        # padded table copy either, so the whole banded plan reads the
+        # operand in place
+        ovals = np.ones(orows.shape[0], np.float32)
     ovf_csr = CSR.from_coo(orows, ocols, ovals, shape=csr.shape)
     ovf_plan = csr_spmm_ell_plan(ovf_csr, grad=False, dtype=dtype,
                                  bucket=bucket, reduce=reduce)

@@ -193,18 +193,38 @@ def spmm_plan(matrix, impl: str = "auto", block_size: int = 128, **kw):
                 dtype_bytes = 2 if dt is not None and jnp.dtype(
                     dt
                 ).itemsize == 2 else 4
+                from spmm_denseblock_tpu.ops.csr_spmm_ell import (
+                    SCAN_MIN_SOURCE_ROWS,
+                )
+
                 cands = {0.02, 0.03, 0.05, auto_threshold(matrix, block_size)}
+                # two-regime block cost: 600 slots/block was calibrated
+                # on proteins (132k-row operand, fast-gather regime); at
+                # a products-size table the dense tier's measured excess
+                # is ~34 us/block ~= 4000 slot-equivalents (hybrid
+                # thr=0.05 ran 1844 ms vs pure quarter-ELL 1298,
+                # tpu_v5e_fullscale_r2.jsonl) — big tables make the MXU
+                # blocks RELATIVELY pricier, not cheaper
+                big_table = matrix.n_cols >= SCAN_MIN_SOURCE_ROWS
                 # quarter budget: the dense tier shares HBM with the ELL
                 # gather chunk, the operand table, the output, and the
                 # timing/train step's in-flight buffers — a products-scale
                 # run with dense at budget//2 exhausted the chip
                 best_thr, _ = score_thresholds(
                     matrix, block_size, candidates=cands,
+                    slots_per_block=4000.0 if big_table else 600.0,
                     dense_bytes_budget=budget // 4, dtype_bytes=dtype_bytes,
                 )
                 if best_thr is not None:
                     matrix = divide(matrix, block_size, best_thr)
                     impl = "hybrid"
+                elif big_table and dtype_bytes == 2 and matrix.n_cols >= (
+                    1 << 20
+                ):
+                    # huge table + 2-byte gather: banded ELL reads band
+                    # slices at the fast small-operand rate
+                    # (tpu_v5e_gather_floor.jsonl banded probes)
+                    impl = "csr_ell_banded"
                 else:  # densification pays nothing here
                     impl = "csr_ell"
     kw.pop("bsr_bytes_budget", None)
