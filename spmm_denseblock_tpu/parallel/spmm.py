@@ -365,7 +365,7 @@ def _ell_layout_stripes(csr: CSR, n_shards: int):
     row to its row in the class-concatenated output; layout is the
     shared tuple of (m, K) chunks (same CHUNK_SLOTS splitting as the
     single-chip tier, ops/csr_spmm_ell.py)."""
-    from spmm_denseblock_tpu.ops.csr_spmm_ell import CHUNK_SLOTS
+    from spmm_denseblock_tpu.ops.csr_spmm_ell import CHUNK_SLOTS, _row_widths
     from spmm_denseblock_tpu.reorder.simple import _ragged_arange
 
     n_rows, n_cols = csr.shape
@@ -378,9 +378,10 @@ def _ell_layout_stripes(csr: CSR, n_shards: int):
     has_vals = csr.data is not None
     vals = np.asarray(csr.data, np.float32) if has_vals else None
 
-    K_r = np.maximum(
-        1, 2 ** np.ceil(np.log2(np.maximum(deg, 1))).astype(np.int64)
-    ).reshape(n_shards, rows_per)
+    # quarter-step classes (see ops/csr_spmm_ell._row_widths): ~18%
+    # fewer padded slots than pow2 at products scale, and the finer
+    # classes also shrink the cross-stripe max-capacity padding
+    K_r = _row_widths(deg, "quarter").reshape(n_shards, rows_per)
     Ks = np.unique(K_r)
     counts = np.stack([(K_r == K).sum(axis=1) for K in Ks], axis=1)
     caps = counts.max(axis=0)  # class capacity = max count over stripes
