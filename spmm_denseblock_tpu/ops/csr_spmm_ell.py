@@ -78,9 +78,16 @@ def _ell_spmm_device(
         dense = jnp.concatenate(
             [dense, jnp.zeros((1, dense.shape[1]), dense.dtype)], axis=0
         )
+    cat = _chunk_cat(idx_cat, vals_cat, dense, layout, has_vals, band_rows)
+    return jnp.take(cat, positions, axis=0).astype(jnp.float32)
+
+
+def _chunk_cat(idx_cat, vals_cat, dense, layout, has_vals, band_rows, off=0):
+    """Run every (m, K, mode, band_start) chunk of `layout` against
+    `dense`, returning the class-concatenated (sum_m, F) partial rows
+    and consuming idx_cat/vals_cat from offset `off`."""
     F = dense.shape[1]
     outs = []
-    off = 0
     for m_k, K, mode, band_start in layout:
         idx = jax.lax.dynamic_slice_in_dim(idx_cat, off, m_k * K)
         v = (
@@ -111,8 +118,32 @@ def _ell_spmm_device(
             out = g.reshape(m_k, K, F).sum(axis=1, dtype=jnp.float32)
         outs.append(out)
         off += m_k * K
-    cat = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
-    return jnp.take(cat, positions, axis=0).astype(jnp.float32)
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("layout_in", "layout_ovf", "band_rows")
+)
+def _ell_banded_device(
+    idx_cat, vals_cat, pos_in, pos_ovf, dense, layout_in, layout_ovf,
+    band_rows
+):
+    """One fused program for the banded plan: in-band chunks (band
+    slices, local indices) + overflow chunks (full table), both valued
+    (pad-at-0), restored by their own position maps and summed. Fusing
+    everything into one program lets XLA's buffer assignment reuse the
+    chunk temporaries and fold the two restores into the add — the
+    sum-of-two-subplans form kept two full (n, F) partials plus two
+    restored copies alive across program boundaries and exhausted HBM
+    at products scale."""
+    in_slots = sum(m * K for m, K, _, _ in layout_in)
+    cat_in = _chunk_cat(idx_cat, vals_cat, dense, layout_in, True, band_rows)
+    cat_ovf = _chunk_cat(
+        idx_cat, vals_cat, dense, layout_ovf, True, 0, off=in_slots
+    )
+    return (
+        jnp.take(cat_in, pos_in, axis=0) + jnp.take(cat_ovf, pos_ovf, axis=0)
+    ).astype(jnp.float32)
 
 
 def _row_widths(deg: np.ndarray, bucket: str) -> np.ndarray:
@@ -327,14 +358,8 @@ def csr_spmm_ell_banded_plan(
     if csr.n_cols <= band_rows:  # nothing to band
         return csr_spmm_ell_plan(csr, grad=False, dtype=dtype, bucket=bucket,
                                  reduce=reduce)
-    idx_cat, vals_cat, positions, layout, (orows, ocols, ovals) = (
+    idx_in, vals_in, pos_in, layout_in, (orows, ocols, ovals) = (
         _ell_layout_banded(csr, band_rows, bucket)
-    )
-    dtype_key = None if dtype is None else jnp.dtype(dtype).name
-    in_plan = Plan(
-        (jnp.asarray(idx_cat), jnp.asarray(vals_cat), jnp.asarray(positions)),
-        _ell_apply,
-        (csr.shape, layout, True, dtype_key, int(band_rows)),
     )
     if ovals is None:
         # force the valued (pad-at-0) form: the overflow then needs no
@@ -342,11 +367,33 @@ def csr_spmm_ell_banded_plan(
         # operand in place
         ovals = np.ones(orows.shape[0], np.float32)
     ovf_csr = CSR.from_coo(orows, ocols, ovals, shape=csr.shape)
-    ovf_plan = csr_spmm_ell_plan(ovf_csr, grad=False, dtype=dtype,
-                                 bucket=bucket, reduce=reduce)
-    from spmm_denseblock_tpu.ops.plan import sum_plan
+    idx_ovf, vals_ovf, pos_ovf, layout_ovf, _ = _ell_layout(
+        ovf_csr, bucket, reduce
+    )
+    dtype_key = None if dtype is None else jnp.dtype(dtype).name
+    arrays = (
+        jnp.asarray(np.concatenate([idx_in, idx_ovf])),
+        jnp.asarray(np.concatenate([vals_in, vals_ovf])),
+        jnp.asarray(pos_in),
+        jnp.asarray(pos_ovf),
+    )
+    statics = (csr.shape, layout_in, layout_ovf, dtype_key, int(band_rows))
+    return Plan(arrays, _banded_apply, statics)
 
-    return sum_plan((in_plan, ovf_plan))
+
+def _banded_apply(statics, arrays, dense):
+    (n_rows, n_cols), layout_in, layout_ovf, dtype_key, band_rows = statics
+    idx_cat, vals_cat, pos_in, pos_ovf = arrays
+    dense = jnp.asarray(dense)
+    assert dense.shape[0] == n_cols, (dense.shape, n_cols)
+    if dtype_key is not None:
+        dense = dense.astype(dtype_key)
+    elif dense.dtype != jnp.float32:
+        dense = dense.astype(jnp.float32)
+    return _ell_banded_device(
+        idx_cat, vals_cat, pos_in, pos_ovf, dense, layout_in, layout_ovf,
+        band_rows
+    )
 
 
 def csr_spmm_ell_plan(csr: CSR, grad: bool = True, dtype=None,
