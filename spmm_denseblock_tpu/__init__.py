@@ -30,7 +30,7 @@ Layer map (mirrors SURVEY.md §7):
   bench/     roofline benchmark harness (nnz/s, GFLOP/s)
 """
 
-__version__ = "0.3.0"
+__version__ = "0.5.0"
 
 from spmm_denseblock_tpu.formats import (  # noqa: F401
     CSR,
