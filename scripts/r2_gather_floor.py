@@ -90,6 +90,34 @@ def run(n_rows, dtype, clustered, variant):
             g = jnp.take(band, idx_d, axis=0)
             return g.reshape(m, K, F).sum(axis=1, dtype=jnp.float32)
 
+    elif variant == "banded5":
+        # diagnosis for the banded-ELL miss (full plan 1488 ms vs the
+        # single-band probe's 2.8-4.5 ns/idx): cycle FIVE different
+        # 2^19-row bands inside one program, one matsum chunk each —
+        # does the fast rate survive multi-band cycling?
+        W = min(n_rows, 1 << 19)
+        idx = idx % W
+        m = idx.size // K
+        idx_d = jnp.asarray(idx[: m * K])
+        starts = tuple(
+            int(s) for s in np.linspace(0, max(0, n_rows - W), 5).astype(int)
+        )
+        mc = m // 5
+
+        @jax.jit
+        def step(idx_d, table):
+            outs = []
+            for i, s in enumerate(starts):
+                band = jax.lax.dynamic_slice_in_dim(table, s, W, axis=0)
+                part = jax.lax.dynamic_slice_in_dim(
+                    idx_d, i * mc * K, mc * K
+                )
+                g = jnp.take(band, part, axis=0)
+                outs.append(
+                    g.reshape(mc, K, F).sum(axis=1, dtype=jnp.float32)
+                )
+            return jnp.concatenate(outs, axis=0)
+
     elif variant == "scan":  # K fused gather+add passes, no (m,K,F)
         idx_km = jnp.asarray(idx.reshape(m, K).T.copy())  # (K, m)
 
@@ -129,6 +157,9 @@ if __name__ == "__main__":
         for variant in ("banded", "banded_copy"):
             for dtype in (jnp.float32, jnp.bfloat16):
                 run(2449029, dtype, False, variant)
+    elif len(sys.argv) > 1 and sys.argv[1] == "banded5":
+        run(2449029, jnp.bfloat16, False, "banded5")
+        run(2449029, jnp.bfloat16, False, "banded")  # same-session control
     elif len(sys.argv) > 1 and sys.argv[1] == "bandwidth":
         # byte-boundary probe: f32 at 2^17/2^18 bands (64/128 MB),
         # bf16 at 2^20 (256 MB) — is the boundary bytes or rows?

@@ -218,14 +218,13 @@ def spmm_plan(matrix, impl: str = "auto", block_size: int = 128, **kw):
                 if best_thr is not None:
                     matrix = divide(matrix, block_size, best_thr)
                     impl = "hybrid"
-                elif big_table and dtype_bytes == 2 and matrix.n_cols >= (
-                    1 << 20
-                ):
-                    # huge table + 2-byte gather: banded ELL reads band
-                    # slices at the fast small-operand rate
-                    # (tpu_v5e_gather_floor.jsonl banded probes)
-                    impl = "csr_ell_banded"
                 else:  # densification pays nothing here
+                    # NOT csr_ell_banded: despite the single-band probe's
+                    # 2.8-4.5 ns/idx, the full banded plan measured
+                    # 1488 ms vs plain quarter+scan 1298 on full products
+                    # (split-layout padding + multi-band cycling eat the
+                    # band-slice rate) — banded stays an opt-in tier for
+                    # graphs whose reordering localizes harder
                     impl = "csr_ell"
     kw.pop("bsr_bytes_budget", None)
     if impl.startswith("bsr") and isinstance(matrix, CSR):
