@@ -24,10 +24,13 @@ import jax.numpy as jnp
 
 _scale = jax.jit(lambda x: x * jnp.float32(1e-2))
 _sum = jax.jit(lambda x: jnp.sum(x))
-# x + 0-ish * sum(y): keeps a true buffer dependency on y without
-# changing x numerically (1e-30 * s underflows); the runtime scalar stops
-# XLA from folding the term away.
-_mix = jax.jit(lambda x, y: x + jnp.float32(1e-30) * jnp.sum(y))
+# x + eps * sum(y): a true VALUE dependency on y. eps must NOT underflow
+# (an earlier 1e-30 underflowed to 0, making every chain input
+# bit-identical to x0 — the relay then deduped the identical calls and
+# marginal-cost timing read 0.00/wildly-low for some program shapes,
+# e.g. the banded-gather probes). 1e-12 keeps the numerical drift ~1e-8
+# per element while every iteration's input differs in value.
+_mix = jax.jit(lambda x, y: x + jnp.float32(1e-12) * jnp.sum(y))
 
 
 def time_chained_square(fn: Callable, x0, iters: int = 10, k: int = 6) -> float:
