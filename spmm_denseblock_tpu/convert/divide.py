@@ -114,22 +114,26 @@ def score_thresholds(
     csr: CSR,
     block_size: int,
     candidates=(0.02, 0.03, 0.05),
-    slots_per_block: float = 600.0,
+    slots_per_block: float = 400.0,
     dense_bytes_budget: int = 2 << 30,
     dtype_bytes: int = 4,
     margin: float = 0.02,
 ):
     """Measurement-calibrated threshold selection for divide().
 
-    Cost model (full-proteins capture sweep, tpu_v5e_fullscale_r2.jsonl,
-    7 configs across rcmk/rabbit x thr 0.02-0.08): within one graph,
+    Cost model (full-proteins capture sweeps, tpu_v5e_fullscale_r2
+    .jsonl): within one graph,
         t(thr) ~ c_blk * dense_nnzb(thr) + c_slot * ell_padded_slots(rem)
-    with c_blk/c_slot ~ 600 — i.e. a dense block pays for itself iff it
-    drains >= ~600 padded ELL slots from the remainder. This ranks every
-    measured config correctly to within measurement noise (222 vs 239 ms
-    at the rabbit crossover) and, unlike the round-1 byte model, knows
-    that capturing HIGH-degree rows is worth far more than raw nnz says
-    (draining a row past a pow2 class boundary halves its padding).
+    — a dense block pays for itself iff it drains >= slots_per_block
+    padded ELL slots from the remainder. The pre-quarter-bucket sweep
+    fit ~600; after quarter buckets + the pad-at-0 remainder rework the
+    measured sweet spot moved denser (thr=0.02: 91.6 ms vs 0.03: 121.9,
+    0.015: 102.8) and 400 ranks those points correctly. The marginal
+    costs between adjacent thresholds are strongly nonlinear (high-K
+    classes drain first), so this is a RANKING constant, not a
+    physical one. Unlike the round-1 byte model it still knows that
+    capturing HIGH-degree rows is worth far more than raw nnz says
+    (draining a row past a class boundary shrinks its padding).
 
     One expensive pass (per-block nnz counts) is shared by all
     candidates; each candidate then costs one boolean mask + bincount.

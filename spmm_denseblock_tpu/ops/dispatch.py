@@ -127,7 +127,7 @@ def spmm_plan(matrix, impl: str = "auto", block_size: int = 128, **kw):
             # margin=0 because the caller asked for a hybrid explicitly
             thr, _ = score_thresholds(
                 matrix, block_size,
-                candidates={0.02, 0.03, 0.05,
+                candidates={0.015, 0.02, 0.03, 0.05,
                             auto_threshold(matrix, block_size)},
                 margin=0.0,
             )
@@ -197,9 +197,11 @@ def spmm_plan(matrix, impl: str = "auto", block_size: int = 128, **kw):
                     SCAN_MIN_SOURCE_ROWS,
                 )
 
-                cands = {0.02, 0.03, 0.05, auto_threshold(matrix, block_size)}
-                # two-regime block cost: 600 slots/block was calibrated
-                # on proteins (132k-row operand, fast-gather regime); at
+                cands = {0.015, 0.02, 0.03, 0.05,
+                         auto_threshold(matrix, block_size)}
+                # two-regime block cost: 400 slots/block calibrated on
+                # the quarter-era proteins sweep (91.6 ms at thr=0.02,
+                # the measured best, ranks first at 400); at
                 # a products-size table the dense tier's measured excess
                 # is ~34 us/block ~= 4000 slot-equivalents (hybrid
                 # thr=0.05 ran 1844 ms vs pure quarter-ELL 1298,
@@ -212,7 +214,7 @@ def spmm_plan(matrix, impl: str = "auto", block_size: int = 128, **kw):
                 # run with dense at budget//2 exhausted the chip
                 best_thr, _ = score_thresholds(
                     matrix, block_size, candidates=cands,
-                    slots_per_block=4000.0 if big_table else 600.0,
+                    slots_per_block=4000.0 if big_table else 400.0,
                     dense_bytes_budget=budget // 4, dtype_bytes=dtype_bytes,
                 )
                 if best_thr is not None:
