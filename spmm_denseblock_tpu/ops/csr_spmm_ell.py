@@ -48,24 +48,44 @@ CHUNK_SLOTS = 4 << 20
     jax.jit, static_argnames=("layout", "has_vals", "band_rows")
 )
 def _ell_spmm_device(
-    idx_cat, vals_cat, positions, dense, layout, has_vals, band_rows=0
+    idx_chunks, val_chunks, positions, dense, layout, has_vals, band_rows=0
 ):
-    """layout: tuple of (m_k, K, mode, band_start) per class chunk,
-    concatenated in idx_cat.
+    """layout: tuple of (m_k, K, mode, band_start), one per chunk in
+    idx_chunks/val_chunks.
 
-    mode "matsum" stores the chunk row-major (m*K) and reduces a
-    materialized (m, K, F) gather; mode "scan" stores it TRANSPOSED
-    (K*m) and runs K fused gather+accumulate passes with no (m, K, F)
-    intermediate — measured on v5e (tpu_v5e_gather_floor.jsonl) the
-    scan form wins on big source tables (products 2.45M rows: 10.0 vs
-    11.5 ns/idx f32, 8.4 vs 11.1 bf16) while matsum wins on small ones
-    (proteins 131k rows: 2.6 vs 9.1 — per-step scan overhead).
+    Chunks arrive as SEPARATE 2D arrays — never as one flat
+    concatenated vector. A single (slots,) monolith sliced on device
+    looked equivalent, but XLA's TPU layout assignment re-lays-out
+    large R1 arrays as 2D using the length's factorization: full
+    ogbl-citation's 71,370,006-slot index vector (= 2 x 35,685,003, no
+    other small factors) was assigned s32[35685003,2]{1,0:T(8,128)} —
+    the 2-wide minor dim tile-pads to 128, a 64x blowup = 18.3 GB, a
+    compile-time RESOURCE_EXHAUSTED. (proteins/products only compiled
+    because their slot totals happened to factor well.)
+
+    Per-chunk 2D shapes remove the luck, but the MINOR dim must itself
+    be tile-friendly: a (m, 1) or (m, 2) chunk (the K=1/2 degree
+    classes, m up to CHUNK_SLOTS) would re-create the same 128-wide
+    padding blowup. So every chunk is stored with its LARGER dim minor:
+      mode "matsum"  — (m, K) row-major, K >= m, sum over axis 1
+      mode "matsumT" — (K, m) transposed, m > K, sum over axis 0
+      mode "scan"    — (K, m) transposed (scan requires leading K)
+    The worst-case tile pad is then ceil(d/128)/d/128 of a dim that is
+    >= sqrt(slots), i.e. negligible for every big chunk.
+
+    mode "matsum"/"matsumT" gather a materialized (.., .., F) block and
+    sum the K axis; mode "scan" runs K fused gather+accumulate passes
+    with no (m, K, F) intermediate — measured on v5e
+    (tpu_v5e_gather_floor.jsonl) the scan form wins on big source
+    tables (products 2.45M rows: 10.0 vs 11.5 ns/idx f32, 8.4 vs 11.1
+    bf16) while matsum wins on small ones (proteins 131k rows: 2.6 vs
+    9.1 — per-step scan overhead).
 
     band_start >= 0: the chunk's indices are LOCAL offsets into the
     `band_rows`-row slice dense[band_start : band_start+band_rows] —
-    XLA folds the dynamic_slice into the gather and the per-index cost
-    drops to the small-table rate (bf16: 2.8-4.5 vs 11.1 ns/idx at the
-    full products table). Banded chunks REQUIRE vals (pads carry 0 and
+    XLA folds the slice into the gather and the per-index cost drops
+    to the small-table rate (bf16: 2.8-4.5 vs 11.1 ns/idx at the full
+    products table). Banded chunks REQUIRE vals (pads carry 0 and
     point at local row 0; there is no zero row inside a band).
     band_start == -1: full table; pattern-only (has_vals=False) chunks
     pad at index n_cols into an appended zero row, valued chunks pad at
@@ -78,31 +98,28 @@ def _ell_spmm_device(
         dense = jnp.concatenate(
             [dense, jnp.zeros((1, dense.shape[1]), dense.dtype)], axis=0
         )
-    cat = _chunk_cat(idx_cat, vals_cat, dense, layout, has_vals, band_rows)
+    cat = _run_chunks(idx_chunks, val_chunks, dense, layout, has_vals,
+                      band_rows)
     return jnp.take(cat, positions, axis=0).astype(jnp.float32)
 
 
-def _chunk_cat(idx_cat, vals_cat, dense, layout, has_vals, band_rows, off=0):
+def _run_chunks(idx_chunks, val_chunks, dense, layout, has_vals, band_rows):
     """Run every (m, K, mode, band_start) chunk of `layout` against
-    `dense`, returning the class-concatenated (sum_m, F) partial rows
-    and consuming idx_cat/vals_cat from offset `off`."""
+    `dense`, returning the class-concatenated (sum_m, F) partial rows."""
     F = dense.shape[1]
     outs = []
-    for m_k, K, mode, band_start in layout:
-        idx = jax.lax.dynamic_slice_in_dim(idx_cat, off, m_k * K)
-        v = (
-            jax.lax.dynamic_slice_in_dim(vals_cat, off, m_k * K)
-            if has_vals
-            else None
-        )
+    for ci, (m_k, K, mode, band_start) in enumerate(layout):
+        idx = idx_chunks[ci]
+        v = val_chunks[ci] if has_vals else None
         src = (
-            jax.lax.dynamic_slice_in_dim(dense, band_start, band_rows, 0)
+            jax.lax.slice_in_dim(
+                dense, band_start, band_start + band_rows, axis=0
+            )
             if band_start >= 0
             else dense
         )
         if mode == "scan":
-            idx = idx.reshape(K, m_k)
-            xs = (idx, v.reshape(K, m_k)) if has_vals else (idx,)
+            xs = (idx, v) if has_vals else (idx,)
 
             def body(acc, x, src=src):
                 g = jnp.take(src, x[0], axis=0)
@@ -112,12 +129,11 @@ def _chunk_cat(idx_cat, vals_cat, dense, layout, has_vals, band_rows, off=0):
 
             out = jax.lax.scan(body, jnp.zeros((m_k, F), jnp.float32), xs)[0]
         else:
-            g = jnp.take(src, idx, axis=0)
+            g = jnp.take(src, idx, axis=0)  # (m,K,F) or (K,m,F)
             if has_vals:
-                g = g * v[:, None].astype(g.dtype)
-            out = g.reshape(m_k, K, F).sum(axis=1, dtype=jnp.float32)
+                g = g * v[:, :, None].astype(g.dtype)
+            out = g.sum(axis=0 if mode == "matsumT" else 1, dtype=jnp.float32)
         outs.append(out)
-        off += m_k * K
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
@@ -125,21 +141,25 @@ def _chunk_cat(idx_cat, vals_cat, dense, layout, has_vals, band_rows, off=0):
     jax.jit, static_argnames=("layout_in", "layout_ovf", "band_rows")
 )
 def _ell_banded_device(
-    idx_cat, vals_cat, pos_in, pos_ovf, dense, layout_in, layout_ovf,
+    idx_chunks, val_chunks, pos_in, pos_ovf, dense, layout_in, layout_ovf,
     band_rows
 ):
     """One fused program for the banded plan: in-band chunks (band
     slices, local indices) + overflow chunks (full table), both valued
-    (pad-at-0), restored by their own position maps and summed. Fusing
-    everything into one program lets XLA's buffer assignment reuse the
-    chunk temporaries and fold the two restores into the add — the
-    sum-of-two-subplans form kept two full (n, F) partials plus two
-    restored copies alive across program boundaries and exhausted HBM
-    at products scale."""
-    in_slots = sum(m * K for m, K, _, _ in layout_in)
-    cat_in = _chunk_cat(idx_cat, vals_cat, dense, layout_in, True, band_rows)
-    cat_ovf = _chunk_cat(
-        idx_cat, vals_cat, dense, layout_ovf, True, 0, off=in_slots
+    (pad-at-0), restored by their own position maps and summed. The
+    first len(layout_in) entries of idx_chunks/val_chunks are the
+    in-band chunks. Fusing everything into one program lets XLA's
+    buffer assignment reuse the chunk temporaries and fold the two
+    restores into the add — the sum-of-two-subplans form kept two full
+    (n, F) partials plus two restored copies alive across program
+    boundaries and exhausted HBM at products scale."""
+    n_in = len(layout_in)
+    cat_in = _run_chunks(
+        idx_chunks[:n_in], val_chunks[:n_in], dense, layout_in, True,
+        band_rows,
+    )
+    cat_ovf = _run_chunks(
+        idx_chunks[n_in:], val_chunks[n_in:], dense, layout_ovf, True, 0
     )
     return (
         jnp.take(cat_in, pos_in, axis=0) + jnp.take(cat_ovf, pos_ovf, axis=0)
@@ -180,6 +200,24 @@ def _chunk_mode(reduce: str, n_cols: int, m: int, K: int) -> str:
     return "scan" if n_cols >= SCAN_MIN_SOURCE_ROWS else "matsum"
 
 
+def _store_chunk(seg, vseg, m: int, K: int, mode: str):
+    """Shape a flat (m*K,) row-major chunk for device storage: 2D with
+    the LARGER dim minor (see _ell_spmm_device docstring — small minor
+    dims tile-pad to 128 on TPU). Returns (idx2d, vals2d_or_None, mode)
+    with mode promoted to "matsumT" when a matsum chunk is stored
+    transposed."""
+    seg = seg.reshape(m, K)
+    if vseg is not None:
+        vseg = vseg.reshape(m, K)
+    if mode == "scan" or (mode == "matsum" and m > K):
+        seg = np.ascontiguousarray(seg.T)
+        if vseg is not None:
+            vseg = np.ascontiguousarray(vseg.T)
+        if mode == "matsum":
+            mode = "matsumT"
+    return seg, vseg, mode
+
+
 def _ell_layout(csr: CSR, bucket: str = "quarter", reduce: str = "auto"):
     deg = csr.degrees().astype(np.int64)
     n = csr.n_rows
@@ -213,20 +251,16 @@ def _ell_layout(csr: CSR, bucket: str = "quarter", reduce: str = "auto"):
         # split giant classes so the gathered intermediate stays bounded
         # (products-scale: one class can hold 10^8 slots; each chunk's
         # (m, K, F) gather must fit HBM even if XLA fails to fuse the
-        # sum), emitting each chunk in its mode's storage order:
-        # row-major (m*K) for matsum, transposed (K*m) for scan.
+        # sum), emitting each chunk as its own 2D array (_store_chunk).
         max_m = max(1, CHUNK_SLOTS // K)
         for s in range(0, m_k, max_m):
             m = int(min(max_m, m_k - s))
             mode = _chunk_mode(reduce, csr.n_cols, m, int(K))
-            seg = idx[s * K: (s + m) * K]
-            vseg = v[s * K: (s + m) * K] if has_vals else None
-            if mode == "scan":
-                seg = np.ascontiguousarray(seg.reshape(m, K).T).ravel()
-                if has_vals:
-                    vseg = np.ascontiguousarray(
-                        vseg.reshape(m, K).T
-                    ).ravel()
+            seg, vseg, mode = _store_chunk(
+                idx[s * K: (s + m) * K],
+                v[s * K: (s + m) * K] if has_vals else None,
+                m, int(K), mode,
+            )
             idx_parts.append(seg)
             if has_vals:
                 val_parts.append(vseg)
@@ -234,12 +268,10 @@ def _ell_layout(csr: CSR, bucket: str = "quarter", reduce: str = "auto"):
 
     positions = np.empty(n, dtype=np.int32)
     positions[order] = np.arange(n, dtype=np.int32)
-    idx_cat = np.concatenate(idx_parts) if idx_parts else np.zeros(0, np.int32)
-    vals_cat = (
-        np.concatenate(val_parts) if has_vals and val_parts
-        else np.zeros(0, np.float32)
+    return (
+        tuple(idx_parts), tuple(val_parts), positions, tuple(layout),
+        has_vals,
     )
-    return idx_cat, vals_cat, positions, tuple(layout), has_vals
 
 
 def _banded_split(csr: CSR, band_rows: int):
@@ -313,22 +345,22 @@ def _ell_layout_banded(csr: CSR, band_rows: int, bucket: str):
         max_m = max(1, CHUNK_SLOTS // K)
         for s in range(0, m_g, max_m):
             m = int(min(max_m, m_g - s))
-            idx_parts.append(idx[s * K: (s + m) * K])
-            val_parts.append(v[s * K: (s + m) * K])
-            layout.append((m, K, "matsum", start))
+            seg, vseg, mode = _store_chunk(
+                idx[s * K: (s + m) * K], v[s * K: (s + m) * K], m, K,
+                "matsum",
+            )
+            idx_parts.append(seg)
+            val_parts.append(vseg)
+            layout.append((m, K, mode, start))
 
     positions = np.empty(n_rows, dtype=np.int32)
     positions[order] = np.arange(n_rows, dtype=np.int32)
-    idx_cat = np.concatenate(idx_parts) if idx_parts else np.zeros(0, np.int32)
-    vals_cat = (
-        np.concatenate(val_parts) if val_parts else np.zeros(0, np.float32)
-    )
     ovf = (
         rows[~in_mask],
         cols[~in_mask],
         vals[~in_mask] if has_vals else None,
     )
-    return idx_cat, vals_cat, positions, tuple(layout), ovf
+    return tuple(idx_parts), tuple(val_parts), positions, tuple(layout), ovf
 
 
 def csr_spmm_ell_banded_plan(
@@ -372,8 +404,8 @@ def csr_spmm_ell_banded_plan(
     )
     dtype_key = None if dtype is None else jnp.dtype(dtype).name
     arrays = (
-        jnp.asarray(np.concatenate([idx_in, idx_ovf])),
-        jnp.asarray(np.concatenate([vals_in, vals_ovf])),
+        tuple(jnp.asarray(c) for c in idx_in + idx_ovf),
+        tuple(jnp.asarray(c) for c in vals_in + vals_ovf),
         jnp.asarray(pos_in),
         jnp.asarray(pos_ovf),
     )
@@ -383,7 +415,7 @@ def csr_spmm_ell_banded_plan(
 
 def _banded_apply(statics, arrays, dense):
     (n_rows, n_cols), layout_in, layout_ovf, dtype_key, band_rows = statics
-    idx_cat, vals_cat, pos_in, pos_ovf = arrays
+    idx_chunks, val_chunks, pos_in, pos_ovf = arrays
     dense = jnp.asarray(dense)
     assert dense.shape[0] == n_cols, (dense.shape, n_cols)
     if dtype_key is not None:
@@ -391,8 +423,8 @@ def _banded_apply(statics, arrays, dense):
     elif dense.dtype != jnp.float32:
         dense = dense.astype(jnp.float32)
     return _ell_banded_device(
-        idx_cat, vals_cat, pos_in, pos_ovf, dense, layout_in, layout_ovf,
-        band_rows
+        idx_chunks, val_chunks, pos_in, pos_ovf, dense, layout_in,
+        layout_ovf, band_rows
     )
 
 
@@ -414,12 +446,12 @@ def csr_spmm_ell_plan(csr: CSR, grad: bool = True, dtype=None,
             csr_spmm_ell_plan(csr.transpose(), grad=False, dtype=dtype,
                               bucket=bucket, reduce=reduce),
         )
-    idx_cat, vals_cat, positions, layout, has_vals = _ell_layout(
+    idx_chunks, val_chunks, positions, layout, has_vals = _ell_layout(
         csr, bucket, reduce
     )
     arrays = (
-        jnp.asarray(idx_cat),
-        jnp.asarray(vals_cat),
+        tuple(jnp.asarray(c) for c in idx_chunks),
+        tuple(jnp.asarray(c) for c in val_chunks),
         jnp.asarray(positions),
     )
     dtype_key = None if dtype is None else jnp.dtype(dtype).name
@@ -428,9 +460,8 @@ def csr_spmm_ell_plan(csr: CSR, grad: bool = True, dtype=None,
 
 
 def _ell_apply(statics, arrays, dense):
-    (n_rows, n_cols), layout, has_vals, dtype_key, *rest = statics
-    band_rows = rest[0] if rest else 0  # >0 only for banded in-plans
-    idx_cat, vals_cat, positions = arrays
+    (n_rows, n_cols), layout, has_vals, dtype_key = statics
+    idx_chunks, val_chunks, positions = arrays
     dense = jnp.asarray(dense)
     assert dense.shape[0] == n_cols, (dense.shape, n_cols)
     if dtype_key is not None:
@@ -440,7 +471,7 @@ def _ell_apply(statics, arrays, dense):
     if not layout:  # empty matrix
         return jnp.zeros((n_rows, dense.shape[1]), jnp.float32)
     return _ell_spmm_device(
-        idx_cat, vals_cat, positions, dense, layout, has_vals, band_rows
+        idx_chunks, val_chunks, positions, dense, layout, has_vals
     )
 
 
