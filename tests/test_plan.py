@@ -120,6 +120,30 @@ def test_ell_scan_reduce_matches_oracle(rng):
         mod._SCAN_MIN_M = old
 
 
+def test_ell_chunks_store_larger_dim_minor(rng):
+    """Compile-safety invariant (ogbl-citation RESOURCE_EXHAUSTED,
+    csr_spmm_ell._ell_spmm_device docstring): every ELL chunk is a 2D
+    array whose minor dim is the larger of (m, K), so no parameter
+    carries a narrow minor dim that TPU tile-padding would blow up
+    64-128x. Checked for both plain and banded layouts on a skewed-
+    degree matrix that produces K=1/2 classes with many rows."""
+    import importlib
+
+    mod = importlib.import_module("spmm_denseblock_tpu.ops.csr_spmm_ell")
+    csr = random_csr(0.04, 256, 256, seed=17)
+    idx_chunks, _, _, layout, _ = mod._ell_layout(csr)
+    assert idx_chunks and len(idx_chunks) == len(layout)
+    for chunk, (m, K, mode, _) in zip(idx_chunks, layout):
+        assert chunk.ndim == 2 and chunk.size == m * K, (chunk.shape, m, K)
+        assert chunk.shape[-1] == max(m, K), (chunk.shape, mode)
+        # storage orientation must match the mode the device code runs
+        assert chunk.shape == ((m, K) if mode == "matsum" else (K, m)), mode
+    bi, bv, _, blayout, _ = mod._ell_layout_banded(csr, 64, "quarter")
+    for chunk, vchunk, (m, K, mode, start) in zip(bi, bv, blayout):
+        assert start >= 0 and chunk.shape == vchunk.shape
+        assert chunk.shape[-1] == max(m, K), (chunk.shape, mode)
+
+
 def test_ell_banded_matches_oracle(rng):
     """Banded ELL (in-band gathers from a band slice + overflow plan,
     summed) must match the oracle for pattern-only AND valued matrices,
