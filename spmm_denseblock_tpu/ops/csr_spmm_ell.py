@@ -218,13 +218,28 @@ def _store_chunk(seg, vseg, m: int, K: int, mode: str):
     return seg, vseg, mode
 
 
-def _ell_layout(csr: CSR, bucket: str = "quarter", reduce: str = "auto"):
+def _ell_layout(csr: CSR, bucket: str = "quarter", reduce: str = "auto",
+                row_sort: str = "keep"):
+    """row_sort: intra-class row order. Rows inside a degree class can
+    be permuted freely — the position map restores caller order — so
+    "meancol" sorts each class's rows by mean neighbor id to make the
+    gather's index stream approximately ascending (DRAM page locality;
+    the big-table per-index rate is paging-bound, see
+    tpu_v5e_gather_floor.jsonl). "keep" preserves the caller's
+    (reordering-locality) order."""
     deg = csr.degrees().astype(np.int64)
     n = csr.n_rows
     K_r = _row_widths(deg, bucket)
-    order = np.argsort(K_r, kind="stable")  # rows grouped by class
     indptr = np.asarray(csr.indptr, dtype=np.int64)
     cols = np.asarray(csr.indices, dtype=np.int64)
+    if row_sort == "meancol":
+        csum = np.concatenate([[0], np.cumsum(cols, dtype=np.int64)])
+        mean_col = (csum[indptr[1:]] - csum[indptr[:-1]]) // np.maximum(deg, 1)
+        order = np.lexsort((mean_col, K_r))  # class-major, mean-col minor
+    elif row_sort == "keep":
+        order = np.argsort(K_r, kind="stable")  # rows grouped by class
+    else:
+        raise ValueError(f"unknown row_sort: {row_sort!r}")
     has_vals = csr.data is not None
     vals = np.asarray(csr.data, dtype=np.float32) if has_vals else None
 
@@ -429,7 +444,8 @@ def _banded_apply(statics, arrays, dense):
 
 
 def csr_spmm_ell_plan(csr: CSR, grad: bool = True, dtype=None,
-                      bucket: str = "quarter", reduce: str = "auto"):
+                      bucket: str = "quarter", reduce: str = "auto",
+                      row_sort: str = "keep"):
     """Host layout prep once -> Plan C = f(B).
 
     dtype=jnp.bfloat16: gather in bf16 (halves the dominant HBM gather
@@ -438,16 +454,19 @@ def csr_spmm_ell_plan(csr: CSR, grad: bool = True, dtype=None,
     bucket="quarter": finer degree classes, ~18% fewer padded slots at
     products scale (see _row_widths) at ~2x the class/launch count.
     reduce: "auto" picks matsum/scan per chunk by the measured v5e
-    crossover (_chunk_mode); "matsum"/"scan" force one form."""
+    crossover (_chunk_mode); "matsum"/"scan" force one form.
+    row_sort="meancol": sort rows inside each class by mean neighbor id
+    for gather page locality (free — position map restores order)."""
     if grad:
         return grad_plan(
             csr_spmm_ell_plan(csr, grad=False, dtype=dtype, bucket=bucket,
-                              reduce=reduce),
+                              reduce=reduce, row_sort=row_sort),
             csr_spmm_ell_plan(csr.transpose(), grad=False, dtype=dtype,
-                              bucket=bucket, reduce=reduce),
+                              bucket=bucket, reduce=reduce,
+                              row_sort=row_sort),
         )
     idx_chunks, val_chunks, positions, layout, has_vals = _ell_layout(
-        csr, bucket, reduce
+        csr, bucket, reduce, row_sort
     )
     arrays = (
         tuple(jnp.asarray(c) for c in idx_chunks),

@@ -120,6 +120,24 @@ def test_ell_scan_reduce_matches_oracle(rng):
         mod._SCAN_MIN_M = old
 
 
+def test_ell_meancol_row_sort_matches_oracle(rng):
+    """row_sort="meancol" permutes rows inside each degree class (for
+    gather page locality); the position map must still restore caller
+    order exactly, for plain and grad plans."""
+    csr = random_csr(0.06, 128, 112, seed=19)
+    x = rng.standard_normal((112, 8)).astype(np.float32)
+    want = spmm_scipy(csr, x)
+    for grad in (False, True):
+        got = csr_spmm_ell_plan(csr, grad=grad, row_sort="meancol")(x)
+        assert_allclose(np.asarray(got), want)
+    # the sort really changes the intra-class emission order
+    import importlib
+    mod = importlib.import_module("spmm_denseblock_tpu.ops.csr_spmm_ell")
+    pos_keep = mod._ell_layout(csr)[2]
+    pos_sort = mod._ell_layout(csr, row_sort="meancol")[2]
+    assert not np.array_equal(pos_keep, pos_sort)
+
+
 def test_ell_chunks_store_larger_dim_minor(rng):
     """Compile-safety invariant (ogbl-citation RESOURCE_EXHAUSTED,
     csr_spmm_ell._ell_spmm_device docstring): every ELL chunk is a 2D
