@@ -41,24 +41,24 @@ B, DIM = 128, 128
 
 
 def run(dataset, strategy, impl, thr=None, bucket="pow2", impl_label=None,
-        reduce="auto"):
+        reduce="auto", **plan_kw):
     t0 = time.time()
     csr = load_dataset(dataset, scale=1.0)
     rcsr, _ = reorder_cached(csr, strategy, cache_dir="/root/repo/tmp",
                              tag=dataset.replace("-", "_"))
     metrics = block_metrics(rcsr, [B])[B]
     kw = dict(dtype=jnp.bfloat16, grad=False)
-    extra = {"bucket": bucket, "reduce": reduce}
+    extra = {"bucket": bucket, "reduce": reduce, **plan_kw}
     if impl == "hybrid":
         hyb = divide(rcsr, B, thr)
         plan = spmm_plan(hyb, impl="hybrid", bucket=bucket, reduce=reduce,
-                         **kw)
+                         **plan_kw, **kw)
         extra.update(dense_nnzb=hyb.dense.nnzb,
                      remainder_nnz=hyb.remainder.nnz,
                      density_threshold=thr)
     elif impl == "csr_ell":
         plan = spmm_plan(rcsr, impl="csr_ell", bucket=bucket, reduce=reduce,
-                         **kw)
+                         **plan_kw, **kw)
     else:  # auto — router picks its own bucket/threshold
         plan = spmm_plan(rcsr, impl=impl, block_size=B, **kw)
         extra.pop("bucket")
