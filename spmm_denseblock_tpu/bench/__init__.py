@@ -4,6 +4,7 @@ from spmm_denseblock_tpu.bench.harness import (
     bench_synthetic_csr,
     bench_graph,
     bench_scaling,
+    bench_train_scaling,
     bench_train_step,
 )
 from spmm_denseblock_tpu.bench.sweeps import (
@@ -21,6 +22,7 @@ __all__ = [
     "bench_synthetic_csr",
     "bench_graph",
     "bench_scaling",
+    "bench_train_scaling",
     "bench_train_step",
     "sweep_bsrmm",
     "sweep_csrmm",

@@ -231,6 +231,77 @@ def bench_scaling(
     }
 
 
+def bench_train_scaling(
+    n_devices_list: Sequence[int],
+    p: float = 1.6e-2,
+    block_size: int = 64,
+    dims: Sequence[int] = (256, 256, 32),
+    n_block_rows: int = 1024,
+    strategy: str = "allgather",
+    iters: int = 4,
+    seed: int = 0,
+) -> Dict:
+    """Distributed TRAIN-STEP scaling — the model-level counterpart of
+    bench_scaling. One full GCN step (dist SpMM fwd+bwd, dense layers,
+    adam) per point, on a 1D row mesh of n devices.
+
+    Same reading discipline as bench_scaling: on a single-host CPU mesh
+    devices share cores, so the honest metric is RETENTION = step
+    rate(n) / rate(1), ideal 1.0 (linear `efficiency` is physically
+    impossible there and is kept only for real pod-slice runs). Timing
+    is fully synced per step (loss readback) — deep async queues
+    deadlock CPU-mesh collective rendezvous."""
+    import time as _time
+
+    from spmm_denseblock_tpu.parallel import make_mesh_1d
+    from spmm_denseblock_tpu.parallel.train import make_dist_train_step
+
+    bsr = random_bsr(p, n_block_rows, block_size=block_size, seed=1234)
+    n = bsr.shape[0]
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((n, dims[0])).astype(np.float32)
+    y = rng.integers(0, dims[-1], size=n).astype(np.int32)
+    mask = np.ones(n, np.float32)
+
+    points = []
+    rate1 = None
+    for nd in n_devices_list:
+        mesh = make_mesh_1d(nd)
+        params, opt_state, step = make_dist_train_step(
+            bsr, mesh=mesh, dims=list(dims), block_size=block_size,
+            strategy=strategy, seed=seed,
+        )
+        # warm/compile; the loss fetch is the true sync barrier
+        params, opt_state, m = step(params, opt_state, x, y, mask)
+        float(m["loss"])
+        t0 = _time.perf_counter()
+        for _ in range(iters):
+            params, opt_state, m = step(params, opt_state, x, y, mask)
+            float(m["loss"])  # per-step readback: no async queue
+        secs = (_time.perf_counter() - t0) / iters
+        rate = 1.0 / secs
+        if rate1 is None:
+            rate1 = rate
+        points.append(
+            {
+                "devices": nd,
+                "ms_per_step": secs * 1e3,
+                "steps_per_s": rate,
+                "efficiency": rate / (rate1 * nd) if rate1 else 1.0,
+                "retention": rate / rate1 if rate1 else 1.0,
+            }
+        )
+    return {
+        "kind": "train_scaling", "p": p, "b": block_size,
+        "dims": list(dims), "nnzb": bsr.nnzb, "strategy": strategy,
+        "points": points,
+        "note": (
+            "single-host CPU mesh: devices share cores; read `retention` "
+            "(ideal 1.0), not `efficiency`"
+        ),
+    }
+
+
 def bench_train_step(
     dataset: str = "ogbn-arxiv",
     strategy: str = "rabbit",

@@ -10,6 +10,7 @@ from spmm_denseblock_tpu.bench import (
     bench_scaling,
     bench_synthetic_bsr,
     bench_synthetic_csr,
+    bench_train_scaling,
 )
 
 
@@ -43,6 +44,17 @@ def test_bench_scaling_efficiency():
     assert [p["devices"] for p in rec["points"]] == [1, 2, 4]
     for p in rec["points"]:
         assert p["nnz_per_s"] > 0
+    json.dumps(rec)
+
+
+def test_bench_train_scaling_record():
+    rec = bench_train_scaling(
+        [1, 2], p=0.05, block_size=16, dims=(16, 16, 4), n_block_rows=32,
+        iters=1,
+    )
+    assert [p["devices"] for p in rec["points"]] == [1, 2]
+    for p in rec["points"]:
+        assert p["ms_per_step"] > 0 and p["retention"] > 0
     json.dumps(rec)
 
 
