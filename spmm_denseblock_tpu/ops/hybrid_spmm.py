@@ -20,15 +20,17 @@ from spmm_denseblock_tpu.ops.plan import sum_plan
 
 def hybrid_spmm_plan(
     hyb: Hybrid, dense_impl: str = "pallas", dtype=None, grad: bool = True,
-    bucket: str = "quarter", reduce: str = "auto",
+    bucket: str = "quarter", reduce: str = "auto", row_sort: str = "keep",
 ):
     """grad=False skips the transposed-layout copies the VJP needs —
     halves device memory for inference/bench plans (a full-products
     hybrid OOM'd on the doubled footprint). `bucket` selects the ELL
-    remainder's degree-class scheme (csr_spmm_ell._row_widths)."""
+    remainder's degree-class scheme (csr_spmm_ell._row_widths);
+    `row_sort` its intra-class row order (meancol = gather locality)."""
     if hyb.dense.nnzb == 0:
         return csr_spmm_ell_plan(hyb.remainder, grad=grad, dtype=dtype,
-                                 bucket=bucket, reduce=reduce)
+                                 bucket=bucket, reduce=reduce,
+                                 row_sort=row_sort)
     if dense_impl == "pallas":
         bsr_run = bsr_spmm_pallas_plan(hyb.dense, dtype=dtype, grad=grad)
     else:
@@ -37,7 +39,8 @@ def hybrid_spmm_plan(
     # (proteins/products) the remainder gather IS the runtime, and a bf16
     # gather halves that traffic (opt-in reduced precision, ~1e-3 rel).
     csr_run = csr_spmm_ell_plan(hyb.remainder, grad=grad, dtype=dtype,
-                                bucket=bucket, reduce=reduce)
+                                bucket=bucket, reduce=reduce,
+                                row_sort=row_sort)
 
     if hyb.remainder.nnz == 0:
         return bsr_run
