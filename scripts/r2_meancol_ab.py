@@ -21,4 +21,9 @@ from r2_quarter_ab import run
 t0 = time.time()
 run("ogbn-products", "rabbit", "csr_ell", bucket="quarter",
     impl_label="csr_ell", row_sort="meancol")
+# proteins incumbent 91.5 ms = hybrid thr=0.02 quarter; meancol on the
+# valued remainder (small-table regime — expect little, measures the
+# regime boundary)
+run("ogbn-proteins", "rabbit", "hybrid", thr=0.02, bucket="quarter",
+    row_sort="meancol")
 print(f"[meancol-ab] done in {time.time()-t0:.0f}s", flush=True)
