@@ -23,6 +23,7 @@ run() {
 }
 
 run r2s3     python /tmp/r2s3_runs.py
+run int8ell  python scripts/r2_int8_ell_ab.py
 run meancol  python scripts/r2_meancol_ab.py
 run coverage python scripts/r2_coverage_small.py
 run train    python scripts/r2_train_fullscale.py

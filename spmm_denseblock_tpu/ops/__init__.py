@@ -6,6 +6,7 @@ from spmm_denseblock_tpu.ops.csr_spmm_pallas import (
 from spmm_denseblock_tpu.ops.csr_spmm_ell import (
     csr_spmm_ell,
     csr_spmm_ell_banded_plan,
+    csr_spmm_ell_int8_plan,
     csr_spmm_ell_plan,
 )
 from spmm_denseblock_tpu.ops.plan import Plan, grad_plan, sum_plan
@@ -40,6 +41,7 @@ __all__ = [
     "csr_spmm_pallas_plan",
     "csr_spmm_ell",
     "csr_spmm_ell_banded_plan",
+    "csr_spmm_ell_int8_plan",
     "csr_spmm_ell_plan",
     "Plan",
     "grad_plan",

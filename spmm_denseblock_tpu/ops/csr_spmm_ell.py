@@ -123,6 +123,10 @@ def _run_chunks(idx_chunks, val_chunks, dense, layout, has_vals, band_rows):
 
             def body(acc, x, src=src):
                 g = jnp.take(src, x[0], axis=0)
+                if g.dtype == jnp.int8:
+                    # int8 pays off in the GATHER (HBM reads halve vs
+                    # bf16); widen immediately for the value multiply
+                    g = g.astype(jnp.float32)
                 if has_vals:
                     g = g * x[1][:, None].astype(g.dtype)
                 return acc + g.astype(jnp.float32), None
@@ -130,9 +134,16 @@ def _run_chunks(idx_chunks, val_chunks, dense, layout, has_vals, band_rows):
             out = jax.lax.scan(body, jnp.zeros((m_k, F), jnp.float32), xs)[0]
         else:
             g = jnp.take(src, idx, axis=0)  # (m,K,F) or (K,m,F)
-            if has_vals:
-                g = g * v[:, :, None].astype(g.dtype)
-            out = g.sum(axis=0 if mode == "matsumT" else 1, dtype=jnp.float32)
+            red_axis = 0 if mode == "matsumT" else 1
+            if g.dtype == jnp.int8 and not has_vals:
+                # |sum| <= K*127 <= 32512: exact in int32
+                out = g.sum(axis=red_axis, dtype=jnp.int32).astype(jnp.float32)
+            else:
+                if g.dtype == jnp.int8:
+                    g = g.astype(jnp.float32)
+                if has_vals:
+                    g = g * v[:, :, None].astype(g.dtype)
+                out = g.sum(axis=red_axis, dtype=jnp.float32)
         outs.append(out)
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
@@ -491,6 +502,90 @@ def _ell_apply(statics, arrays, dense):
         return jnp.zeros((n_rows, dense.shape[1]), jnp.float32)
     return _ell_spmm_device(
         idx_chunks, val_chunks, positions, dense, layout, has_vals
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("layout", "has_vals"))
+def _ell_spmm_int8_device(
+    idx_chunks, val_chunks, positions, col_scale, dense, layout, has_vals
+):
+    """int8-table variant: quantize the operand per column (symmetric,
+    zero-point-free — scheme shared with ops/bsr_spmm_int8.py), run the
+    SAME chunk machinery against the int8 table, rescale once at the
+    end. The win is in the gather: the dominant full-scale cost is
+    per-index and CLIFFS with table size (tpu_v5e_gather_floor.jsonl:
+    2.6 ns/idx at 64 MB -> 11.5 at 1.25 GB), so an int8 table both
+    halves the gathered bytes vs bf16 AND drops the table to half the
+    size on that curve (products 628 -> 314 MB at F=128).
+
+    col_scale: static (F,) scales from a calibration batch, or None for
+    per-call dynamic scales (one absmax pass over the operand).
+    Rescale commutes with the row-permutation gather and the row sums
+    because scales are per column: C = s[c] * (A @ q)[:, c]."""
+    if col_scale is None:
+        absmax = jnp.max(jnp.abs(dense), axis=0)
+        col_scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    q = jnp.clip(
+        jnp.round(dense / col_scale[None, :]), -127, 127
+    ).astype(jnp.int8)
+    if not has_vals:
+        q = jnp.concatenate(
+            [q, jnp.zeros((1, q.shape[1]), jnp.int8)], axis=0
+        )
+    cat = _run_chunks(idx_chunks, val_chunks, q, layout, has_vals, 0)
+    out = jnp.take(cat, positions, axis=0)
+    return (out * col_scale[None, :]).astype(jnp.float32)
+
+
+def csr_spmm_ell_int8_plan(
+    csr: CSR,
+    calibration=None,
+    bucket: str = "quarter",
+    reduce: str = "auto",
+    row_sort: str = "keep",
+    **_ignored,
+):
+    """int8-table ELL gather — the serving tier for the gather-floor
+    regime (full proteins/products, where the ELL gather IS the
+    runtime). Inference only (no VJP; quantization noise ~1e-2 relative
+    error, far outside the f32 1e-4 gate — opt-in, impl='csr_ell_int8').
+
+    calibration: optional representative operand batch; fixes per-column
+    scales at plan time (static-scale serving — same rationale as
+    bsr_spmm_int8.static_col_scale: dynamic per-call quantization
+    dominated at small graph sizes in the round-1 ddi measurement)."""
+    from spmm_denseblock_tpu.ops.bsr_spmm_int8 import static_col_scale
+
+    idx_chunks, val_chunks, positions, layout, has_vals = _ell_layout(
+        csr, bucket, reduce, row_sort
+    )
+    cs = (
+        None
+        if calibration is None
+        else jnp.asarray(static_col_scale(calibration))
+    )
+    arrays = (
+        tuple(jnp.asarray(c) for c in idx_chunks),
+        tuple(jnp.asarray(c) for c in val_chunks),
+        jnp.asarray(positions),
+        cs,
+    )
+    statics = (csr.shape, layout, has_vals)
+    return Plan(arrays, _ell_int8_apply, statics)
+
+
+def _ell_int8_apply(statics, arrays, dense):
+    (n_rows, n_cols), layout, has_vals = statics
+    idx_chunks, val_chunks, positions, col_scale = arrays
+    dense = jnp.asarray(dense)
+    assert dense.shape[0] == n_cols, (dense.shape, n_cols)
+    if dense.dtype != jnp.float32:
+        dense = dense.astype(jnp.float32)
+    if not layout:  # empty matrix
+        return jnp.zeros((n_rows, dense.shape[1]), jnp.float32)
+    return _ell_spmm_int8_device(
+        idx_chunks, val_chunks, positions, col_scale, dense, layout,
+        has_vals,
     )
 
 

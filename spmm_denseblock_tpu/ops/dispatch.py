@@ -40,6 +40,7 @@ from spmm_denseblock_tpu.ops.csr_spmm import csr_spmm_plan, bcoo_spmm_plan
 from spmm_denseblock_tpu.ops.csr_spmm_pallas import csr_spmm_pallas_plan
 from spmm_denseblock_tpu.ops.csr_spmm_ell import (
     csr_spmm_ell_banded_plan,
+    csr_spmm_ell_int8_plan,
     csr_spmm_ell_plan,
 )
 from spmm_denseblock_tpu.ops.bsr_spmm_xla import bsr_spmm_xla_plan
@@ -77,6 +78,7 @@ PLANNERS: Dict[str, Callable] = {
     "csr_xla": lambda m, **kw: csr_spmm_plan(_as_csr(m)),  # autodiff, no copies
     "csr_pallas": lambda m, **kw: csr_spmm_pallas_plan(_as_csr(m), **kw),
     "csr_ell": lambda m, **kw: csr_spmm_ell_plan(_as_csr(m), **kw),
+    "csr_ell_int8": lambda m, **kw: csr_spmm_ell_int8_plan(_as_csr(m), **kw),
     "csr_ell_banded": lambda m, **kw: csr_spmm_ell_banded_plan(_as_csr(m), **kw),
     "bcoo": lambda m, **kw: bcoo_spmm_plan(_as_csr(m)),
     # BSR tier

@@ -274,6 +274,42 @@ def test_bsr_spmm_pallas_chunked(rng):
     assert_allclose(g1, g2)
 
 
+def test_csr_ell_int8_quantized(rng):
+    """int8-table ELL serving tier: quantization-noise tolerance.
+    Covers valued + pattern-only layouts, forced scan + matsum chunk
+    modes, and static (calibrated) vs dynamic per-call scales."""
+    from spmm_denseblock_tpu.ops import csr_spmm_ell_int8_plan, spmm_plan
+
+    n = 300
+    a = sp.random(n, n, density=0.03, random_state=7, format="csr")
+    a.data[:] = rng.standard_normal(a.nnz).astype(np.float32)
+    x = rng.standard_normal((n, 24)).astype(np.float32)
+    # calibration must cover the activation range: a larger batch makes
+    # the per-column absmax estimate an upper bound w.h.p. (clipped
+    # tails, not global misscale, are the static-scale failure mode)
+    cal = rng.standard_normal((8 * n, 24)).astype(np.float32)
+
+    valued = CSR.from_scipy(a)
+    pattern = CSR(valued.indptr, valued.indices, None, valued.shape)
+    want_v = a @ x
+    want_p = (a != 0).astype(np.float32) @ x
+
+    for csr, want in ((valued, want_v), (pattern, want_p)):
+        for reduce in ("matsum", "scan"):
+            for calib in (None, cal):
+                got = np.asarray(
+                    csr_spmm_ell_int8_plan(csr, calibration=calib,
+                                           reduce=reduce)(x)
+                )
+                rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+                assert rel < 2e-2, (reduce, calib is None, rel)
+
+    # via dispatch
+    plan = spmm_plan(valued, impl="csr_ell_int8", calibration=cal)
+    rel = np.abs(np.asarray(plan(x)) - want_v).max() / np.abs(want_v).max()
+    assert rel < 2e-2, rel
+
+
 def test_bsr_spmm_int8_quantized(rng):
     """Inference tier: int8 x int8 -> int32 with per-block x per-column
     scales; quantization-noise tolerance, not the f32 gate."""
