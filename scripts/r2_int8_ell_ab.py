@@ -36,37 +36,50 @@ OUT = "/root/repo/benchmarks/tpu_v5e_fullscale_r2.jsonl"
 B, DIM = 128, 128
 
 
-def run(dataset):
+def run(dataset, impl, **plan_kw):
     t0 = time.time()
     csr = load_dataset(dataset, scale=1.0)
     rcsr, _ = reorder_cached(csr, "rabbit", cache_dir="/root/repo/tmp",
                              tag=dataset.replace("-", "_"))
     metrics = block_metrics(rcsr, [B])[B]
     cal = _dense_operand(rcsr.n_cols, DIM, seed=999)  # calibration batch
-    plan = spmm_plan(rcsr, impl="csr_ell_int8", calibration=cal,
-                     bucket="quarter", reduce="auto")
+    plan = spmm_plan(rcsr, impl=impl, calibration=cal, block_size=B,
+                     bucket="quarter", reduce="auto", **plan_kw)
     x = _dense_operand(rcsr.n_cols, DIM)
     secs = _time(plan, x)
     rec = {
         "kind": "graph", "dataset": dataset, "strategy": "rabbit",
-        "b": B, "dim": DIM, "impl": "csr_ell_int8", "scale": 1.0,
+        "b": B, "dim": DIM, "impl": impl, "scale": 1.0,
         "dtype": "int8-static", "n": csr.n_rows, "nnz": csr.nnz,
         "ms": secs * 1e3, "gflops": 2.0 * csr.nnz * DIM / secs / 1e9,
         "nnz_per_s": csr.nnz / secs,
         "block_density": metrics["density"],
         "block_utilization": metrics["utilization"],
-        "bucket": "quarter", "reduce": "auto",
+        "bucket": "quarter", "reduce": "auto", **{
+            k: str(v) for k, v in plan_kw.items()},
         "source": dataset_provenance(dataset),
         "graph_stats": graph_stats(csr, sample=500),
         "wall_s": round(time.time() - t0, 1),
     }
     with open(OUT, "a") as f:
         f.write(json.dumps(rec) + "\n")
-    print(f"[int8-ell] {dataset}: {rec['ms']:.1f} ms "
+    print(f"[int8-ell] {dataset} {impl}: {rec['ms']:.1f} ms "
           f"(wall {rec['wall_s']}s)", flush=True)
     del plan
 
 
 if __name__ == "__main__":
-    for ds in ("ogbn-products", "ogbn-proteins"):
-        run(ds)
+    import traceback
+
+    for ds, impl, kw in (
+        ("ogbn-products", "csr_ell_int8", {}),
+        ("ogbn-proteins", "csr_ell_int8", {}),
+        # proteins serving: int8 dense MXU + int8 remainder (incumbent
+        # bf16 hybrid thr=0.02: 91.5 ms)
+        ("ogbn-proteins", "hybrid_int8", {"density_threshold": 0.02}),
+    ):
+        try:
+            run(ds, impl, **kw)
+        except Exception:
+            print(f"[int8-ell] {ds} {impl} FAILED: "
+                  f"{traceback.format_exc(limit=3)}", flush=True)

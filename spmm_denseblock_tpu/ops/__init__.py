@@ -15,7 +15,11 @@ from spmm_denseblock_tpu.ops.bsr_spmm_pallas import (
     bsr_spmm_pallas,
     bsr_spmm_pallas_plan,
 )
-from spmm_denseblock_tpu.ops.hybrid_spmm import hybrid_spmm, hybrid_spmm_plan
+from spmm_denseblock_tpu.ops.hybrid_spmm import (
+    hybrid_spmm,
+    hybrid_spmm_int8_plan,
+    hybrid_spmm_plan,
+)
 from spmm_denseblock_tpu.ops.dense_block_gemm import dense_block_gemm
 from spmm_denseblock_tpu.ops.windowed_spmm import (
     windowed_spmm,
@@ -52,6 +56,7 @@ __all__ = [
     "bsr_spmm_pallas",
     "bsr_spmm_pallas_plan",
     "hybrid_spmm",
+    "hybrid_spmm_int8_plan",
     "hybrid_spmm_plan",
     "dense_block_gemm",
     "windowed_spmm",

@@ -47,7 +47,10 @@ from spmm_denseblock_tpu.ops.bsr_spmm_xla import bsr_spmm_xla_plan
 from spmm_denseblock_tpu.ops.bsr_spmm_pallas import bsr_spmm_pallas_plan
 from spmm_denseblock_tpu.ops.bsr_spmm_int8 import bsr_spmm_int8_plan
 from spmm_denseblock_tpu.ops.bsr_spmm_pallas_int8 import bsr_spmm_pallas_int8_plan
-from spmm_denseblock_tpu.ops.hybrid_spmm import hybrid_spmm_plan
+from spmm_denseblock_tpu.ops.hybrid_spmm import (
+    hybrid_spmm_int8_plan,
+    hybrid_spmm_plan,
+)
 from spmm_denseblock_tpu.ops.reference import spmm_dense_jnp
 
 
@@ -88,6 +91,7 @@ PLANNERS: Dict[str, Callable] = {
     "bsr_int8_pallas": lambda m, **kw: bsr_spmm_pallas_int8_plan(m, **kw),
     # hybrid tier
     "hybrid": lambda m, **kw: hybrid_spmm_plan(m, **kw),
+    "hybrid_int8": lambda m, **kw: hybrid_spmm_int8_plan(m, **kw),
     "windowed": lambda m, **kw: windowed_spmm_plan(m, **kw),
     "windowed_int8": lambda m, **kw: windowed_spmm_int8_plan(m, **kw),
     "tiered": lambda m, **kw: tiered_spmm_plan(m, **kw),
@@ -116,7 +120,7 @@ def spmm_plan(matrix, impl: str = "auto", block_size: int = 128, **kw):
         # small-b BSR -> MXU supertiles (SURVEY §7 "small blocks on a
         # 128x128 MXU"): trades zero-fill FLOPs for full systolic tiles.
         matrix = repack_bsr(matrix, repack_to)
-    if impl == "hybrid" and isinstance(matrix, CSR):
+    if impl in ("hybrid", "hybrid_int8") and isinstance(matrix, CSR):
         from spmm_denseblock_tpu.convert.divide import (
             auto_threshold,
             divide,

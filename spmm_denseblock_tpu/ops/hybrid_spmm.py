@@ -47,5 +47,36 @@ def hybrid_spmm_plan(
     return sum_plan((bsr_run, csr_run))
 
 
+def hybrid_spmm_int8_plan(
+    hyb: Hybrid, calibration=None, dense_impl: str = "pallas",
+    bucket: str = "quarter", reduce: str = "auto", **_ignored,
+):
+    """Serving composition of the two int8 tiers: dense blocks through
+    the int8 MXU kernel (double bf16 throughput) + the ELL remainder
+    through the int8-table gather (half the bf16 gather bytes AND half
+    the table on the per-index rate cliff). Inference only; both parts
+    quantize the operand with the same per-column scheme, so accuracy
+    matches the single-tier ~1e-2 envelope. impl='hybrid_int8'."""
+    from spmm_denseblock_tpu.ops.bsr_spmm_int8 import bsr_spmm_int8_plan
+    from spmm_denseblock_tpu.ops.bsr_spmm_pallas_int8 import (
+        bsr_spmm_pallas_int8_plan,
+    )
+    from spmm_denseblock_tpu.ops.csr_spmm_ell import csr_spmm_ell_int8_plan
+
+    if hyb.dense.nnzb == 0:
+        return csr_spmm_ell_int8_plan(hyb.remainder, calibration=calibration,
+                                      bucket=bucket, reduce=reduce)
+    dense_plan = (
+        bsr_spmm_pallas_int8_plan(hyb.dense, calibration=calibration)
+        if dense_impl == "pallas"
+        else bsr_spmm_int8_plan(hyb.dense, calibration=calibration)
+    )
+    if hyb.remainder.nnz == 0:
+        return dense_plan
+    rem_plan = csr_spmm_ell_int8_plan(hyb.remainder, calibration=calibration,
+                                      bucket=bucket, reduce=reduce)
+    return sum_plan((dense_plan, rem_plan))
+
+
 def hybrid_spmm(hyb: Hybrid, dense, **kw) -> jax.Array:
     return hybrid_spmm_plan(hyb, **kw)(dense)

@@ -310,6 +310,39 @@ def test_csr_ell_int8_quantized(rng):
     assert rel < 2e-2, rel
 
 
+def test_hybrid_int8_quantized(rng):
+    """hybrid_int8: int8 dense blocks + int8-table ELL remainder sum to
+    the quantization-noise envelope; dispatch splits CSR input."""
+    from spmm_denseblock_tpu.ops import hybrid_spmm_int8_plan, spmm_plan
+
+    n = 256
+    a = sp.random(n, n, density=0.04, random_state=3, format="csr")
+    a.data[:] = rng.standard_normal(a.nnz).astype(np.float32)
+    # a dense stripe so divide() actually captures blocks
+    a = (a + sp.random(n, n, density=0.6, random_state=4,
+                       format="csr").multiply(
+             sp.block_diag([np.ones((32, 32))] * (n // 32)))).tocsr()
+    csr = CSR.from_scipy(a)
+    hyb = divide(csr, 32, 0.05)
+    assert hyb.dense.nnzb > 0 and hyb.remainder.nnz > 0
+    x = rng.standard_normal((n, 24)).astype(np.float32)
+    cal = rng.standard_normal((8 * n, 24)).astype(np.float32)
+    want = a @ x
+    for dense_impl in ("xla",):  # pallas kernel is interpret-mode on CPU
+        got = np.asarray(
+            hybrid_spmm_int8_plan(hyb, calibration=cal,
+                                  dense_impl=dense_impl)(x)
+        )
+        rel = np.abs(got - want).max() / np.abs(want).max()
+        assert rel < 2e-2, (dense_impl, rel)
+
+    plan = spmm_plan(csr, impl="hybrid_int8", block_size=32,
+                     density_threshold=0.05, calibration=cal,
+                     dense_impl="xla")
+    rel = np.abs(np.asarray(plan(x)) - want).max() / np.abs(want).max()
+    assert rel < 2e-2, rel
+
+
 def test_bsr_spmm_int8_quantized(rng):
     """Inference tier: int8 x int8 -> int32 with per-block x per-column
     scales; quantization-noise tolerance, not the f32 gate."""
