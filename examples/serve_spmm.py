@@ -33,7 +33,9 @@ def main():
         "--impl",
         default="auto",
         help="auto routes real (element-sparse) graphs to hybrid; "
-        "bsr_int8_pallas is the quantized block tier for block-dense inputs",
+        "bsr_int8_pallas is the quantized block tier for block-dense "
+        "inputs; csr_ell_int8 / hybrid_int8 are the quantized serving "
+        "tiers for gather-bound full graphs (use with --calibrate)",
     )
     ap.add_argument("--block-size", type=int, default=128)
     ap.add_argument("--dim", type=int, default=256)
