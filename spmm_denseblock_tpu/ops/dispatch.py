@@ -76,6 +76,14 @@ def _as_csr(m):
     raise TypeError(f"cannot route {type(m).__name__} to a CSR-tier impl")
 
 
+_INT8_VARIANT = {
+    "bsr_pallas": "bsr_int8_pallas",
+    "bsr_xla": "bsr_int8",
+    "csr_ell": "csr_ell_int8",
+    "hybrid": "hybrid_int8",
+    "windowed": "windowed_int8",
+}
+
 PLANNERS: Dict[str, Callable] = {
     # CSR tier
     "csr_xla": lambda m, **kw: csr_spmm_plan(_as_csr(m)),  # autodiff, no copies
@@ -234,6 +242,13 @@ def spmm_plan(matrix, impl: str = "auto", block_size: int = 128, **kw):
                     # band-slice rate) — banded stays an opt-in tier for
                     # graphs whose reordering localizes harder
                     impl = "csr_ell"
+        # quantized serving: auto + dtype=int8 maps the chosen tier to
+        # its int8 variant (inference only; pass calibration= for
+        # static scales)
+        dt = kw.get("dtype")
+        if dt is not None and jnp.dtype(dt) == jnp.int8:
+            kw.pop("dtype")
+            impl = _INT8_VARIANT.get(impl, impl)
     kw.pop("bsr_bytes_budget", None)
     if impl.startswith("bsr") and isinstance(matrix, CSR):
         matrix = csr_to_bsr(matrix, block_size)

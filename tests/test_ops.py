@@ -310,6 +310,30 @@ def test_csr_ell_int8_quantized(rng):
     assert rel < 2e-2, rel
 
 
+def test_auto_routes_int8_variant(rng):
+    """auto + dtype=int8 maps the chosen tier to its quantized variant
+    (serving mode); quantization-noise envelope, not the f32 gate."""
+    from spmm_denseblock_tpu.ops import spmm_plan
+
+    a = sp.random(400, 400, density=0.02, random_state=1, format="csr")
+    a.data[:] = rng.standard_normal(a.nnz).astype(np.float32)
+    csr = CSR.from_scipy(a)
+    x = rng.standard_normal((400, 32)).astype(np.float32)
+    cal = rng.standard_normal((3200, 32)).astype(np.float32)
+    plan = spmm_plan(csr, impl="auto", block_size=64, dtype=jnp.int8,
+                     calibration=cal, bsr_bytes_budget=1 << 20)
+    want = a @ x
+    # sanity gate only (routing is what's under test): quantization
+    # noise on a 3-term row sum can reach ~6e-2 of the global max
+    rel = np.abs(np.asarray(plan(x)) - want).max() / np.abs(want).max()
+    assert rel < 1e-1, rel
+    # int8 output differs from the f32 tier's (proves quantized routing)
+    f32 = np.asarray(spmm_plan(csr, impl="auto", block_size=64,
+                               bsr_bytes_budget=1 << 20)(x))
+    assert np.abs(f32 - want).max() / np.abs(want).max() < 1e-4
+    assert not np.allclose(np.asarray(plan(x)), f32)
+
+
 def test_hybrid_int8_quantized(rng):
     """hybrid_int8: int8 dense blocks + int8-table ELL remainder sum to
     the quantization-noise envelope; dispatch splits CSR input."""
