@@ -52,6 +52,36 @@ def test_all_impls_match_oracle(impl, case, rng):
         assert_allclose(got, want)
 
 
+@pytest.mark.parametrize("impl", ["csr_ell_int8", "hybrid_int8",
+                                  "bsr_int8", "windowed_int8"])
+@pytest.mark.parametrize("case", list(_cases()), ids=lambda c: c[0])
+def test_int8_tiers_edge_shapes(impl, case, rng):
+    """Quantized serving tiers across the SAME edge shapes as the f32
+    matrix, at the quantization-noise tolerance (inference-only tiers;
+    empty/ragged layouts must not break the int8 paths). Dynamic
+    per-call scales: this matrix checks LAYOUT correctness — static
+    calibration coverage (a sampling question, not a layout one) is
+    exercised by the targeted tests in test_ops.py."""
+    name, csr = case
+    for f_dim in (1, 16):
+        x = rng.standard_normal((csr.n_cols, f_dim)).astype(np.float32)
+        want = spmm_scipy(csr, x)
+        kw = {}
+        if impl == "windowed_int8":
+            kw.update(tile_rows=8, window=8)
+        try:
+            plan = spmm_plan(csr, impl=impl, block_size=8, **kw)
+        except Exception as e:
+            pytest.fail(f"{impl} plan failed on {name}: {e}")
+        got = np.asarray(plan(x))
+        assert got.shape == want.shape, (impl, name, got.shape, want.shape)
+        denom = np.abs(want).max()
+        if denom > 0:
+            assert np.abs(got - want).max() / denom < 6e-2, (impl, name)
+        else:
+            assert np.abs(got).max() == 0.0, (impl, name)
+
+
 @pytest.mark.parametrize("impl", ["bsr_xla", "bsr_pallas", "hybrid", "windowed"])
 def test_bf16_tiers_match_loosely(impl, rng):
     """dtype=bf16 across the casting tiers: quantization-scale tolerance."""
