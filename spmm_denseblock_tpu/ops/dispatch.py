@@ -204,9 +204,10 @@ def spmm_plan(matrix, impl: str = "auto", block_size: int = 128, **kw):
                 )
 
                 dt = kw.get("dtype")
-                dtype_bytes = 2 if dt is not None and jnp.dtype(
-                    dt
-                ).itemsize == 2 else 4
+                # actual operand itemsize: 1 (int8 serving), 2 (bf16),
+                # 4 (f32) — the scorer's gather-byte and dense-budget
+                # models scale with the table dtype
+                dtype_bytes = 4 if dt is None else jnp.dtype(dt).itemsize
                 from spmm_denseblock_tpu.ops.csr_spmm_ell import (
                     SCAN_MIN_SOURCE_ROWS,
                 )
