@@ -420,12 +420,13 @@ def _ell_layout_stripes(csr: CSR, n_shards: int):
 
 
 @functools.partial(jax.jit, static_argnames="statics")
-def _dist_ell_run(statics, idx, val, pos, dense):
+def _dist_ell_run(statics, idx, val, pos, col_scale, dense):
     (mesh, axis, layout, has_vals, dtype_key, n_rows, k_padded) = statics
     stripe = NamedSharding(mesh, P(axis))
+    int8_mode = dtype_key == "int8"
 
     def stripe_fn(idx, val, pos, b_local):
-        if dtype_key is not None:
+        if dtype_key is not None and not int8_mode:
             b_local = b_local.astype(dtype_key)
         b_full = jax.lax.all_gather(b_local, axis, tiled=True)
         outs = []
@@ -433,6 +434,10 @@ def _dist_ell_run(statics, idx, val, pos, dense):
         for m, K in layout:
             sl = jax.lax.dynamic_slice_in_dim(idx[0], off, m * K)
             g = jnp.take(b_full, sl, axis=0)
+            if g.dtype == jnp.int8:
+                # int8 pays in the all_gather (4x less ICI vs f32) and
+                # the HBM gather; widen for the value multiply/sum
+                g = g.astype(jnp.float32)
             if has_vals:
                 v = jax.lax.dynamic_slice_in_dim(val[0], off, m * K)
                 g = g * v[:, None].astype(g.dtype)
@@ -450,9 +455,22 @@ def _dist_ell_run(statics, idx, val, pos, dense):
         out_specs=P(axis, None),
     )
     dense = dense.astype(jnp.float32)
+    if int8_mode:
+        # quantize ONCE globally (same per-column symmetric scheme as
+        # ops/bsr_spmm_int8.py) so every stripe shares the scales; the
+        # padded zero rows stay zero in q
+        if col_scale is None:
+            absmax = jnp.max(jnp.abs(dense), axis=0)
+            col_scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+        dense = jnp.clip(
+            jnp.round(dense / col_scale[None, :]), -127, 127
+        ).astype(jnp.int8)
     dense = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
     dense = jax.lax.with_sharding_constraint(dense, stripe)
-    return fn(idx, val, pos, dense)[:n_rows]
+    out = fn(idx, val, pos, dense)[:n_rows]
+    if int8_mode:
+        out = out * col_scale[None, :]
+    return out
 
 
 def _dist_ell_apply(statics, arrays, dense):
@@ -524,12 +542,17 @@ def _dist_win_apply(statics, arrays, dense):
 
 
 def dist_csr_spmm_ell_plan(
-    csr: CSR, mesh: Optional[Mesh] = None, axis: str = "row", dtype=None
+    csr: CSR, mesh: Optional[Mesh] = None, axis: str = "row", dtype=None,
+    calibration=None,
 ):
     """Row-partitioned ELL SpMM: the scatter-free degree-bucketed tier
     (2.5x over gather+segment-sum single-chip, ops/csr_spmm_ell.py)
     distributed via shard_map. B is cast to `dtype` BEFORE the tiled
-    all_gather, so bf16 serving also halves the ICI exchange bytes.
+    all_gather, so bf16 serving also halves the ICI exchange bytes —
+    and dtype=int8 (inference only) quarters them vs f32: the operand
+    is quantized ONCE globally with per-column symmetric scales
+    (calibration= for static serving scales, else one absmax pass per
+    call) and both the all_gather and the HBM row gathers move int8.
     Returns a Plan pytree (sharded arrays as leaves)."""
     if mesh is None:
         mesh = make_mesh_1d()
@@ -546,19 +569,25 @@ def dist_csr_spmm_ell_plan(
     )
     pos_d = jax.device_put(pos, stripe)
     dtype_key = None if dtype is None else jnp.dtype(dtype).name
+    cs = None
+    if calibration is not None:
+        from spmm_denseblock_tpu.ops.bsr_spmm_int8 import static_col_scale
+
+        cs = jnp.asarray(static_col_scale(calibration))
     statics = (mesh, axis, layout, has_vals, dtype_key, n_rows, k_padded)
-    return Plan((idx_d, val_d, pos_d), _dist_ell_apply, statics)
+    return Plan((idx_d, val_d, pos_d, cs), _dist_ell_apply, statics)
 
 
 def dist_csr_spmm_plan(
     csr: CSR, mesh: Optional[Mesh] = None, axis: str = "row",
-    impl: str = "ell", dtype=None,
+    impl: str = "ell", dtype=None, calibration=None,
 ):
     """Row-partitioned element-sparse SpMM. impl="ell" (default) is the
     scatter-free degree-bucketed tier; impl="segment" keeps the original
     per-stripe gather + segment-sum after a tiled all_gather of B."""
     if impl == "ell":
-        return dist_csr_spmm_ell_plan(csr, mesh=mesh, axis=axis, dtype=dtype)
+        return dist_csr_spmm_ell_plan(csr, mesh=mesh, axis=axis, dtype=dtype,
+                                      calibration=calibration)
     assert impl == "segment", impl
     if mesh is None:
         mesh = make_mesh_1d()

@@ -421,6 +421,26 @@ def test_dist_csr_ell_bf16_gather(mesh, rng):
     assert 0 < rel < 5e-3, rel
 
 
+def test_dist_csr_ell_int8_gather(mesh, rng):
+    """dtype=int8 quantizes B once globally (per-column symmetric
+    scales, calibrated or dynamic) — the all_gather and HBM gathers
+    move int8 (4x less ICI than f32). Quantization-noise tolerance;
+    valued + pattern layouts."""
+    import jax.numpy as jnp
+
+    for values in ("random", "ones"):
+        csr = random_csr(0.05, 256, 192, seed=9, values=values)
+        dense = rng.standard_normal((192, 16)).astype(np.float32)
+        cal = rng.standard_normal((1600, 16)).astype(np.float32)
+        want = spmm_scipy(csr, dense)
+        for calib in (None, cal):
+            run = dist_csr_spmm_plan(csr, mesh=mesh, dtype=jnp.int8,
+                                     calibration=calib)
+            got = np.asarray(run(dense))
+            rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+            assert 0 < rel < 2e-2, (values, calib is None, rel)
+
+
 def test_dist_hybrid_bf16_remainder(mesh, rng):
     """dist hybrid forwards dtype to both the dense stripes and the ELL
     remainder."""
