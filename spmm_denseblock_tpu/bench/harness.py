@@ -264,7 +264,7 @@ def bench_train_scaling(
     mask = np.ones(n, np.float32)
 
     points = []
-    rate1 = None
+    rate1, nd1 = None, None
     for nd in n_devices_list:
         mesh = make_mesh_1d(nd)
         params, opt_state, step = make_dist_train_step(
@@ -281,23 +281,28 @@ def bench_train_scaling(
         secs = (_time.perf_counter() - t0) / iters
         rate = 1.0 / secs
         if rate1 is None:
-            rate1 = rate
+            rate1, nd1 = rate, nd
         points.append(
             {
                 "devices": nd,
                 "ms_per_step": secs * 1e3,
                 "steps_per_s": rate,
-                "efficiency": rate / (rate1 * nd) if rate1 else 1.0,
-                "retention": rate / rate1 if rate1 else 1.0,
+                # both normalized to the FIRST point (baseline_devices
+                # in the record): per-device efficiency and total-rate
+                # retention are only rate(1)-relative when the list
+                # starts at 1 device
+                "efficiency": (rate / nd) / (rate1 / nd1),
+                "retention": rate / rate1,
             }
         )
     return {
         "kind": "train_scaling", "p": p, "b": block_size,
         "dims": list(dims), "nnzb": bsr.nnzb, "strategy": strategy,
-        "points": points,
+        "baseline_devices": nd1, "points": points,
         "note": (
             "single-host CPU mesh: devices share cores; read `retention` "
-            "(ideal 1.0), not `efficiency`"
+            "(rate vs the baseline_devices point, ideal 1.0), not "
+            "`efficiency`"
         ),
     }
 

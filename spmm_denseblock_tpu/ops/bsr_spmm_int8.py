@@ -49,19 +49,40 @@ def static_col_scale(calibration) -> np.ndarray:
     return np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
 
 
+def quantize_per_column(dense, col_scale=None):
+    """Symmetric per-column int8 quantization of an operand (the scheme
+    every int8 tier shares — BSR, ELL, windowed, dist ELL). col_scale
+    None = dynamic per-call scales (one VPU absmax reduction); returns
+    (q_int8, col_scale). Traceable (used inside jitted tier bodies)."""
+    if col_scale is None:
+        col_absmax = jnp.max(jnp.abs(dense), axis=0)
+        col_scale = jnp.where(col_absmax > 0, col_absmax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(dense / col_scale[None, :]), -127, 127).astype(
+        jnp.int8
+    )
+    return q, col_scale
+
+
+def reject_grad_request(kw: dict, tier: str) -> None:
+    """int8 tiers are inference-only: under jax.grad the quantization
+    round() has zero derivative a.e., so a silently-built plan would
+    train with all-zero operand gradients (a behavior cliff vs the bf16
+    tiers, which carry a real VJP). Explicit grad=True is an error."""
+    if kw.get("grad"):
+        raise ValueError(
+            f"{tier} is inference-only (int8 quantization has zero "
+            "gradient); build the f32/bf16 plan for training or pass "
+            "grad=False explicitly"
+        )
+
+
 @functools.partial(jax.jit, static_argnames=("n_block_rows", "n_rows"))
 def _int8_spmm(
     block_rows, block_cols, qblocks, scales, dense, n_block_rows, n_rows,
     col_scale=None,
 ):
     b = qblocks.shape[1]
-    if col_scale is None:
-        # per-column dynamic quantization of B (VPU reduction + rounding)
-        col_absmax = jnp.max(jnp.abs(dense), axis=0)
-        col_scale = jnp.where(col_absmax > 0, col_absmax / 127.0, 1.0)
-    qdense = jnp.clip(jnp.round(dense / col_scale[None, :]), -127, 127).astype(
-        jnp.int8
-    )
+    qdense, col_scale = quantize_per_column(dense, col_scale)
     qblk = qdense.reshape(dense.shape[0] // b, b, dense.shape[1])
     gathered = jnp.take(qblk, block_cols, axis=0)  # (nnzb, b, F) int8
     prod = jax.lax.dot_general(
@@ -83,6 +104,7 @@ def bsr_spmm_int8_plan(bsr: BSR, calibration=None, **_ignored):
     calibration: optional representative operand batch; fixes the
     per-column scales at plan time (static-scale serving — skips the
     per-call absmax reduction that dominates at small graph sizes)."""
+    reject_grad_request(_ignored, "bsr_int8")
     qblocks, scales = quantize_blocks(
         np.asarray(bsr.blocks[: bsr.nnzb], dtype=np.float32)
     )

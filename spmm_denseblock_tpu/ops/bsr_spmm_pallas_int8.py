@@ -127,8 +127,10 @@ def bsr_spmm_pallas_int8_plan(
 
     calibration: optional representative operand batch — per-column
     scales become plan constants (see bsr_spmm_int8.static_col_scale)."""
+    from spmm_denseblock_tpu.ops.bsr_spmm_int8 import reject_grad_request
     from spmm_denseblock_tpu.ops.bsr_spmm_pallas import CHUNK_NNZB
 
+    reject_grad_request(_ignored, "bsr_int8_pallas")
     if chunk_nnzb is None:
         chunk_nnzb = CHUNK_NNZB
     if bsr.nnzb > chunk_nnzb:

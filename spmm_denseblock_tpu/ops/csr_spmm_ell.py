@@ -70,8 +70,15 @@ def _ell_spmm_device(
       mode "matsum"  — (m, K) row-major, K >= m, sum over axis 1
       mode "matsumT" — (K, m) transposed, m > K, sum over axis 0
       mode "scan"    — (K, m) transposed (scan requires leading K)
-    The worst-case tile pad is then ceil(d/128)/d/128 of a dim that is
-    >= sqrt(slots), i.e. negligible for every big chunk.
+    The 128-lane minor-dim pad is then over a dim >= sqrt(slots) —
+    negligible for every big chunk. The 8-SUBLANE pad on the major dim
+    still bites small-K transposed chunks: a (K, m) chunk with K < 8
+    pads K -> 8, an 8/K amplification (8x on the K=1 class). That cost
+    is bounded and small in absolute terms — it scales with the small-K
+    classes' slot counts (32*m bytes vs 4*m*K), low-degree classes are
+    a minor slot fraction, and it beats the alternatives: untransposed
+    (m, K) would pad 128/K on the lane dim (128x at K=1), and the flat
+    monolith is the compile-time hazard above.
 
     mode "matsum"/"matsumT" gather a materialized (.., .., F) block and
     sum the K axis; mode "scan" runs K fused gather+accumulate passes
@@ -522,12 +529,9 @@ def _ell_spmm_int8_device(
     per-call dynamic scales (one absmax pass over the operand).
     Rescale commutes with the row-permutation gather and the row sums
     because scales are per column: C = s[c] * (A @ q)[:, c]."""
-    if col_scale is None:
-        absmax = jnp.max(jnp.abs(dense), axis=0)
-        col_scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
-    q = jnp.clip(
-        jnp.round(dense / col_scale[None, :]), -127, 127
-    ).astype(jnp.int8)
+    from spmm_denseblock_tpu.ops.bsr_spmm_int8 import quantize_per_column
+
+    q, col_scale = quantize_per_column(dense, col_scale)
     if not has_vals:
         q = jnp.concatenate(
             [q, jnp.zeros((1, q.shape[1]), jnp.int8)], axis=0
@@ -554,8 +558,12 @@ def csr_spmm_ell_int8_plan(
     scales at plan time (static-scale serving — same rationale as
     bsr_spmm_int8.static_col_scale: dynamic per-call quantization
     dominated at small graph sizes in the round-1 ddi measurement)."""
-    from spmm_denseblock_tpu.ops.bsr_spmm_int8 import static_col_scale
+    from spmm_denseblock_tpu.ops.bsr_spmm_int8 import (
+        reject_grad_request,
+        static_col_scale,
+    )
 
+    reject_grad_request(_ignored, "csr_ell_int8")
     idx_chunks, val_chunks, positions, layout, has_vals = _ell_layout(
         csr, bucket, reduce, row_sort
     )

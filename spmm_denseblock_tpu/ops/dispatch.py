@@ -138,12 +138,20 @@ def spmm_plan(matrix, impl: str = "auto", block_size: int = 128, **kw):
         thr = kw.pop("density_threshold", None)
         if thr is None:
             # measurement-calibrated selection (see the auto branch);
-            # margin=0 because the caller asked for a hybrid explicitly
+            # margin=0 because the caller asked for a hybrid explicitly.
+            # hybrid_int8 gathers a 1-byte table — score with the bytes
+            # the plan will actually move, like the auto path does
+            dt = kw.get("dtype")
+            thr_dtype_bytes = (
+                1 if impl == "hybrid_int8"
+                else (4 if dt is None else jnp.dtype(dt).itemsize)
+            )
             thr, _ = score_thresholds(
                 matrix, block_size,
                 candidates={0.015, 0.02, 0.03, 0.05,
                             auto_threshold(matrix, block_size)},
                 margin=0.0,
+                dtype_bytes=thr_dtype_bytes,
             )
             if thr is None:  # nothing qualifies: densest blocks only
                 thr = auto_threshold(matrix, block_size)

@@ -49,7 +49,8 @@ def hybrid_spmm_plan(
 
 def hybrid_spmm_int8_plan(
     hyb: Hybrid, calibration=None, dense_impl: str = "pallas",
-    bucket: str = "quarter", reduce: str = "auto", **_ignored,
+    bucket: str = "quarter", reduce: str = "auto", row_sort: str = "keep",
+    **_ignored,
 ):
     """Serving composition of the two int8 tiers: dense blocks through
     the int8 MXU kernel (double bf16 throughput) + the ELL remainder
@@ -57,15 +58,20 @@ def hybrid_spmm_int8_plan(
     the table on the per-index rate cliff). Inference only; both parts
     quantize the operand with the same per-column scheme, so accuracy
     matches the single-tier ~1e-2 envelope. impl='hybrid_int8'."""
-    from spmm_denseblock_tpu.ops.bsr_spmm_int8 import bsr_spmm_int8_plan
+    from spmm_denseblock_tpu.ops.bsr_spmm_int8 import (
+        bsr_spmm_int8_plan,
+        reject_grad_request,
+    )
     from spmm_denseblock_tpu.ops.bsr_spmm_pallas_int8 import (
         bsr_spmm_pallas_int8_plan,
     )
     from spmm_denseblock_tpu.ops.csr_spmm_ell import csr_spmm_ell_int8_plan
 
+    reject_grad_request(_ignored, "hybrid_int8")
     if hyb.dense.nnzb == 0:
         return csr_spmm_ell_int8_plan(hyb.remainder, calibration=calibration,
-                                      bucket=bucket, reduce=reduce)
+                                      bucket=bucket, reduce=reduce,
+                                      row_sort=row_sort)
     dense_plan = (
         bsr_spmm_pallas_int8_plan(hyb.dense, calibration=calibration)
         if dense_impl == "pallas"
@@ -74,7 +80,8 @@ def hybrid_spmm_int8_plan(
     if hyb.remainder.nnz == 0:
         return dense_plan
     rem_plan = csr_spmm_ell_int8_plan(hyb.remainder, calibration=calibration,
-                                      bucket=bucket, reduce=reduce)
+                                      bucket=bucket, reduce=reduce,
+                                      row_sort=row_sort)
     return sum_plan((dense_plan, rem_plan))
 
 

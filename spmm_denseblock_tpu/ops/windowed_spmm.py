@@ -85,6 +85,9 @@ def windowed_spmm_int8_plan(wt: Windowed, **_ignored):
     """Quantized windowed tier: per-(tile,slot) int8 weight scales x
     per-column dynamic operand scales, int32 MXU accumulation — the
     serving path for reordered real graphs (inference-only)."""
+    from spmm_denseblock_tpu.ops.bsr_spmm_int8 import reject_grad_request
+
+    reject_grad_request(_ignored, "windowed_int8")
     import numpy as np
 
     from spmm_denseblock_tpu.ops.bsr_spmm_int8 import quantize_blocks

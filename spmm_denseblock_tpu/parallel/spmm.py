@@ -459,12 +459,11 @@ def _dist_ell_run(statics, idx, val, pos, col_scale, dense):
         # quantize ONCE globally (same per-column symmetric scheme as
         # ops/bsr_spmm_int8.py) so every stripe shares the scales; the
         # padded zero rows stay zero in q
-        if col_scale is None:
-            absmax = jnp.max(jnp.abs(dense), axis=0)
-            col_scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
-        dense = jnp.clip(
-            jnp.round(dense / col_scale[None, :]), -127, 127
-        ).astype(jnp.int8)
+        from spmm_denseblock_tpu.ops.bsr_spmm_int8 import (
+            quantize_per_column,
+        )
+
+        dense, col_scale = quantize_per_column(dense, col_scale)
     dense = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
     dense = jax.lax.with_sharding_constraint(dense, stripe)
     out = fn(idx, val, pos, dense)[:n_rows]
