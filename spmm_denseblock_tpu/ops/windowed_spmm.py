@@ -110,12 +110,12 @@ def windowed_spmm_int8_plan(wt: Windowed, **_ignored):
 
     @jax.jit
     def run_impl(q_tiles, sc, win_idx, dense):
-        d = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
-        col_absmax = jnp.max(jnp.abs(d), axis=0)
-        col_scale = jnp.where(col_absmax > 0, col_absmax / 127.0, 1.0)
-        qd = jnp.clip(jnp.round(d / col_scale[None, :]), -127, 127).astype(
-            jnp.int8
+        from spmm_denseblock_tpu.ops.bsr_spmm_int8 import (
+            quantize_per_column,
         )
+
+        d = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
+        qd, col_scale = quantize_per_column(d)
         blocked = qd.reshape(k_padded // W, W, qd.shape[1])
         wins = jnp.take(blocked, win_idx, axis=0)  # (T, K, W, F) int8
         prod = jax.lax.dot_general(
