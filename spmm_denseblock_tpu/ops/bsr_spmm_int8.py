@@ -63,6 +63,19 @@ def quantize_per_column(dense, col_scale=None):
     return q, col_scale
 
 
+def reject_int8_cast(dtype, tier: str) -> None:
+    """The cast-based tiers implement dtype= as a plain astype of the
+    operand; astype(int8) TRUNCATES without scaling and returns silently
+    wrong results. int8 needs the quantized tiers (per-column scales)."""
+    if dtype is not None and jnp.dtype(dtype) == jnp.int8:
+        raise ValueError(
+            f"{tier} casts the operand with astype — int8 would truncate "
+            "silently; use the quantized tier (csr_ell_int8 / bsr_int8 / "
+            "hybrid_int8 / windowed_int8, or spmm_plan(dtype=int8) via "
+            "auto) instead"
+        )
+
+
 def reject_grad_request(kw: dict, tier: str) -> None:
     """int8 tiers are inference-only: under jax.grad the quantization
     round() has zero derivative a.e., so a silently-built plan would

@@ -435,6 +435,9 @@ def csr_spmm_ell_banded_plan(
     idx_ovf, vals_ovf, pos_ovf, layout_ovf, _ = _ell_layout(
         ovf_csr, bucket, reduce
     )
+    from spmm_denseblock_tpu.ops.bsr_spmm_int8 import reject_int8_cast
+
+    reject_int8_cast(dtype, 'csr_ell (use csr_ell_int8)')
     dtype_key = None if dtype is None else jnp.dtype(dtype).name
     arrays = (
         tuple(jnp.asarray(c) for c in idx_in + idx_ovf),
@@ -491,6 +494,9 @@ def csr_spmm_ell_plan(csr: CSR, grad: bool = True, dtype=None,
         tuple(jnp.asarray(c) for c in val_chunks),
         jnp.asarray(positions),
     )
+    from spmm_denseblock_tpu.ops.bsr_spmm_int8 import reject_int8_cast
+
+    reject_int8_cast(dtype, 'csr_ell (use csr_ell_int8)')
     dtype_key = None if dtype is None else jnp.dtype(dtype).name
     statics = (csr.shape, layout, has_vals, dtype_key)
     return Plan(arrays, _ell_apply, statics)

@@ -66,6 +66,9 @@ def windowed_spmm_plan(wt: Windowed, dtype=None, grad: bool = True):
     if dtype is not None:
         tiles = tiles.astype(dtype)
     win_idx = jnp.asarray(wt.win_idx)
+    from spmm_denseblock_tpu.ops.bsr_spmm_int8 import reject_int8_cast
+
+    reject_int8_cast(dtype, 'windowed (use windowed_int8)')
     dtype_key = None if dtype is None else jnp.dtype(dtype).name
     win_plan = Plan(
         (tiles, win_idx),

@@ -303,6 +303,9 @@ def dist_bsr_spmm_plan(
     n_rows, n_cols = bsr.shape
 
     stripe = NamedSharding(mesh, P(axis))
+    from spmm_denseblock_tpu.ops.bsr_spmm_int8 import reject_int8_cast
+
+    reject_int8_cast(dtype, 'dist_bsr (no quantized dist BSR tier yet)')
     cast = (lambda x: x.astype(dtype)) if dtype is not None else (lambda x: x)
     dtype_key = None if dtype is None else jnp.dtype(dtype).name
 
@@ -694,6 +697,9 @@ def dist_windowed_spmm_plan(
         win_h = np.concatenate(
             [win_h, np.zeros((pad_t, K), win_h.dtype)]
         )
+    from spmm_denseblock_tpu.ops.bsr_spmm_int8 import reject_int8_cast
+
+    reject_int8_cast(dtype, "dist_windowed (no quantized dist tier yet)")
     if dtype is not None:
         tiles_h = tiles_h.astype(dtype)
 
