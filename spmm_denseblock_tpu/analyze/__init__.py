@@ -3,6 +3,7 @@ from spmm_denseblock_tpu.analyze.metrics import (
     block_metrics,
     fill_histogram,
     bandwidth_profile,
+    ell_metrics,
     DEFAULT_BLOCK_SIZES,
 )
 from spmm_denseblock_tpu.analyze.heatmap import (
@@ -17,6 +18,7 @@ __all__ = [
     "block_metrics",
     "fill_histogram",
     "bandwidth_profile",
+    "ell_metrics",
     "DEFAULT_BLOCK_SIZES",
     "heatmap",
     "dump_heatmap",

@@ -62,6 +62,49 @@ def fill_histogram(csr: CSR, block_size: int, n_buckets: int = 10) -> np.ndarray
     return np.bincount(buckets, minlength=n_buckets)
 
 
+# measured v5e gather floor (tpu_v5e_gather_floor.jsonl / ROUND2_NOTES):
+# the ELL tier's cost is per-index-bound and CLIFFS with operand-table
+# size — ~2.6 ns/slot on cache/TLB-friendly tables (proteins' 64 MB) up
+# to ~11.5 ns/slot at 1.25 GB (f32 full products; 8.4 bf16). These
+# bracket an estimate, they are not an interpolation model.
+ELL_NS_PER_SLOT_SMALL_TABLE = 2.6
+ELL_NS_PER_SLOT_BIG_TABLE = 11.5
+
+
+def ell_metrics(
+    csr: CSR, bucket: str = "quarter", feat_dim: int = 128,
+    itemsize: int = 4,
+) -> Dict[str, float]:
+    """Gather-era counterpart of block_metrics: what the degree-bucketed
+    ELL tier (ops/csr_spmm_ell.py) will build for this matrix — padded
+    slot count (the quantity the measured v5e runtime tracks), padding
+    waste, class/chunk counts, and bracket time estimates at the two
+    measured per-slot rates. `feat_dim`/`itemsize` size the operand
+    table the estimates key on."""
+    from spmm_denseblock_tpu.ops.csr_spmm_ell import CHUNK_SLOTS, _row_widths
+
+    deg = csr.degrees().astype(np.int64)
+    K = _row_widths(deg, bucket)  # every row gets >=1 slot (pads incl.)
+    slots = int(K.sum())
+    classes, counts = np.unique(K, return_counts=True)
+    n_chunks = int(
+        sum(
+            -(-int(m) // max(1, CHUNK_SLOTS // int(k)))
+            for k, m in zip(classes, counts)
+        )
+    )
+    table_bytes = int(csr.n_cols) * feat_dim * itemsize
+    return {
+        "slots": slots,
+        "padded_ratio": slots / max(csr.nnz, 1),
+        "n_classes": int(classes.size),
+        "n_chunks": n_chunks,
+        "table_bytes": table_bytes,
+        "est_ms_small_table_rate": slots * ELL_NS_PER_SLOT_SMALL_TABLE / 1e6,
+        "est_ms_big_table_rate": slots * ELL_NS_PER_SLOT_BIG_TABLE / 1e6,
+    }
+
+
 def bandwidth_profile(csr: CSR) -> Dict[str, float]:
     """Classic reordering-quality metrics: matrix bandwidth
     (max |i - j| over nonzeros) and envelope/profile (sum over rows of

@@ -219,3 +219,21 @@ def test_graph_stats_and_triadic_closure():
     assert sc["clustering_sampled"] > sb["clustering_sampled"]
 
     assert dataset_provenance("ogbn-arxiv") in ("ogb", "synthetic_fallback")
+
+
+def test_ell_metrics_matches_layout():
+    """ell_metrics' slot/chunk accounting must equal what _ell_layout
+    actually builds (same _row_widths, same CHUNK_SLOTS split)."""
+    from spmm_denseblock_tpu.analyze import ell_metrics
+    from spmm_denseblock_tpu.formats.csr import random_csr
+    from spmm_denseblock_tpu.ops.csr_spmm_ell import _ell_layout
+
+    csr = random_csr(0.03, 300, 300, seed=11)
+    for bucket in ("pow2", "quarter"):
+        m = ell_metrics(csr, bucket=bucket)
+        idx_chunks, _, _, layout, _ = _ell_layout(csr, bucket, "auto")
+        slots = sum(mk * K for mk, K, _, _ in layout)
+        assert m["slots"] == slots, (bucket, m["slots"], slots)
+        assert m["n_chunks"] == len(layout)
+        assert m["padded_ratio"] >= 1.0
+        assert m["est_ms_small_table_rate"] < m["est_ms_big_table_rate"]
