@@ -31,7 +31,11 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     from spmm_denseblock_tpu.analyze.heatmap import dump_heatmap, heatmap, plot_heatmap
-    from spmm_denseblock_tpu.analyze.metrics import bandwidth_profile, block_metrics
+    from spmm_denseblock_tpu.analyze.metrics import (
+        bandwidth_profile,
+        block_metrics,
+        ell_metrics,
+    )
     from spmm_denseblock_tpu.io.datasets import load_dataset
     from spmm_denseblock_tpu.io.graph_io import dump_csr, dump_permutation, load_edge_list
     from spmm_denseblock_tpu.reorder import STRATEGIES, reorder
@@ -61,6 +65,14 @@ def main(argv=None):
                 f"  b={b:4d}: nnzb={int(m['nnzb']):9d} density={m['density']:.6f} "
                 f"utilization={m['utilization']:.5f} avg={m['average']:.2f}"
             )
+        em = ell_metrics(g)
+        print(
+            f"  ell(quarter): slots={em['slots']} "
+            f"padded_ratio={em['padded_ratio']:.3f} "
+            f"classes={em['n_classes']} chunks={em['n_chunks']} "
+            f"est={em['est_ms_small_table_rate']:.1f}-"
+            f"{em['est_ms_big_table_rate']:.1f} ms @F=128 (v5e rates)"
+        )
         if args.heatmap:
             h = heatmap(g, args.heatmap_block)
             dump_heatmap(h, os.path.join(args.out, f"{name}_{tag}_heatmap.txt"))
