@@ -79,8 +79,10 @@ def ell_metrics(
     ELL tier (ops/csr_spmm_ell.py) will build for this matrix — padded
     slot count (the quantity the measured v5e runtime tracks), padding
     waste, class/chunk counts, and bracket time estimates at the two
-    measured per-slot rates. `feat_dim`/`itemsize` size the operand
-    table the estimates key on."""
+    FIXED measured per-slot rates (small-table / big-table endpoints —
+    not interpolated). `feat_dim`/`itemsize` only size the returned
+    table_bytes; compare it against the measured cliff
+    (tpu_v5e_gather_floor.jsonl) to pick which endpoint applies."""
     from spmm_denseblock_tpu.ops.csr_spmm_ell import CHUNK_SLOTS, _row_widths
 
     deg = csr.degrees().astype(np.int64)

@@ -280,6 +280,9 @@ def bsr_spmm_pallas_plan(
     so its partial output is fully written). Default CHUNK_NNZB measured
     on v5e.
     """
+    from spmm_denseblock_tpu.ops.bsr_spmm_int8 import reject_int8_cast
+
+    reject_int8_cast(dtype, "bsr_pallas (use bsr_int8_pallas)")
     if chunk_nnzb is None:
         chunk_nnzb = CHUNK_NNZB
     if bsr.nnzb > chunk_nnzb:
@@ -325,9 +328,6 @@ def bsr_spmm_pallas_plan(
         jnp.asarray(slot_cols_h),
         jnp.asarray(blocks_pad_h),
     )
-    from spmm_denseblock_tpu.ops.bsr_spmm_int8 import reject_int8_cast
-
-    reject_int8_cast(dtype, 'bsr_pallas (use bsr_int8_pallas)')
     dtype_key = None if dtype is None else jnp.dtype(dtype).name
     statics = (
         covered.n_block_rows, n_rows, n_cols, k_needed,

@@ -50,12 +50,12 @@ def _bsr_spmm_device(block_rows, block_cols, blocks, dense, n_block_rows, n_rows
 def bsr_spmm_xla_plan(bsr: BSR, dtype=None, **_ignored):
     """Host prep once -> jitted C = f(B). B is zero-padded to the block
     grid's column coverage on the fly (cheap, fused by XLA)."""
+    from spmm_denseblock_tpu.ops.bsr_spmm_int8 import reject_int8_cast
+
+    reject_int8_cast(dtype, "bsr_xla (use bsr_int8)")
     dev = bsr.device_put(dtype=dtype)
     k_needed = dev.n_block_cols * dev.b
     n_rows, n_cols = bsr.shape
-    from spmm_denseblock_tpu.ops.bsr_spmm_int8 import reject_int8_cast
-
-    reject_int8_cast(dtype, 'bsr_xla (use bsr_int8)')
     dtype_key = None if dtype is None else jnp.dtype(dtype).name
     arrays = (dev.block_rows, dev.block_cols, dev.blocks)
     statics = (dev.n_block_rows, n_rows, n_cols, k_needed, dtype_key)

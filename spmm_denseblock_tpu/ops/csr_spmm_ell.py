@@ -412,6 +412,9 @@ def csr_spmm_ell_banded_plan(
     localizes columns (rabbit on products: 64% in-band at W=2^19).
     Measured band guidance (F=128): bf16 <= 2^19 rows fast; f32 needs
     <= 2^17 (capture usually too low to pay) — use with 2-byte dtypes."""
+    from spmm_denseblock_tpu.ops.bsr_spmm_int8 import reject_int8_cast
+
+    reject_int8_cast(dtype, "csr_ell_banded (use csr_ell_int8)")
     if grad:
         return grad_plan(
             csr_spmm_ell_banded_plan(csr, band_rows, grad=False, dtype=dtype,
@@ -435,9 +438,6 @@ def csr_spmm_ell_banded_plan(
     idx_ovf, vals_ovf, pos_ovf, layout_ovf, _ = _ell_layout(
         ovf_csr, bucket, reduce
     )
-    from spmm_denseblock_tpu.ops.bsr_spmm_int8 import reject_int8_cast
-
-    reject_int8_cast(dtype, 'csr_ell (use csr_ell_int8)')
     dtype_key = None if dtype is None else jnp.dtype(dtype).name
     arrays = (
         tuple(jnp.asarray(c) for c in idx_in + idx_ovf),
@@ -478,6 +478,9 @@ def csr_spmm_ell_plan(csr: CSR, grad: bool = True, dtype=None,
     crossover (_chunk_mode); "matsum"/"scan" force one form.
     row_sort="meancol": sort rows inside each class by mean neighbor id
     for gather page locality (free — position map restores order)."""
+    from spmm_denseblock_tpu.ops.bsr_spmm_int8 import reject_int8_cast
+
+    reject_int8_cast(dtype, "csr_ell (use csr_ell_int8)")
     if grad:
         return grad_plan(
             csr_spmm_ell_plan(csr, grad=False, dtype=dtype, bucket=bucket,
@@ -494,9 +497,6 @@ def csr_spmm_ell_plan(csr: CSR, grad: bool = True, dtype=None,
         tuple(jnp.asarray(c) for c in val_chunks),
         jnp.asarray(positions),
     )
-    from spmm_denseblock_tpu.ops.bsr_spmm_int8 import reject_int8_cast
-
-    reject_int8_cast(dtype, 'csr_ell (use csr_ell_int8)')
     dtype_key = None if dtype is None else jnp.dtype(dtype).name
     statics = (csr.shape, layout, has_vals, dtype_key)
     return Plan(arrays, _ell_apply, statics)

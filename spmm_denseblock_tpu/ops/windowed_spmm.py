@@ -59,6 +59,9 @@ def _windowed_apply(statics, arrays, dense):
 
 def windowed_spmm_plan(wt: Windowed, dtype=None, grad: bool = True):
     """Host prep once -> Plan C = f(B) (callable pytree; see ops/plan.py)."""
+    from spmm_denseblock_tpu.ops.bsr_spmm_int8 import reject_int8_cast
+
+    reject_int8_cast(dtype, "windowed (use windowed_int8)")
     R, W = wt.tile_rows, wt.window
     n_rows, n_cols = wt.shape
     k_padded = -(-n_cols // W) * W
@@ -66,9 +69,6 @@ def windowed_spmm_plan(wt: Windowed, dtype=None, grad: bool = True):
     if dtype is not None:
         tiles = tiles.astype(dtype)
     win_idx = jnp.asarray(wt.win_idx)
-    from spmm_denseblock_tpu.ops.bsr_spmm_int8 import reject_int8_cast
-
-    reject_int8_cast(dtype, 'windowed (use windowed_int8)')
     dtype_key = None if dtype is None else jnp.dtype(dtype).name
     win_plan = Plan(
         (tiles, win_idx),
@@ -84,16 +84,22 @@ def windowed_spmm(wt: Windowed, dense, **kw) -> jax.Array:
     return windowed_spmm_plan(wt, **kw)(dense)
 
 
-def windowed_spmm_int8_plan(wt: Windowed, **_ignored):
+def windowed_spmm_int8_plan(wt: Windowed, calibration=None, **_ignored):
     """Quantized windowed tier: per-(tile,slot) int8 weight scales x
-    per-column dynamic operand scales, int32 MXU accumulation — the
-    serving path for reordered real graphs (inference-only)."""
+    per-column operand scales, int32 MXU accumulation — the serving
+    path for reordered real graphs (inference-only). calibration:
+    optional representative operand batch; fixes the per-column scales
+    at plan time (static-scale serving, same contract as the other
+    int8 tiers)."""
     from spmm_denseblock_tpu.ops.bsr_spmm_int8 import reject_grad_request
 
     reject_grad_request(_ignored, "windowed_int8")
     import numpy as np
 
-    from spmm_denseblock_tpu.ops.bsr_spmm_int8 import quantize_blocks
+    from spmm_denseblock_tpu.ops.bsr_spmm_int8 import (
+        quantize_blocks,
+        static_col_scale,
+    )
 
     R, W = wt.tile_rows, wt.window
     n_rows, n_cols = wt.shape
@@ -105,6 +111,10 @@ def windowed_spmm_int8_plan(wt: Windowed, **_ignored):
     q_tiles = jnp.asarray(q.reshape(T, K, R, W))
     sc = jnp.asarray(scales.reshape(T, K).astype(np.float32))
     win_idx = jnp.asarray(wt.win_idx)
+    cs = (
+        None if calibration is None
+        else jnp.asarray(static_col_scale(calibration))
+    )
     # inference-only tier: no VJP layout copies for the remainder
     rem_plan = (
         csr_spmm_ell_plan(wt.remainder, grad=False)
@@ -112,13 +122,13 @@ def windowed_spmm_int8_plan(wt: Windowed, **_ignored):
     )
 
     @jax.jit
-    def run_impl(q_tiles, sc, win_idx, dense):
+    def run_impl(q_tiles, sc, win_idx, cs, dense):
         from spmm_denseblock_tpu.ops.bsr_spmm_int8 import (
             quantize_per_column,
         )
 
         d = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
-        qd, col_scale = quantize_per_column(d)
+        qd, col_scale = quantize_per_column(d, cs)
         blocked = qd.reshape(k_padded // W, W, qd.shape[1])
         wins = jnp.take(blocked, win_idx, axis=0)  # (T, K, W, F) int8
         prod = jax.lax.dot_general(
@@ -132,12 +142,12 @@ def windowed_spmm_int8_plan(wt: Windowed, **_ignored):
         return out * col_scale[None, :]
 
     def _int8_apply(statics, arrays, dense):
-        q_tiles, sc, win_idx = arrays
+        q_tiles, sc, win_idx, cs = arrays
         dense = jnp.asarray(dense, jnp.float32)
         assert dense.shape[0] == n_cols, (dense.shape, n_cols)
-        return run_impl(q_tiles, sc, win_idx, dense)
+        return run_impl(q_tiles, sc, win_idx, cs, dense)
 
-    win_plan = Plan((q_tiles, sc, win_idx), _int8_apply)
+    win_plan = Plan((q_tiles, sc, win_idx, cs), _int8_apply)
     if rem_plan is None:
         return win_plan
     return sum_plan((win_plan, rem_plan))

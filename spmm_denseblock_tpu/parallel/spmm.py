@@ -573,6 +573,11 @@ def dist_csr_spmm_ell_plan(
     dtype_key = None if dtype is None else jnp.dtype(dtype).name
     cs = None
     if calibration is not None:
+        if dtype_key != "int8":
+            raise ValueError(
+                "calibration= only applies to dtype=int8 serving plans; "
+                f"got dtype={dtype_key!r}"
+            )
         from spmm_denseblock_tpu.ops.bsr_spmm_int8 import static_col_scale
 
         cs = jnp.asarray(static_col_scale(calibration))
