@@ -19,8 +19,16 @@ from __future__ import annotations
 import json
 import time
 
+import os
+
 import jax
 import numpy as np
+
+# The axon site hook pins JAX_PLATFORMS=axon at the env level, so the
+# env var alone cannot select CPU — honor an explicit JAX_PLATFORMS=cpu
+# via the in-process config (which wins), enabling the CPU smoke path.
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 # persistent compilation cache: repeated bench runs skip the slow
 # (30-180s) remote kernel compiles. Harmless if the backend ignores it.
@@ -41,7 +49,14 @@ def main():
     from spmm_denseblock_tpu.formats.bsr import random_bsr
     from spmm_denseblock_tpu.ops import bsr_spmm_pallas_plan, bsr_spmm_xla_plan
 
-    on_tpu = jax.default_backend() == "tpu"
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except RuntimeError:
+        # axon relay unreachable (backend registered but init fails):
+        # fall back to the CPU smoke config rather than crashing the
+        # driver's bench run
+        jax.config.update("jax_platforms", "cpu")
+        on_tpu = False
     if on_tpu:
         # 2^17 x 2^17 at the densest point of the reference's sweep grid
         # (benchmark.py:4-8 sweeps p in {2e-4, 2e-3, 2e-2}); measured
