@@ -22,7 +22,7 @@ run() {
   grep -hE "^\[|^\{" "/tmp/chipq_${name}.log" | tail -8
 }
 
-run r2s3     python /tmp/r2s3_runs.py
+run r2s3     python scripts/r2_s3_runs.py
 run int8ell  python scripts/r2_int8_ell_ab.py
 run meancol  python scripts/r2_meancol_ab.py
 run coverage python scripts/r2_coverage_small.py
