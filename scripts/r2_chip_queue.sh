@@ -28,5 +28,6 @@ run meancol  python scripts/r2_meancol_ab.py
 run coverage python scripts/r2_coverage_small.py
 run train    python scripts/r2_train_fullscale.py
 run gat      python scripts/r2_gat_arxiv.py
+run calib    python scripts/r2_calibrated_ab.py
 run bench    python bench.py
 echo "=== chip queue done $(date +%T)"

@@ -30,6 +30,21 @@ DATASET_SIZES = {
     "ogbl-citation": (2_927_963, 60_921_468),
 }
 
+# Published structural statistics (OGB paper, Hu et al. 2020, dataset
+# tables; approximate — used ONLY as calibration targets for the
+# synthetic stand-ins, never reported as measurements). avg_degree
+# follows from DATASET_SIZES; clustering is the paper's average local
+# clustering coefficient.
+DATASET_PUBLISHED = {
+    "ogbn-arxiv": {"clustering": 0.226},
+    "ogbl-collab": {"clustering": 0.729},
+    "ogbn-products": {"clustering": 0.411},
+    "ogbn-proteins": {"clustering": 0.280},
+    "ogbl-ppa": {"clustering": 0.223},
+    "ogbl-ddi": {"clustering": 0.514},
+    "ogbl-citation": {"clustering": 0.178},
+}
+
 
 def synthetic_powerlaw(
     n: int,
@@ -37,6 +52,7 @@ def synthetic_powerlaw(
     seed: int = 1234,
     clustering: float = 0.5,
     triadic: float = 0.0,
+    lattice: float = 0.0,
 ) -> CSR:
     """Deterministic scale-free-ish symmetric graph: endpoint ids drawn
     with Zipf-like weights plus a fraction of short-range 'community'
@@ -46,22 +62,40 @@ def synthetic_powerlaw(
     triadic > 0 rewires that fraction of edges by one round of triadic
     closure (u-v, v-w => u-w): raises the local clustering coefficient
     toward real-graph values (OGB-paper-style graphs report avg local
-    clustering ~0.2-0.4; the base model measures near 0). Default 0
-    keeps the round-1 generator bit-identical, so existing cached
-    fixtures and artifacts stay valid; artifacts record measured stats
-    via graph_stats() either way."""
+    clustering ~0.2-0.4; the base model measures near 0).
+
+    lattice > 0 spends that fraction of edges on a ring lattice
+    (i ~ i±1..±k, the Watts-Strogatz substrate, local clustering up to
+    3(k-1)/(2(2k-1)) ≈ 0.75): the only knob that reaches the
+    high-clustering regimes of ogbl-collab (0.729 published) and
+    ogbl-ddi (0.514) — one round of triadic closure saturates near 0.3.
+
+    Defaults (0, 0) keep the round-1 generator bit-identical, so
+    existing cached fixtures and artifacts stay valid; artifacts record
+    measured stats via graph_stats() either way. Per-dataset calibrated
+    knobs live in DATASET_PROFILES (see scripts/calibrate_synthetic.py)."""
     rng = np.random.default_rng(seed)
     m = nnz // 2
     # hub endpoints: ids ~ (uniform^alpha) concentrates mass at low ids
     alpha = 3.0
     src = (n * rng.random(m) ** alpha).astype(np.int64) % n
-    n_local = int(m * clustering)
+    n_lat = int(m * lattice)
+    n_local = int(m * clustering * (1.0 - lattice))
     # community edges: random walk neighbors within +-64 of src
     local_src = rng.integers(0, n, size=n_local, dtype=np.int64)
     local_dst = (local_src + rng.integers(-64, 65, size=n_local)) % n
-    far_dst = (n * rng.random(m - n_local) ** alpha).astype(np.int64) % n
+    far_dst = (n * rng.random(m - n_lat - n_local) ** alpha).astype(np.int64) % n
     dst = np.concatenate([local_dst, far_dst])
-    src = np.concatenate([local_src, src[: m - n_local]])
+    src = np.concatenate([local_src, src[: m - n_lat - n_local]])
+    if n_lat:
+        # ring lattice: node i ~ i+delta for delta = 1..k (symmetrized
+        # below to i±1..±k); deterministic, so triangles are guaranteed
+        k = max(1, -(-n_lat // n))  # ceil
+        base = np.arange(n, dtype=np.int64)
+        lat_src = np.tile(base, k)[:n_lat]
+        lat_dst = (lat_src + np.repeat(np.arange(1, k + 1, dtype=np.int64), n)[:n_lat]) % n
+        src = np.concatenate([lat_src, src])
+        dst = np.concatenate([lat_dst, dst])
     if triadic > 0:
         # close wedges u-v-w: sample surviving edges (u, v), look up an
         # edge (v, w) by binary search on sorted sources, and spend a
@@ -84,6 +118,35 @@ def synthetic_powerlaw(
     edges = np.stack([np.concatenate([src, dst]), np.concatenate([dst, src])], 1)
     keep = edges[:, 0] != edges[:, 1]
     return CSR.from_edges(edges[keep], n_rows=n)
+
+
+# Calibrated generator knobs per dataset (profile="calibrated"): chosen
+# by scripts/calibrate_synthetic.py so graph_stats(...)["clustering_sampled"]
+# on the stand-in lands near DATASET_PUBLISHED[...]["clustering"].
+# "_measured_cc" is the clustering measured at calibration scale
+# ("_cal_scale"; scale preserves avg degree, which sets clustering).
+# All datasets land within ~0.02 of the published value except
+# ogbl-collab: at avg degree 10 the ring lattice's clustering ceiling
+# (3(k-1)/(2(2k-1)) ≈ 0.67 at k=5) is below the published 0.729, so
+# 0.60 is the honest best of this generator family. The default
+# profile ("legacy") keeps the round-1 generator bit-identical — every
+# artifact in benchmarks/ is legacy unless its record says otherwise.
+DATASET_PROFILES: dict = {
+    "ogbl-citation": {"lattice": 0.4, "triadic": 0.15,
+                      "_measured_cc": 0.166, "_cal_scale": 0.02},
+    "ogbl-collab": {"lattice": 0.95, "triadic": 0.0,
+                    "_measured_cc": 0.605, "_cal_scale": 0.2},
+    "ogbl-ddi": {"lattice": 0.5, "triadic": 0.0,
+                 "_measured_cc": 0.522, "_cal_scale": 1.0},
+    "ogbl-ppa": {"lattice": 0.3, "triadic": 0.0,
+                 "_measured_cc": 0.210, "_cal_scale": 0.05},
+    "ogbn-arxiv": {"lattice": 0.6, "triadic": 0.15,
+                   "_measured_cc": 0.238, "_cal_scale": 0.2},
+    "ogbn-products": {"lattice": 0.65, "triadic": 0.15,
+                      "_measured_cc": 0.391, "_cal_scale": 0.02},
+    "ogbn-proteins": {"lattice": 0.2, "triadic": 0.15,
+                      "_measured_cc": 0.263, "_cal_scale": 0.2},
+}
 
 
 def graph_stats(csr: CSR, sample: int = 2000, seed: int = 0) -> dict:
@@ -109,10 +172,12 @@ def graph_stats(csr: CSR, sample: int = 2000, seed: int = 0) -> dict:
             d = nbset.size
             if d < 2:
                 continue
-            # count edges among neighbors via sorted membership tests
+            # count edges among neighbors via sorted membership tests;
+            # np.unique(unb) so multi-edges (kept by CSR.from_edges for
+            # reference parity) don't inflate the coefficient past 1
             links = 0
             for u in nbset:
-                unb = indices[indptr[u]: indptr[u + 1]]
+                unb = np.unique(indices[indptr[u]: indptr[u + 1]])
                 links += np.searchsorted(
                     nbset, unb, side="right"
                 ).sum() - np.searchsorted(nbset, unb, side="left").sum()
@@ -142,10 +207,27 @@ def dataset_provenance(name: str) -> str:
 
 
 def load_dataset(
-    name: str, cache_dir: str = "tmp", scale: float = 1.0, seed: int = 1234
+    name: str,
+    cache_dir: str = "tmp",
+    scale: float = 1.0,
+    seed: int = 1234,
+    profile: str = "legacy",
 ) -> CSR:
     """Try OGB; fall back to a synthetic graph at the dataset's published
-    size (scaled by `scale` for quick runs)."""
+    size (scaled by `scale` for quick runs).
+
+    profile="legacy" (default): the round-1/2 two-knob generator —
+    bit-identical to every cached fixture and benchmarks/ artifact.
+    profile="calibrated": per-dataset knobs from DATASET_PROFILES so the
+    stand-in's measured clustering tracks the published value."""
+    if profile not in ("legacy", "calibrated"):
+        raise ValueError(f"unknown profile {profile!r}")
+    knobs = (
+        {k: v for k, v in DATASET_PROFILES.get(name, {}).items()
+         if not k.startswith("_")}
+        if profile == "calibrated"
+        else {}
+    )
 
     def build() -> CSR:
         try:
@@ -154,9 +236,10 @@ def load_dataset(
             n, nnz = DATASET_SIZES.get(name, (100_000, 1_000_000))
             n = max(16, int(n * scale))
             nnz = max(64, int(nnz * scale))
-            return synthetic_powerlaw(n, nnz, seed=seed)
+            return synthetic_powerlaw(n, nnz, seed=seed, **knobs)
 
-    tag = f"{name.replace('-', '_')}_s{scale}"
+    suffix = "_cal" if knobs else ""
+    tag = f"{name.replace('-', '_')}_s{scale}{suffix}"
     return cached(cache_dir, tag, build)
 
 

@@ -237,3 +237,73 @@ def test_ell_metrics_matches_layout():
         assert m["n_chunks"] == len(layout)
         assert m["padded_ratio"] >= 1.0
         assert m["est_ms_small_table_rate"] < m["est_ms_big_table_rate"]
+
+
+def test_lattice_knob_and_calibrated_profiles():
+    """The ring-lattice knob raises clustering monotonically and the
+    calibrated per-dataset profiles land closer to the OGB-published
+    clustering coefficient than the legacy generator does (VERDICT
+    round-1 item 10; knobs fitted by scripts/calibrate_synthetic.py)."""
+    import numpy as np
+    from spmm_denseblock_tpu.io.datasets import (
+        DATASET_PROFILES,
+        DATASET_PUBLISHED,
+        DATASET_SIZES,
+        graph_stats,
+        synthetic_powerlaw,
+    )
+
+    # defaults must stay bit-identical to the round-1 generator: every
+    # cached fixture and benchmarks/ artifact depends on it
+    a = synthetic_powerlaw(512, 4096, seed=9)
+    b = synthetic_powerlaw(512, 4096, seed=9, lattice=0.0, triadic=0.0)
+    np.testing.assert_array_equal(np.asarray(a.indices), np.asarray(b.indices))
+    np.testing.assert_array_equal(np.asarray(a.indptr), np.asarray(b.indptr))
+
+    cc = [
+        graph_stats(
+            synthetic_powerlaw(8000, 160000, lattice=lat), sample=300, seed=1
+        )["clustering_sampled"]
+        for lat in (0.0, 0.5, 0.9)
+    ]
+    assert cc[0] < cc[1] < cc[2]
+    assert cc[2] > 0.45  # lattice-dominated graphs reach the high regime
+
+    # calibrated profiles beat legacy against the published targets on a
+    # scaled graph (scale preserves avg degree, which sets clustering)
+    for name in ("ogbn-arxiv", "ogbl-ddi"):
+        knobs = {
+            k: v for k, v in DATASET_PROFILES[name].items()
+            if not k.startswith("_")
+        }
+        target = DATASET_PUBLISHED[name]["clustering"]
+        n, nnz = DATASET_SIZES[name]
+        s = 0.05 if name == "ogbn-arxiv" else 0.5
+        n, nnz = int(n * s), int(nnz * s)
+        legacy = graph_stats(synthetic_powerlaw(n, nnz), sample=300, seed=1)
+        cal = graph_stats(
+            synthetic_powerlaw(n, nnz, **knobs), sample=300, seed=1
+        )
+        err_legacy = abs(legacy["clustering_sampled"] - target)
+        err_cal = abs(cal["clustering_sampled"] - target)
+        assert err_cal < err_legacy, (name, legacy, cal, target)
+        assert err_cal < 0.12, (name, cal, target)
+
+
+def test_load_dataset_calibrated_profile(tmp_path):
+    """profile='calibrated' uses the fitted knobs and caches under a
+    distinct tag so legacy caches stay valid."""
+    from spmm_denseblock_tpu.io.datasets import load_dataset
+    import pytest
+
+    d = str(tmp_path)
+    leg = load_dataset("ogbn-arxiv", cache_dir=d, scale=0.002)
+    cal = load_dataset("ogbn-arxiv", cache_dir=d, scale=0.002,
+                       profile="calibrated")
+    assert leg.nnz > 0 and cal.nnz > 0
+    import os
+
+    names = os.listdir(d)
+    assert any("_cal" in f for f in names) and any("_cal" not in f for f in names)
+    with pytest.raises(ValueError):
+        load_dataset("ogbn-arxiv", cache_dir=d, profile="nope")
