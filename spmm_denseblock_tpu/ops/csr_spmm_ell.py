@@ -43,6 +43,75 @@ from spmm_denseblock_tpu.ops.plan import Plan, grad_plan
 # safe. Lower further for F >= 512 full-graph serving.
 CHUNK_SLOTS = 4 << 20
 
+# -- two-level (unique-compacted) gather model --------------------------------
+# The measured per-index gather cost cliffs with the gather SOURCE's
+# byte size (tpu_v5e_gather_floor.jsonl): ~2.6 ns/idx on cache/TLB-
+# friendly tables (64 MB proteins), ~4.25 mid-cliff (~128 MB), and the
+# big-table plateau (8.4 bf16 / 11.5 f32 at products' 0.6-1.25 GB). A
+# chunk whose rows share most neighbors can therefore gather its U
+# unique operand rows ONCE at the big-table rate into a compact
+# sub-table and read its S slots from that at the fast rate:
+#     U * r_big + S * r_small(U*F*itemsize)   vs   S * r_big.
+# Rabbit/rcmk keep community-adjacent rows adjacent inside each degree
+# class, so U/S sits at 0.3-0.4 for ~1M-slot spans on full
+# ogbn-products (scripts/r2_twolevel_predict.py: modeled 1.40x at 1M,
+# 1.46x at 512k target slots).
+GATHER_FAST_TABLE_BYTES = 96 << 20
+GATHER_MID_TABLE_BYTES = 176 << 20
+GATHER_NS_MID_TABLE = 4.25
+COMPACT_SLOTS = 1 << 20  # candidate span when compact != "off"
+_COMPACT_MIN_GAIN = 0.9  # modeled two-level cost must be <= 90% of flat
+
+
+def _gather_ns_per_slot(table_bytes: int, itemsize: int) -> float:
+    from spmm_denseblock_tpu.analyze.metrics import (
+        ELL_NS_PER_SLOT_BIG_TABLE,
+        ELL_NS_PER_SLOT_SMALL_TABLE,
+    )
+
+    if table_bytes <= GATHER_FAST_TABLE_BYTES:
+        return ELL_NS_PER_SLOT_SMALL_TABLE
+    if table_bytes <= GATHER_MID_TABLE_BYTES:
+        return GATHER_NS_MID_TABLE
+    # the big-table plateau is itself dtype-sensitive (8.4 bf16 vs 11.5
+    # f32 at products scale); the 2-byte figure is the conservative one
+    return ELL_NS_PER_SLOT_BIG_TABLE if itemsize >= 4 else 8.4
+
+
+def _compact_spans(idx, m_k, K, max_m, compact, compact_slots, feat_dim,
+                   itemsize, r_big):
+    """Split a degree class's m_k rows into chunk spans. Returns a list
+    of (row_start, n_rows, uniq_or_None): uniq != None marks a span the
+    host cost model (or compact="force") chose to two-level gather.
+    Rejected candidate spans are merged back into plain CHUNK_SLOTS
+    chunks so the op count does not grow where compaction buys nothing."""
+
+    def plain(s0, m0):
+        return [(s0 + o, min(max_m, m0 - o), None)
+                for o in range(0, m0, max_m)]
+
+    if compact == "off":
+        return plain(0, m_k)
+    tgt_m = max(1, compact_slots // K)
+    spans, pend = [], None  # pend: accumulated rejected (start, len)
+    for s in range(0, m_k, tgt_m):
+        m = min(tgt_m, m_k - s)
+        seg = idx[s * K: (s + m) * K]
+        uniq = np.unique(seg)
+        S, U = m * K, uniq.size
+        r_sub = _gather_ns_per_slot(U * feat_dim * itemsize, itemsize)
+        win = U * r_big + S * r_sub <= _COMPACT_MIN_GAIN * S * r_big
+        if compact == "force" or win:
+            if pend is not None:
+                spans.extend(plain(*pend))
+                pend = None
+            spans.append((s, m, uniq))
+        else:
+            pend = (s, m) if pend is None else (pend[0], pend[1] + m)
+    if pend is not None:
+        spans.extend(plain(*pend))
+    return spans
+
 
 @functools.partial(
     jax.jit, static_argnames=("layout", "has_vals", "band_rows")
@@ -111,20 +180,29 @@ def _ell_spmm_device(
 
 
 def _run_chunks(idx_chunks, val_chunks, dense, layout, has_vals, band_rows):
-    """Run every (m, K, mode, band_start) chunk of `layout` against
-    `dense`, returning the class-concatenated (sum_m, F) partial rows."""
+    """Run every (m, K, mode, band_start, compacted) chunk of `layout`
+    against `dense`, returning the class-concatenated (sum_m, F) partial
+    rows. A compacted chunk's idx_chunks entry is a PAIR (uniq, local):
+    the chunk first gathers its U unique operand rows into a compact
+    sub-table (one big-table gather of U indices), then reads its S
+    slots from that sub-table at the measured small-table per-index
+    rate — see the two-level gather model next to COMPACT_SLOTS."""
     F = dense.shape[1]
     outs = []
-    for ci, (m_k, K, mode, band_start) in enumerate(layout):
-        idx = idx_chunks[ci]
+    for ci, (m_k, K, mode, band_start, compacted) in enumerate(layout):
         v = val_chunks[ci] if has_vals else None
-        src = (
-            jax.lax.slice_in_dim(
-                dense, band_start, band_start + band_rows, axis=0
+        if compacted:
+            uniq, idx = idx_chunks[ci]
+            src = jnp.take(dense, uniq, axis=0)
+        else:
+            idx = idx_chunks[ci]
+            src = (
+                jax.lax.slice_in_dim(
+                    dense, band_start, band_start + band_rows, axis=0
+                )
+                if band_start >= 0
+                else dense
             )
-            if band_start >= 0
-            else dense
-        )
         if mode == "scan":
             xs = (idx, v) if has_vals else (idx,)
 
@@ -237,14 +315,25 @@ def _store_chunk(seg, vseg, m: int, K: int, mode: str):
 
 
 def _ell_layout(csr: CSR, bucket: str = "quarter", reduce: str = "auto",
-                row_sort: str = "keep"):
+                row_sort: str = "keep", compact: str = "off",
+                compact_slots: int = COMPACT_SLOTS, itemsize: int = 4,
+                feat_dim: int = 128):
     """row_sort: intra-class row order. Rows inside a degree class can
     be permuted freely — the position map restores caller order — so
     "meancol" sorts each class's rows by mean neighbor id to make the
     gather's index stream approximately ascending (DRAM page locality;
     the big-table per-index rate is paging-bound, see
     tpu_v5e_gather_floor.jsonl). "keep" preserves the caller's
-    (reordering-locality) order."""
+    (reordering-locality) order.
+
+    compact: "off" | "auto" | "force" — two-level gather (see the model
+    next to COMPACT_SLOTS). "auto" evaluates the host cost model per
+    compact_slots-sized candidate span and compacts only where it wins
+    (never fires when the full table already gathers at the fast rate);
+    "force" compacts every span (tests/probes). itemsize/feat_dim feed
+    the byte-based rate brackets (itemsize = gather dtype's, feat_dim =
+    expected operand width; the model is a routing heuristic, not a
+    correctness input)."""
     deg = csr.degrees().astype(np.int64)
     n = csr.n_rows
     K_r = _row_widths(deg, bucket)
@@ -267,6 +356,12 @@ def _ell_layout(csr: CSR, bucket: str = "quarter", reduce: str = "auto",
     # appended zero row -> no per-call padded copy of the table);
     # pattern-only layouts pad at the appended zero row n_cols
     pad_idx = 0 if has_vals else csr.n_cols
+    if compact not in ("off", "auto", "force"):
+        raise ValueError(f"unknown compact mode: {compact!r}")
+    table_bytes = int(csr.n_cols) * feat_dim * itemsize
+    r_big = _gather_ns_per_slot(table_bytes, itemsize)
+    if compact == "auto" and table_bytes <= GATHER_FAST_TABLE_BYTES:
+        compact = "off"  # full table already gathers at the fast rate
     idx_parts, val_parts, layout = [], [], []
     for K in np.unique(K_r[order]):
         rows_k = order[K_r[order] == K]
@@ -286,18 +381,25 @@ def _ell_layout(csr: CSR, bucket: str = "quarter", reduce: str = "auto",
         # (m, K, F) gather must fit HBM even if XLA fails to fuse the
         # sum), emitting each chunk as its own 2D array (_store_chunk).
         max_m = max(1, CHUNK_SLOTS // K)
-        for s in range(0, m_k, max_m):
-            m = int(min(max_m, m_k - s))
-            mode = _chunk_mode(reduce, csr.n_cols, m, int(K))
-            seg, vseg, mode = _store_chunk(
-                idx[s * K: (s + m) * K],
-                v[s * K: (s + m) * K] if has_vals else None,
-                m, int(K), mode,
-            )
-            idx_parts.append(seg)
+        for s, m, uniq in _compact_spans(idx, m_k, int(K), max_m, compact,
+                                         compact_slots, feat_dim, itemsize,
+                                         r_big):
+            seg_flat = idx[s * K: (s + m) * K]
+            vflat = v[s * K: (s + m) * K] if has_vals else None
+            if uniq is not None:
+                local = np.searchsorted(uniq, seg_flat).astype(np.int32)
+                mode = _chunk_mode(reduce, uniq.size, m, int(K))
+                seg, vseg, mode = _store_chunk(local, vflat, m, int(K), mode)
+                idx_parts.append((uniq.astype(np.int32), seg))
+                layout.append((m, int(K), mode, -1, True))
+            else:
+                mode = _chunk_mode(reduce, csr.n_cols, m, int(K))
+                seg, vseg, mode = _store_chunk(seg_flat, vflat, m, int(K),
+                                               mode)
+                idx_parts.append(seg)
+                layout.append((m, int(K), mode, -1, False))
             if has_vals:
                 val_parts.append(vseg)
-            layout.append((m, int(K), mode, -1))
 
     positions = np.empty(n, dtype=np.int32)
     positions[order] = np.arange(n, dtype=np.int32)
@@ -384,7 +486,7 @@ def _ell_layout_banded(csr: CSR, band_rows: int, bucket: str):
             )
             idx_parts.append(seg)
             val_parts.append(vseg)
-            layout.append((m, K, mode, start))
+            layout.append((m, K, mode, start, False))
 
     positions = np.empty(n_rows, dtype=np.int32)
     positions[order] = np.arange(n_rows, dtype=np.int32)
@@ -464,9 +566,19 @@ def _banded_apply(statics, arrays, dense):
     )
 
 
+def _dev_chunk(c):
+    """Device-put one idx chunk: a plain 2D array or a (uniq, local)
+    compacted pair."""
+    if isinstance(c, tuple):
+        return (jnp.asarray(c[0]), jnp.asarray(c[1]))
+    return jnp.asarray(c)
+
+
 def csr_spmm_ell_plan(csr: CSR, grad: bool = True, dtype=None,
                       bucket: str = "quarter", reduce: str = "auto",
-                      row_sort: str = "keep"):
+                      row_sort: str = "keep", compact: str = "off",
+                      compact_slots: int = COMPACT_SLOTS,
+                      feat_dim: int = 128):
     """Host layout prep once -> Plan C = f(B).
 
     dtype=jnp.bfloat16: gather in bf16 (halves the dominant HBM gather
@@ -477,23 +589,34 @@ def csr_spmm_ell_plan(csr: CSR, grad: bool = True, dtype=None,
     reduce: "auto" picks matsum/scan per chunk by the measured v5e
     crossover (_chunk_mode); "matsum"/"scan" force one form.
     row_sort="meancol": sort rows inside each class by mean neighbor id
-    for gather page locality (free — position map restores order)."""
+    for gather page locality (free — position map restores order).
+    compact="auto": two-level gather — chunks whose rows share most
+    neighbors gather their unique operand rows into a compact sub-table
+    once and read slots from it at the measured small-table rate (model
+    and thresholds next to COMPACT_SLOTS; layout cost rises by one
+    np.unique + searchsorted pass per candidate span)."""
     from spmm_denseblock_tpu.ops.bsr_spmm_int8 import reject_int8_cast
 
     reject_int8_cast(dtype, "csr_ell (use csr_ell_int8)")
     if grad:
         return grad_plan(
             csr_spmm_ell_plan(csr, grad=False, dtype=dtype, bucket=bucket,
-                              reduce=reduce, row_sort=row_sort),
+                              reduce=reduce, row_sort=row_sort,
+                              compact=compact, compact_slots=compact_slots,
+                              feat_dim=feat_dim),
             csr_spmm_ell_plan(csr.transpose(), grad=False, dtype=dtype,
                               bucket=bucket, reduce=reduce,
-                              row_sort=row_sort),
+                              row_sort=row_sort, compact=compact,
+                              compact_slots=compact_slots,
+                              feat_dim=feat_dim),
         )
+    itemsize = 4 if dtype is None else jnp.dtype(dtype).itemsize
     idx_chunks, val_chunks, positions, layout, has_vals = _ell_layout(
-        csr, bucket, reduce, row_sort
+        csr, bucket, reduce, row_sort, compact, compact_slots, itemsize,
+        feat_dim,
     )
     arrays = (
-        tuple(jnp.asarray(c) for c in idx_chunks),
+        tuple(_dev_chunk(c) for c in idx_chunks),
         tuple(jnp.asarray(c) for c in val_chunks),
         jnp.asarray(positions),
     )
@@ -553,6 +676,9 @@ def csr_spmm_ell_int8_plan(
     bucket: str = "quarter",
     reduce: str = "auto",
     row_sort: str = "keep",
+    compact: str = "off",
+    compact_slots: int = COMPACT_SLOTS,
+    feat_dim: int = 128,
     **_ignored,
 ):
     """int8-table ELL gather — the serving tier for the gather-floor
@@ -571,7 +697,8 @@ def csr_spmm_ell_int8_plan(
 
     reject_grad_request(_ignored, "csr_ell_int8")
     idx_chunks, val_chunks, positions, layout, has_vals = _ell_layout(
-        csr, bucket, reduce, row_sort
+        csr, bucket, reduce, row_sort, compact, compact_slots, itemsize=1,
+        feat_dim=feat_dim,
     )
     cs = (
         None
@@ -579,7 +706,7 @@ def csr_spmm_ell_int8_plan(
         else jnp.asarray(static_col_scale(calibration))
     )
     arrays = (
-        tuple(jnp.asarray(c) for c in idx_chunks),
+        tuple(_dev_chunk(c) for c in idx_chunks),
         tuple(jnp.asarray(c) for c in val_chunks),
         jnp.asarray(positions),
         cs,

@@ -232,7 +232,7 @@ def test_ell_metrics_matches_layout():
     for bucket in ("pow2", "quarter"):
         m = ell_metrics(csr, bucket=bucket)
         idx_chunks, _, _, layout, _ = _ell_layout(csr, bucket, "auto")
-        slots = sum(mk * K for mk, K, _, _ in layout)
+        slots = sum(mk * K for mk, K, *_ in layout)
         assert m["slots"] == slots, (bucket, m["slots"], slots)
         assert m["n_chunks"] == len(layout)
         assert m["padded_ratio"] >= 1.0

@@ -89,8 +89,65 @@ def test_ell_quarter_bucket_matches_oracle(rng):
         assert_allclose(np.asarray(got), want)
     # the quarter layout really is smaller on a skewed-degree matrix
     from spmm_denseblock_tpu.ops.csr_spmm_ell import _ell_layout
-    slots = lambda b: sum(m * k for m, k, _, _ in _ell_layout(csr, b)[3])
+    slots = lambda b: sum(m * k for m, k, *_ in _ell_layout(csr, b)[3])
     assert slots("quarter") <= slots("pow2")
+
+
+def test_ell_compact_two_level_matches_oracle(rng):
+    """compact="force" (two-level gather: unique sub-table + local
+    indices) must match the oracle exactly — pattern-only and valued
+    matrices, plain and grad plans, and through the int8 tier's layout
+    path. Layout invariants: compacted entries are (uniq, local) pairs,
+    local indices address the uniq array, uniq values address the
+    (possibly zero-row-padded) table."""
+    import importlib
+
+    mod = importlib.import_module("spmm_denseblock_tpu.ops.csr_spmm_ell")
+    for valued in (True, False):
+        csr = random_csr(0.06, 120, 100, seed=23)
+        if not valued:
+            csr = type(csr)(indptr=csr.indptr, indices=csr.indices,
+                            data=None, shape=csr.shape)
+        x = rng.standard_normal((100, 8)).astype(np.float32)
+        want = spmm_scipy(csr, x)
+        for grad in (False, True):
+            plan = csr_spmm_ell_plan(csr, grad=grad, compact="force",
+                                     compact_slots=64)
+            assert_allclose(np.asarray(plan(x)), want)
+        idx_chunks, _, _, layout, _ = mod._ell_layout(
+            csr, compact="force", compact_slots=64
+        )
+        assert any(comp for *_, comp in layout)
+        pad_limit = csr.n_cols + (0 if valued else 1)
+        for ent, (m, K, mode, _, comp) in zip(idx_chunks, layout):
+            assert comp and isinstance(ent, tuple)
+            uniq, local = ent
+            assert uniq.ndim == 1 and np.all(np.diff(uniq) > 0)
+            assert uniq.max() < pad_limit
+            assert local.max() < uniq.size and local.size == m * K
+            # storage orientation invariant holds for compacted chunks
+            assert local.shape[-1] == max(m, K), (local.shape, mode)
+
+    # "auto" never fires on a small table (full table already fast)
+    idx_chunks, _, _, layout, _ = mod._ell_layout(csr, compact="auto")
+    assert all(not comp for *_, comp in layout)
+    assert all(not isinstance(e, tuple) for e in idx_chunks)
+
+
+def test_ell_compact_int8_matches_oracle(rng):
+    """int8-table ELL with compact="force": the compacted sub-table is
+    int8, pattern-only sums stay exact in int32, and the rescale
+    commutes — quantization tolerance only."""
+    from spmm_denseblock_tpu.ops import csr_spmm_ell_int8_plan
+
+    csr = random_csr(0.08, 90, 70, seed=29)
+    x = rng.standard_normal((70, 8)).astype(np.float32)
+    want = spmm_scipy(csr, x)
+    got = np.asarray(
+        csr_spmm_ell_int8_plan(csr, compact="force", compact_slots=64)(x)
+    )
+    scale = np.abs(want).max()
+    assert np.max(np.abs(got - want)) <= 2e-2 * scale
 
 
 def test_ell_scan_reduce_matches_oracle(rng):
@@ -115,7 +172,7 @@ def test_ell_scan_reduce_matches_oracle(rng):
             assert_allclose(np.asarray(got), want)
         # the forced layout really contains scan chunks
         layout = mod._ell_layout(csr, reduce="scan")[3]
-        assert any(mode == "scan" for _, _, mode, _ in layout)
+        assert any(mode == "scan" for _, _, mode, *_ in layout)
     finally:
         mod._SCAN_MIN_M = old
 
@@ -151,13 +208,13 @@ def test_ell_chunks_store_larger_dim_minor(rng):
     csr = random_csr(0.04, 256, 256, seed=17)
     idx_chunks, _, _, layout, _ = mod._ell_layout(csr)
     assert idx_chunks and len(idx_chunks) == len(layout)
-    for chunk, (m, K, mode, _) in zip(idx_chunks, layout):
+    for chunk, (m, K, mode, _, _) in zip(idx_chunks, layout):
         assert chunk.ndim == 2 and chunk.size == m * K, (chunk.shape, m, K)
         assert chunk.shape[-1] == max(m, K), (chunk.shape, mode)
         # storage orientation must match the mode the device code runs
         assert chunk.shape == ((m, K) if mode == "matsum" else (K, m)), mode
     bi, bv, _, blayout, _ = mod._ell_layout_banded(csr, 64, "quarter")
-    for chunk, vchunk, (m, K, mode, start) in zip(bi, bv, blayout):
+    for chunk, vchunk, (m, K, mode, start, _) in zip(bi, bv, blayout):
         assert start >= 0 and chunk.shape == vchunk.shape
         assert chunk.shape[-1] == max(m, K), (chunk.shape, mode)
 
@@ -182,4 +239,4 @@ def test_ell_banded_matches_oracle(rng):
     import importlib
     mod = importlib.import_module("spmm_denseblock_tpu.ops.csr_spmm_ell")
     layout = mod._ell_layout_banded(csr, 32, "quarter")[3]
-    assert layout and all(start >= 0 for _, _, _, start in layout)
+    assert layout and all(start >= 0 for _, _, _, start, _ in layout)
