@@ -132,17 +132,21 @@ def full():
     rcsr, _ = reorder_cached(csr, "rabbit", cache_dir="/root/repo/tmp",
                              tag="ogbn_products")
     x = _dense_operand(rcsr.n_cols, F)
-    for compact_slots in (1 << 20,):
-        plan = spmm_plan(rcsr, impl="csr_ell", grad=False,
-                         dtype=jnp.bfloat16, bucket="quarter",
-                         reduce="auto", compact="auto",
-                         compact_slots=compact_slots)
+    runs = [("csr_ell", dict(grad=False, dtype=jnp.bfloat16), "bfloat16")]
+    if "--int8" in sys.argv:
+        # int8 sub-tables sit deep in the fast regime (360k rows x 128
+        # x 1 B = 46 MB) even when the full int8 table (314 MB) does not
+        cal = _dense_operand(rcsr.n_cols, F, seed=999)
+        runs = [("csr_ell_int8", dict(calibration=cal), "int8-static")]
+    for impl, kw, dtype_name in runs:
+        plan = spmm_plan(rcsr, impl=impl, bucket="quarter", reduce="auto",
+                         compact="auto", compact_slots=1 << 20, **kw)
         secs = _time(plan, x)
         rec = {
             "kind": "graph", "dataset": "ogbn-products",
-            "strategy": "rabbit", "dim": F, "impl": "csr_ell",
-            "compact": "auto", "compact_slots": compact_slots,
-            "dtype": "bfloat16", "scale": 1.0, "n": csr.n_rows,
+            "strategy": "rabbit", "dim": F, "impl": impl,
+            "compact": "auto", "compact_slots": 1 << 20,
+            "dtype": dtype_name, "scale": 1.0, "n": csr.n_rows,
             "nnz": csr.nnz, "ms": secs * 1e3,
             "nnz_per_s": csr.nnz / secs,
             "source": dataset_provenance("ogbn-products"),
@@ -151,7 +155,7 @@ def full():
         }
         with open("/root/repo/benchmarks/tpu_v5e_fullscale_r2.jsonl", "a") as f:
             f.write(json.dumps(rec) + "\n")
-        print(f"[twolevel-full] products compact=auto@{compact_slots}: "
+        print(f"[twolevel-full] products {impl} compact=auto: "
               f"{rec['ms']:.1f} ms (incumbent 1297.8)", flush=True)
         del plan
 

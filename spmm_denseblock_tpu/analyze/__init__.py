@@ -3,6 +3,7 @@ from spmm_denseblock_tpu.analyze.metrics import (
     block_metrics,
     fill_histogram,
     bandwidth_profile,
+    ell_compact_metrics,
     ell_metrics,
     DEFAULT_BLOCK_SIZES,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "block_metrics",
     "fill_histogram",
     "bandwidth_profile",
+    "ell_compact_metrics",
     "ell_metrics",
     "DEFAULT_BLOCK_SIZES",
     "heatmap",

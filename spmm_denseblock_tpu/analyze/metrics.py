@@ -96,7 +96,7 @@ def ell_metrics(
         )
     )
     table_bytes = int(csr.n_cols) * feat_dim * itemsize
-    return {
+    out = {
         "slots": slots,
         "padded_ratio": slots / max(csr.nnz, 1),
         "n_classes": int(classes.size),
@@ -104,6 +104,68 @@ def ell_metrics(
         "table_bytes": table_bytes,
         "est_ms_small_table_rate": slots * ELL_NS_PER_SLOT_SMALL_TABLE / 1e6,
         "est_ms_big_table_rate": slots * ELL_NS_PER_SLOT_BIG_TABLE / 1e6,
+    }
+    out.update(ell_compact_metrics(csr, bucket, feat_dim, itemsize))
+    return out
+
+
+def ell_compact_metrics(
+    csr: CSR, bucket: str = "quarter", feat_dim: int = 128,
+    itemsize: int = 4,
+) -> Dict[str, float]:
+    """Two-level (unique-compacted) gather prediction for the ELL tier
+    (ops/csr_spmm_ell.py compact="auto"): per candidate span of
+    COMPACT_SLOTS, the unique-neighbor count U against its slot count S
+    feeds the byte-based rate model — the same decision the layout
+    builder makes. Returns the modeled flat vs two-level times and the
+    aggregate U/S (a locality figure of the ordering: lower = rows
+    inside degree classes share more neighbors)."""
+    from spmm_denseblock_tpu.ops.csr_spmm_ell import (
+        COMPACT_SLOTS,
+        _gather_ns_per_slot,
+        _row_widths,
+    )
+
+    deg = csr.degrees().astype(np.int64)
+    K_r = _row_widths(deg, bucket)
+    order = np.argsort(K_r, kind="stable")
+    indptr = np.asarray(csr.indptr, np.int64)
+    cols = np.asarray(csr.indices, np.int64)
+    table_bytes = int(csr.n_cols) * feat_dim * itemsize
+    r_big = _gather_ns_per_slot(table_bytes, itemsize)
+    flat_ns = two_ns = 0.0
+    sum_u = sum_s = 0
+    n_compacted = 0
+    for K in np.unique(K_r[order]):
+        rows_k = order[K_r[order] == K]
+        idx = (
+            np.concatenate([cols[indptr[r]: indptr[r + 1]] for r in rows_k])
+            if rows_k.size
+            else np.zeros(0, np.int64)
+        )
+        # per-span unique counts on the UNPADDED stream: pad slots all
+        # repeat one id, so they change U by at most 1 (added below)
+        d = (indptr[rows_k + 1] - indptr[rows_k]) if rows_k.size else None
+        tgt_m = max(1, COMPACT_SLOTS // int(K))
+        off = np.concatenate([[0], np.cumsum(d)]) if rows_k.size else None
+        for s in range(0, rows_k.size, tgt_m):
+            m = min(tgt_m, rows_k.size - s)
+            S = m * int(K)
+            seg = idx[off[s]: off[s + m]]
+            U = int(np.unique(seg).size) + 1  # + pad id
+            r_sub = _gather_ns_per_slot(U * feat_dim * itemsize, itemsize)
+            flat = S * r_big
+            two = U * r_big + S * r_sub
+            flat_ns += flat
+            two_ns += min(flat, two)
+            n_compacted += two < 0.9 * flat
+            sum_u += U
+            sum_s += S
+    return {
+        "compact_u_over_s": round(sum_u / max(sum_s, 1), 4),
+        "est_ms_flat": flat_ns / 1e6,
+        "est_ms_two_level": two_ns / 1e6,
+        "compact_spans": int(n_compacted),
     }
 
 

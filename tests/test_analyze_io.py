@@ -239,6 +239,28 @@ def test_ell_metrics_matches_layout():
         assert m["est_ms_small_table_rate"] < m["est_ms_big_table_rate"]
 
 
+def test_ell_compact_metrics_model():
+    """ell_compact_metrics mirrors the layout builder's two-level
+    decision model: U/S in (0, 1], two-level estimate never above flat,
+    and a block-diagonal matrix (rows share ALL neighbors within a
+    block) predicts far lower U/S than a uniform-random one."""
+    import scipy.sparse as sp
+
+    from spmm_denseblock_tpu.analyze import ell_compact_metrics
+    from spmm_denseblock_tpu.formats.csr import CSR, random_csr
+
+    rnd = random_csr(0.02, 512, 512, seed=3)
+    m_rnd = ell_compact_metrics(rnd)
+    assert 0 < m_rnd["compact_u_over_s"] <= 1.0 + 1e-9
+    assert m_rnd["est_ms_two_level"] <= m_rnd["est_ms_flat"] + 1e-12
+
+    blk = CSR.from_scipy(sp.csr_matrix(
+        sp.block_diag([np.ones((32, 32))] * 16, format="csr")
+    ))
+    m_blk = ell_compact_metrics(blk)
+    assert m_blk["compact_u_over_s"] < 0.2 < m_rnd["compact_u_over_s"]
+
+
 def test_lattice_knob_and_calibrated_profiles():
     """The ring-lattice knob raises clustering monotonically and the
     calibrated per-dataset profiles land closer to the OGB-published
