@@ -127,37 +127,52 @@ def full():
     from spmm_denseblock_tpu.ops import spmm_plan
     from spmm_denseblock_tpu.reorder.registry import reorder_cached
 
-    t0 = time.time()
-    csr = load_dataset("ogbn-products", scale=1.0)
-    rcsr, _ = reorder_cached(csr, "rabbit", cache_dir="/root/repo/tmp",
-                             tag="ogbn_products")
-    x = _dense_operand(rcsr.n_cols, F)
-    runs = [("csr_ell", dict(grad=False, dtype=jnp.bfloat16), "bfloat16")]
     if "--int8" in sys.argv:
         # int8 sub-tables sit deep in the fast regime (360k rows x 128
         # x 1 B = 46 MB) even when the full int8 table (314 MB) does not
-        cal = _dense_operand(rcsr.n_cols, F, seed=999)
-        runs = [("csr_ell_int8", dict(calibration=cal), "int8-static")]
-    for impl, kw, dtype_name in runs:
+        jobs = [("ogbn-products", "csr_ell_int8", "int8", 1 << 20)]
+    else:
+        jobs = [
+            # incumbent 1297.8 ms (quarter+scan bf16); modeled 1.40x
+            ("ogbn-products", "csr_ell", "bf16", 1 << 20),
+            # ppa incumbent 457.5 ms (auto); f32 compaction restores
+            # the fast rate AND the 1e-4 gate (U/S 0.21 at 2M spans ->
+            # modeled ratio U/S + 2.6/11.5 = 0.44)
+            ("ogbl-ppa", "csr_ell", "f32", 1 << 21),
+            ("ogbl-ppa", "csr_ell", "bf16", 1 << 21),
+        ]
+    for dataset, impl, dt, compact_slots in jobs:
+        t0 = time.time()
+        csr = load_dataset(dataset, scale=1.0)
+        rcsr, _ = reorder_cached(csr, "rabbit", cache_dir="/root/repo/tmp",
+                                 tag=dataset.replace("-", "_"))
+        x = _dense_operand(rcsr.n_cols, F)
+        kw = {}
+        if impl == "csr_ell_int8":
+            kw["calibration"] = _dense_operand(rcsr.n_cols, F, seed=999)
+        else:
+            kw["grad"] = False
+            if dt == "bf16":
+                kw["dtype"] = jnp.bfloat16
         plan = spmm_plan(rcsr, impl=impl, bucket="quarter", reduce="auto",
-                         compact="auto", compact_slots=1 << 20, **kw)
+                         compact="auto", compact_slots=compact_slots, **kw)
         secs = _time(plan, x)
         rec = {
-            "kind": "graph", "dataset": "ogbn-products",
+            "kind": "graph", "dataset": dataset,
             "strategy": "rabbit", "dim": F, "impl": impl,
-            "compact": "auto", "compact_slots": 1 << 20,
-            "dtype": dtype_name, "scale": 1.0, "n": csr.n_rows,
+            "compact": "auto", "compact_slots": compact_slots,
+            "dtype": dt, "scale": 1.0, "n": csr.n_rows,
             "nnz": csr.nnz, "ms": secs * 1e3,
             "nnz_per_s": csr.nnz / secs,
-            "source": dataset_provenance("ogbn-products"),
+            "source": dataset_provenance(dataset),
             "graph_stats": graph_stats(csr, sample=500),
             "wall_s": round(time.time() - t0, 1),
         }
         with open("/root/repo/benchmarks/tpu_v5e_fullscale_r2.jsonl", "a") as f:
             f.write(json.dumps(rec) + "\n")
-        print(f"[twolevel-full] products {impl} compact=auto: "
-              f"{rec['ms']:.1f} ms (incumbent 1297.8)", flush=True)
-        del plan
+        print(f"[twolevel-full] {dataset} {impl} {dt} compact=auto"
+              f"@{compact_slots}: {rec['ms']:.1f} ms", flush=True)
+        del plan, x, rcsr, csr
 
 
 if __name__ == "__main__":
