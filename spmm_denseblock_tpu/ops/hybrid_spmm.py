@@ -21,16 +21,22 @@ from spmm_denseblock_tpu.ops.plan import sum_plan
 def hybrid_spmm_plan(
     hyb: Hybrid, dense_impl: str = "pallas", dtype=None, grad: bool = True,
     bucket: str = "quarter", reduce: str = "auto", row_sort: str = "keep",
+    compact: str = "off", compact_slots: int = None,
 ):
     """grad=False skips the transposed-layout copies the VJP needs —
     halves device memory for inference/bench plans (a full-products
     hybrid OOM'd on the doubled footprint). `bucket` selects the ELL
     remainder's degree-class scheme (csr_spmm_ell._row_widths);
-    `row_sort` its intra-class row order (meancol = gather locality)."""
+    `row_sort` its intra-class row order (meancol = gather locality);
+    `compact`/`compact_slots` its two-level gather mode (unique
+    sub-table compaction — see csr_spmm_ell.COMPACT_SLOTS model)."""
+    ell_kw = dict(bucket=bucket, reduce=reduce, row_sort=row_sort,
+                  compact=compact)
+    if compact_slots is not None:
+        ell_kw["compact_slots"] = compact_slots
     if hyb.dense.nnzb == 0:
         return csr_spmm_ell_plan(hyb.remainder, grad=grad, dtype=dtype,
-                                 bucket=bucket, reduce=reduce,
-                                 row_sort=row_sort)
+                                 **ell_kw)
     if dense_impl == "pallas":
         bsr_run = bsr_spmm_pallas_plan(hyb.dense, dtype=dtype, grad=grad)
     else:
@@ -39,8 +45,7 @@ def hybrid_spmm_plan(
     # (proteins/products) the remainder gather IS the runtime, and a bf16
     # gather halves that traffic (opt-in reduced precision, ~1e-3 rel).
     csr_run = csr_spmm_ell_plan(hyb.remainder, grad=grad, dtype=dtype,
-                                bucket=bucket, reduce=reduce,
-                                row_sort=row_sort)
+                                **ell_kw)
 
     if hyb.remainder.nnz == 0:
         return bsr_run
@@ -50,6 +55,7 @@ def hybrid_spmm_plan(
 def hybrid_spmm_int8_plan(
     hyb: Hybrid, calibration=None, dense_impl: str = "pallas",
     bucket: str = "quarter", reduce: str = "auto", row_sort: str = "keep",
+    compact: str = "off", compact_slots: int = None,
     **_ignored,
 ):
     """Serving composition of the two int8 tiers: dense blocks through
@@ -68,10 +74,13 @@ def hybrid_spmm_int8_plan(
     from spmm_denseblock_tpu.ops.csr_spmm_ell import csr_spmm_ell_int8_plan
 
     reject_grad_request(_ignored, "hybrid_int8")
+    ell_kw = dict(bucket=bucket, reduce=reduce, row_sort=row_sort,
+                  compact=compact)
+    if compact_slots is not None:
+        ell_kw["compact_slots"] = compact_slots
     if hyb.dense.nnzb == 0:
         return csr_spmm_ell_int8_plan(hyb.remainder, calibration=calibration,
-                                      bucket=bucket, reduce=reduce,
-                                      row_sort=row_sort)
+                                      **ell_kw)
     dense_plan = (
         bsr_spmm_pallas_int8_plan(hyb.dense, calibration=calibration)
         if dense_impl == "pallas"
@@ -80,8 +89,7 @@ def hybrid_spmm_int8_plan(
     if hyb.remainder.nnz == 0:
         return dense_plan
     rem_plan = csr_spmm_ell_int8_plan(hyb.remainder, calibration=calibration,
-                                      bucket=bucket, reduce=reduce,
-                                      row_sort=row_sort)
+                                      **ell_kw)
     return sum_plan((dense_plan, rem_plan))
 
 

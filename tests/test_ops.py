@@ -88,6 +88,18 @@ def test_hybrid_matches_oracle(density):
         assert_allclose(got, want, msg=f"hybrid {impl} thr={density}")
 
 
+def test_hybrid_compact_remainder_matches_oracle():
+    """compact= forwards through the hybrid composition to the ELL
+    remainder (two-level gather) without disturbing the dense part."""
+    csr, dense, want = _fixture(density=0.05, seed=21)
+    hyb = divide(csr, 16, 0.05)
+    assert hyb.remainder.nnz > 0
+    for grad in (False, True):
+        got = spmm_plan(hyb, impl="hybrid", grad=grad, compact="force",
+                        compact_slots=256)(dense)
+        assert_allclose(got, want, msg=f"hybrid compact grad={grad}")
+
+
 def test_dense_block_gemm_scatter_semantics():
     csr = random_csr(0.05, 64, seed=33)
     b = 8
