@@ -51,7 +51,7 @@ F, ITEM = 128, 2  # bf16 serving regime
 def analyze(name, n_segs_list=(16, 32, 64, 128), reorder="rabbit"):
     csr = load_dataset(name, scale=1.0)
     tag = name.replace("-", "_")
-    csr, _ = reorder_cached(csr, reorder, cache_dir="tmp", tag=tag)
+    csr, _ = reorder_cached(csr, reorder, cache_dir="/root/repo/tmp", tag=tag)
     deg = csr.degrees().astype(np.int64)
     K_r = _row_widths(deg, "quarter")
     indptr = np.asarray(csr.indptr, np.int64)

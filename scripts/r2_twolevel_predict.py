@@ -54,7 +54,7 @@ def analyze_subchunks(name, reorder="rabbit",
     sub-chunk slot size (compaction applied only where it pays)."""
     csr = load_dataset(name, scale=1.0)
     tag = name.replace("-", "_")
-    csr, _ = reorder_cached(csr, reorder, cache_dir="tmp", tag=tag)
+    csr, _ = reorder_cached(csr, reorder, cache_dir="/root/repo/tmp", tag=tag)
     deg = csr.degrees().astype(np.int64)
     K_r = _row_widths(deg, "quarter")
     order = np.argsort(K_r, kind="stable")
@@ -93,18 +93,25 @@ def analyze_subchunks(name, reorder="rabbit",
 def analyze(name, reorder="rabbit"):
     csr = load_dataset(name, scale=1.0)
     tag = name.replace("-", "_")
-    csr, _ = reorder_cached(csr, reorder, cache_dir="tmp", tag=tag)
+    csr, _ = reorder_cached(csr, reorder, cache_dir="/root/repo/tmp", tag=tag)
     deg = csr.degrees().astype(np.int64)
     K_r = _row_widths(deg, "quarter")
     order = np.argsort(K_r, kind="stable")
     indptr = np.asarray(csr.indptr, np.int64)
     cols = np.asarray(csr.indices, np.int64)
 
+    # production candidate span: COMPACT_SLOTS capped at the CHUNK_SLOTS
+    # HBM guard, and the builder's _COMPACT_MIN_GAIN accept gate
+    from spmm_denseblock_tpu.ops.csr_spmm_ell import (
+        _COMPACT_MIN_GAIN,
+        COMPACT_SLOTS,
+    )
+
     tot_slots = tot_cur = tot_two = tot_u = 0.0
     rows_out = []
     for K in np.unique(K_r[order]):
         rows_k = order[K_r[order] == K]
-        max_m = max(1, CHUNK_SLOTS // int(K))
+        max_m = max(1, min(COMPACT_SLOTS, CHUNK_SLOTS) // int(K))
         for s in range(0, rows_k.size, max_m):
             rk = rows_k[s : s + max_m]
             m = rk.size
@@ -116,7 +123,7 @@ def analyze(name, reorder="rabbit"):
             two = u * R_BIG + S * r_small(u)
             tot_slots += S
             tot_cur += cur
-            tot_two += min(cur, two)  # per-chunk host decision
+            tot_two += two if two <= _COMPACT_MIN_GAIN * cur else cur
             tot_u += u
             rows_out.append((int(K), m, S, u))
     rec = {

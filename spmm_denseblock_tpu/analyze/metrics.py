@@ -73,7 +73,7 @@ ELL_NS_PER_SLOT_BIG_TABLE = 11.5
 
 def ell_metrics(
     csr: CSR, bucket: str = "quarter", feat_dim: int = 128,
-    itemsize: int = 4,
+    itemsize: int = 4, compact_model: bool = False,
 ) -> Dict[str, float]:
     """Gather-era counterpart of block_metrics: what the degree-bucketed
     ELL tier (ops/csr_spmm_ell.py) will build for this matrix — padded
@@ -105,7 +105,10 @@ def ell_metrics(
         "est_ms_small_table_rate": slots * ELL_NS_PER_SLOT_SMALL_TABLE / 1e6,
         "est_ms_big_table_rate": slots * ELL_NS_PER_SLOT_BIG_TABLE / 1e6,
     }
-    out.update(ell_compact_metrics(csr, bucket, feat_dim, itemsize))
+    if compact_model:
+        # opt-in: costs an O(nnz) unique-count pass (minutes at
+        # products scale), vs the O(n) degree-only fields above
+        out.update(ell_compact_metrics(csr, bucket, feat_dim, itemsize))
     return out
 
 
@@ -121,10 +124,13 @@ def ell_compact_metrics(
     aggregate U/S (a locality figure of the ordering: lower = rows
     inside degree classes share more neighbors)."""
     from spmm_denseblock_tpu.ops.csr_spmm_ell import (
+        CHUNK_SLOTS,
         COMPACT_SLOTS,
+        _COMPACT_MIN_GAIN,
         _gather_ns_per_slot,
         _row_widths,
     )
+    from spmm_denseblock_tpu.reorder.simple import _ragged_arange
 
     deg = csr.degrees().astype(np.int64)
     K_r = _row_widths(deg, bucket)
@@ -138,16 +144,15 @@ def ell_compact_metrics(
     n_compacted = 0
     for K in np.unique(K_r[order]):
         rows_k = order[K_r[order] == K]
-        idx = (
-            np.concatenate([cols[indptr[r]: indptr[r + 1]] for r in rows_k])
-            if rows_k.size
-            else np.zeros(0, np.int64)
-        )
+        d = indptr[rows_k + 1] - indptr[rows_k]
+        src = np.repeat(indptr[rows_k], d) + _ragged_arange(d)
+        idx = cols[src]
         # per-span unique counts on the UNPADDED stream: pad slots all
-        # repeat one id, so they change U by at most 1 (added below)
-        d = (indptr[rows_k + 1] - indptr[rows_k]) if rows_k.size else None
-        tgt_m = max(1, COMPACT_SLOTS // int(K))
-        off = np.concatenate([[0], np.cumsum(d)]) if rows_k.size else None
+        # repeat one id, so they change U by at most 1 (added below).
+        # Span size mirrors _compact_spans (COMPACT_SLOTS capped at the
+        # CHUNK_SLOTS HBM guard), as does the _COMPACT_MIN_GAIN gate.
+        tgt_m = max(1, min(COMPACT_SLOTS, CHUNK_SLOTS) // int(K))
+        off = np.concatenate([[0], np.cumsum(d)])
         for s in range(0, rows_k.size, tgt_m):
             m = min(tgt_m, rows_k.size - s)
             S = m * int(K)
@@ -156,9 +161,10 @@ def ell_compact_metrics(
             r_sub = _gather_ns_per_slot(U * feat_dim * itemsize, itemsize)
             flat = S * r_big
             two = U * r_big + S * r_sub
+            compacts = two <= _COMPACT_MIN_GAIN * flat
             flat_ns += flat
-            two_ns += min(flat, two)
-            n_compacted += two < 0.9 * flat
+            two_ns += two if compacts else flat
+            n_compacted += compacts
             sum_u += U
             sum_s += S
     return {

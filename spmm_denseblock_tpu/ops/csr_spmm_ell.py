@@ -87,17 +87,20 @@ def _compact_spans(idx, m_k, K, max_m, compact, compact_slots, feat_dim,
     chunks so the op count does not grow where compaction buys nothing."""
 
     def plain(s0, m0):
-        return [(s0 + o, min(max_m, m0 - o), None)
+        return [(s0 + o, min(max_m, m0 - o), None, None)
                 for o in range(0, m0, max_m)]
 
     if compact == "off":
         return plain(0, m_k)
-    tgt_m = max(1, compact_slots // K)
+    # candidate spans never exceed max_m: the CHUNK_SLOTS HBM guard
+    # (bounding the (m, K, F) gather intermediate) applies to compacted
+    # chunks exactly as to plain ones
+    tgt_m = max(1, min(compact_slots // K, max_m))
     spans, pend = [], None  # pend: accumulated rejected (start, len)
     for s in range(0, m_k, tgt_m):
         m = min(tgt_m, m_k - s)
         seg = idx[s * K: (s + m) * K]
-        uniq = np.unique(seg)
+        uniq, inv = np.unique(seg, return_inverse=True)
         S, U = m * K, uniq.size
         r_sub = _gather_ns_per_slot(U * feat_dim * itemsize, itemsize)
         win = U * r_big + S * r_sub <= _COMPACT_MIN_GAIN * S * r_big
@@ -105,7 +108,7 @@ def _compact_spans(idx, m_k, K, max_m, compact, compact_slots, feat_dim,
             if pend is not None:
                 spans.extend(plain(*pend))
                 pend = None
-            spans.append((s, m, uniq))
+            spans.append((s, m, uniq, inv))
         else:
             pend = (s, m) if pend is None else (pend[0], pend[1] + m)
     if pend is not None:
@@ -119,8 +122,9 @@ def _compact_spans(idx, m_k, K, max_m, compact, compact_slots, feat_dim,
 def _ell_spmm_device(
     idx_chunks, val_chunks, positions, dense, layout, has_vals, band_rows=0
 ):
-    """layout: tuple of (m_k, K, mode, band_start), one per chunk in
-    idx_chunks/val_chunks.
+    """layout: tuple of (m_k, K, mode, band_start, compacted), one per
+    chunk in idx_chunks/val_chunks; a compacted chunk's idx entry is a
+    (uniq, local) pair (see _run_chunks).
 
     Chunks arrive as SEPARATE 2D arrays — never as one flat
     concatenated vector. A single (slots,) monolith sliced on device
@@ -381,13 +385,13 @@ def _ell_layout(csr: CSR, bucket: str = "quarter", reduce: str = "auto",
         # (m, K, F) gather must fit HBM even if XLA fails to fuse the
         # sum), emitting each chunk as its own 2D array (_store_chunk).
         max_m = max(1, CHUNK_SLOTS // K)
-        for s, m, uniq in _compact_spans(idx, m_k, int(K), max_m, compact,
-                                         compact_slots, feat_dim, itemsize,
-                                         r_big):
+        for s, m, uniq, inv in _compact_spans(idx, m_k, int(K), max_m,
+                                              compact, compact_slots,
+                                              feat_dim, itemsize, r_big):
             seg_flat = idx[s * K: (s + m) * K]
             vflat = v[s * K: (s + m) * K] if has_vals else None
             if uniq is not None:
-                local = np.searchsorted(uniq, seg_flat).astype(np.int32)
+                local = inv.astype(np.int32)
                 mode = _chunk_mode(reduce, uniq.size, m, int(K))
                 seg, vseg, mode = _store_chunk(local, vflat, m, int(K), mode)
                 idx_parts.append((uniq.astype(np.int32), seg))

@@ -261,6 +261,12 @@ def spmm_plan(matrix, impl: str = "auto", block_size: int = 128, **kw):
     kw.pop("bsr_bytes_budget", None)
     if impl.startswith("bsr") and isinstance(matrix, CSR):
         matrix = csr_to_bsr(matrix, block_size)
+    if feat_dim is not None and impl in (
+        "csr_ell", "csr_ell_int8", "hybrid", "hybrid_int8"
+    ):
+        # the ELL planners' two-level compaction model sizes its
+        # byte-based rate brackets with the operand width
+        kw["feat_dim"] = feat_dim
     if impl not in PLANNERS:
         raise KeyError(f"unknown impl {impl!r}; have {sorted(PLANNERS)}")
     return PLANNERS[impl](matrix, **kw)

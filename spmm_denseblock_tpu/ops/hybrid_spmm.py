@@ -21,7 +21,7 @@ from spmm_denseblock_tpu.ops.plan import sum_plan
 def hybrid_spmm_plan(
     hyb: Hybrid, dense_impl: str = "pallas", dtype=None, grad: bool = True,
     bucket: str = "quarter", reduce: str = "auto", row_sort: str = "keep",
-    compact: str = "off", compact_slots: int = None,
+    compact: str = "off", compact_slots: int = None, feat_dim: int = 128,
 ):
     """grad=False skips the transposed-layout copies the VJP needs —
     halves device memory for inference/bench plans (a full-products
@@ -31,7 +31,7 @@ def hybrid_spmm_plan(
     `compact`/`compact_slots` its two-level gather mode (unique
     sub-table compaction — see csr_spmm_ell.COMPACT_SLOTS model)."""
     ell_kw = dict(bucket=bucket, reduce=reduce, row_sort=row_sort,
-                  compact=compact)
+                  compact=compact, feat_dim=feat_dim)
     if compact_slots is not None:
         ell_kw["compact_slots"] = compact_slots
     if hyb.dense.nnzb == 0:
@@ -55,7 +55,7 @@ def hybrid_spmm_plan(
 def hybrid_spmm_int8_plan(
     hyb: Hybrid, calibration=None, dense_impl: str = "pallas",
     bucket: str = "quarter", reduce: str = "auto", row_sort: str = "keep",
-    compact: str = "off", compact_slots: int = None,
+    compact: str = "off", compact_slots: int = None, feat_dim: int = 128,
     **_ignored,
 ):
     """Serving composition of the two int8 tiers: dense blocks through
@@ -75,7 +75,7 @@ def hybrid_spmm_int8_plan(
 
     reject_grad_request(_ignored, "hybrid_int8")
     ell_kw = dict(bucket=bucket, reduce=reduce, row_sort=row_sort,
-                  compact=compact)
+                  compact=compact, feat_dim=feat_dim)
     if compact_slots is not None:
         ell_kw["compact_slots"] = compact_slots
     if hyb.dense.nnzb == 0:
