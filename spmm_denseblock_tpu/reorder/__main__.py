@@ -28,6 +28,11 @@ def main(argv=None):
     ap.add_argument("--block-sizes", type=int, nargs="*", default=[16, 32, 64, 128])
     ap.add_argument("--heatmap", action="store_true")
     ap.add_argument("--heatmap-block", type=int, default=256)
+    ap.add_argument(
+        "--ell-compact", action="store_true",
+        help="also print the two-level gather prediction (U/S and "
+             "modeled flat vs compacted ms; costs an O(nnz) unique pass)",
+    )
     args = ap.parse_args(argv)
 
     from spmm_denseblock_tpu.analyze.heatmap import dump_heatmap, heatmap, plot_heatmap
@@ -65,7 +70,7 @@ def main(argv=None):
                 f"  b={b:4d}: nnzb={int(m['nnzb']):9d} density={m['density']:.6f} "
                 f"utilization={m['utilization']:.5f} avg={m['average']:.2f}"
             )
-        em = ell_metrics(g)
+        em = ell_metrics(g, compact_model=args.ell_compact)
         print(
             f"  ell(quarter): slots={em['slots']} "
             f"padded_ratio={em['padded_ratio']:.3f} "
@@ -73,6 +78,13 @@ def main(argv=None):
             f"est={em['est_ms_small_table_rate']:.1f}-"
             f"{em['est_ms_big_table_rate']:.1f} ms @F=128 (v5e rates)"
         )
+        if args.ell_compact:
+            print(
+                f"  ell compact: U/S={em['compact_u_over_s']:.3f} "
+                f"spans={em['compact_spans']} "
+                f"modeled {em['est_ms_flat']:.1f} -> "
+                f"{em['est_ms_two_level']:.1f} ms"
+            )
         if args.heatmap:
             h = heatmap(g, args.heatmap_block)
             dump_heatmap(h, os.path.join(args.out, f"{name}_{tag}_heatmap.txt"))

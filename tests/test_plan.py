@@ -134,6 +134,22 @@ def test_ell_compact_two_level_matches_oracle(rng):
     assert all(not isinstance(e, tuple) for e in idx_chunks)
 
 
+def test_dispatch_forwards_feat_dim_and_compact(rng):
+    """spmm_plan must forward feat_dim to the ELL/hybrid planners (the
+    compaction rate model sizes its byte brackets with it) without
+    leaking it to tiers that don't take it."""
+    csr = random_csr(0.05, 96, 96, seed=31)
+    x = rng.standard_normal((96, 8)).astype(np.float32)
+    want = spmm_scipy(csr, x)
+    for impl in ("csr_ell", "hybrid"):
+        got = spmm_plan(csr, impl=impl, feat_dim=512, compact="force",
+                        compact_slots=128, block_size=16)(x)
+        assert_allclose(np.asarray(got), want, msg=impl)
+    # feat_dim alone still works for the BSR route (steering heuristic)
+    got = spmm_plan(csr, impl="auto", feat_dim=64, block_size=16)(x)
+    assert_allclose(np.asarray(got), want)
+
+
 def test_ell_compact_int8_matches_oracle(rng):
     """int8-table ELL with compact="force": the compacted sub-table is
     int8, pattern-only sums stay exact in int32, and the rescale
