@@ -287,6 +287,10 @@ def spmm_tune(
     width together (measured: Pallas wins wide, XLA narrow), so measuring
     beats modeling. Plans are cached work anyway; tuning costs a few
     extra compiles once per (matrix, shape) family.
+
+    A candidate is an impl name or an (impl, kwargs) pair — the pair
+    form tunes planner options the shape-based router cannot see, e.g.
+    ("csr_ell", {"compact": "auto"}) vs plain "csr_ell".
     """
     import jax
     import numpy as np
@@ -305,17 +309,20 @@ def spmm_tune(
     report = {}
     best, best_t = None, float("inf")
     x = jnp.asarray(np.asarray(sample_dense))
-    for name in candidates:
+    for cand in candidates:
+        name, ckw = cand if isinstance(cand, tuple) else (cand, {})
+        label = name if not ckw else f"{name}({', '.join(sorted(ckw))})"
         try:
-            plan = spmm_plan(matrix, impl=name, block_size=block_size, **kw)
+            plan = spmm_plan(matrix, impl=name, block_size=block_size,
+                             **{**kw, **ckw})
             t = timer(plan, x)
         except Exception as e:  # impl not applicable to this matrix/backend
-            report[name] = {"error": str(e)[:120]}
+            report[label] = {"error": str(e)[:120]}
             continue
-        report[name] = {"ms": t * 1e3}
+        report[label] = {"ms": t * 1e3}
         if t < best_t:
             best, best_t = plan, t
-            report["best"] = name
+            report["best"] = label
     if best is None:
         raise RuntimeError(f"no candidate worked: {report}")
     return best, report

@@ -194,6 +194,18 @@ def test_spmm_tune_picks_a_winner(rng):
     assert report["best"] in ("bsr_xla", "csr_xla")
     assert_allclose(np.asarray(plan(x)), spmm_scipy(csr, x))
 
+    # (impl, kwargs) candidates tune planner options the router can't
+    # see — e.g. two-level compaction on vs off on the same tier
+    plan, report = spmm_tune(
+        csr, x,
+        candidates=(
+            "csr_ell",
+            ("csr_ell", {"compact": "force", "compact_slots": 128}),
+        ),
+    )
+    assert report["best"] in ("csr_ell", "csr_ell(compact, compact_slots)")
+    assert_allclose(np.asarray(plan(x)), spmm_scipy(csr, x))
+
 
 def test_windowed_spmm_matches_oracle(rng):
     """Windowed dense-tile SpMM vs scipy — banded (reordered-like) and
