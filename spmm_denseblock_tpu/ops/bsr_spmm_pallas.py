@@ -134,7 +134,8 @@ def _ensure_covering(bsr: BSR) -> BSR:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_block_rows", "n_rows", "f_tile", "group", "fuse_dot", "interpret"
+        "n_block_rows", "n_rows", "f_tile", "group", "fuse_dot", "interpret",
+        "precision_name",
     ),
 )
 def _pallas_spmm(
@@ -148,6 +149,7 @@ def _pallas_spmm(
     group: int = 1,
     fuse_dot: bool = False,
     interpret: bool = False,
+    precision_name: str = None,
 ):
     """step_rows: (n_steps,) block-row per grid step; slot_cols:
     (n_steps * group,) block-col per slot; blocks: (n_steps * group, b, b)
@@ -180,11 +182,17 @@ def _pallas_spmm(
         + n_slots * b * f_padded * dense.dtype.itemsize
         + n_block_rows * b * f_padded * 4
     )
-    precision = (
-        jax.lax.Precision.HIGHEST
-        if blocks.dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
+    if precision_name is not None:
+        # opt-in override: "high" = bf16x3 (3 MXU passes, ~f32-grade
+        # error) where the dtype default would pick HIGHEST's 6 passes
+        # — the measured f32 ceiling is compute-bound on those passes
+        # (ROUND2_NOTES multi-block section: 23.6 TF/s = 72% of
+        # HIGHEST's 33 TF/s effective peak)
+        precision = getattr(jax.lax.Precision, precision_name.upper())
+    elif blocks.dtype == jnp.float32:
+        precision = jax.lax.Precision.HIGHEST
+    else:
+        precision = jax.lax.Precision.DEFAULT
     out = pl.pallas_call(
         functools.partial(
             _kernel, precision=precision, group=group, fuse_dot=fuse_dot
@@ -261,6 +269,7 @@ def bsr_spmm_pallas_plan(
     chunk_nnzb: Optional[int] = None,
     group: Optional[int] = None,
     fuse_dot: bool = False,
+    precision: Optional[str] = None,
 ):
     """Host layout prep once -> jitted C = f(B).
 
@@ -279,6 +288,13 @@ def bsr_spmm_pallas_plan(
     this are executed as a sum of row-sorted chunks (each chunk covered
     so its partial output is fully written). Default CHUNK_NNZB measured
     on v5e.
+
+    precision: optional MXU pass-count override ("default" | "high" |
+    "highest"). f32 inputs default to HIGHEST (6 passes — exact f32,
+    the reference 1e-4 gate); "high" runs bf16x3 (3 passes, ~2x the
+    compute ceiling) with near-f32 error — opt-in for f32 serving where
+    the kernel is compute-bound (the measured dense-regime state at
+    group >= 4).
     """
     from spmm_denseblock_tpu.ops.bsr_spmm_int8 import reject_int8_cast
 
@@ -289,11 +305,12 @@ def bsr_spmm_pallas_plan(
         return _chunked_plan(
             bsr, dtype=dtype, f_tile=f_tile, interpret=interpret,
             grad=grad, chunk_nnzb=chunk_nnzb, group=group, fuse_dot=fuse_dot,
+            precision=precision,
         )
     if grad:
         fwd = bsr_spmm_pallas_plan(
             bsr, dtype=dtype, f_tile=f_tile, interpret=interpret,
-            grad=False, group=group, fuse_dot=fuse_dot,
+            grad=False, group=group, fuse_dot=fuse_dot, precision=precision,
         )
         bwd = bsr_spmm_pallas_plan(
             bsr.transpose(),
@@ -303,6 +320,7 @@ def bsr_spmm_pallas_plan(
             grad=False,
             group=group,
             fuse_dot=fuse_dot,
+            precision=precision,
         )
         return grad_plan(fwd, bwd)
 
@@ -331,14 +349,14 @@ def bsr_spmm_pallas_plan(
     dtype_key = None if dtype is None else jnp.dtype(dtype).name
     statics = (
         covered.n_block_rows, n_rows, n_cols, k_needed,
-        f_tile, group, fuse_dot, interpret, dtype_key,
+        f_tile, group, fuse_dot, interpret, dtype_key, precision,
     )
     return Plan(arrays, _pallas_apply, statics)
 
 
 def _pallas_apply(statics, arrays, dense):
     (n_block_rows, n_rows, n_cols, k_needed,
-     f_tile, group, fuse_dot, interpret, dtype_key) = statics
+     f_tile, group, fuse_dot, interpret, dtype_key, precision) = statics
     step_rows, slot_cols, blocks_dev = arrays
     dense = jnp.asarray(dense)
     assert dense.shape[0] == n_cols, (dense.shape, n_cols)
@@ -361,6 +379,7 @@ def _pallas_apply(statics, arrays, dense):
         group,
         fuse_dot,
         interpret,
+        precision,
     )
     return out[:, : out.shape[1] - pad_c] if pad_c else out
 
@@ -370,7 +389,7 @@ def bsr_spmm_pallas(bsr: BSR, dense, **kw) -> jnp.ndarray:
 
 
 def _chunked_plan(bsr, dtype, f_tile, interpret, grad, chunk_nnzb, group=None,
-                  fuse_dot=False):
+                  fuse_dot=False, precision=None):
     """Sum of per-chunk kernel launches for nnzb beyond the SMEM prefetch
     capacity. Blocks are row-sorted, so chunks are contiguous row bands
     (a row split across two chunks just contributes partial sums)."""
@@ -390,7 +409,7 @@ def _chunked_plan(bsr, dtype, f_tile, interpret, grad, chunk_nnzb, group=None,
             bsr_spmm_pallas_plan(
                 frag, dtype=dtype, f_tile=f_tile, interpret=interpret,
                 grad=grad, chunk_nnzb=bsr.nnzb + 1,  # no recursion
-                group=group, fuse_dot=fuse_dot,
+                group=group, fuse_dot=fuse_dot, precision=precision,
             )
         )
     return sum_plan(plans)

@@ -67,6 +67,20 @@ def test_bsr_pallas_empty_block_rows():
     assert np.all(np.asarray(got[32:]) == 0)
 
 
+def test_bsr_pallas_precision_override():
+    """precision="high" (bf16x3, 3 MXU passes) is an opt-in override of
+    the f32 HIGHEST default — near-f32 error, here exercised through
+    plain and grad plans (interpreter mode runs it as exact f32; the
+    error claim is gated on-chip by the A/B script)."""
+    from spmm_denseblock_tpu.ops import bsr_spmm_pallas_plan
+
+    csr, dense, want = _fixture(dim=64, seed=9)
+    bsr = csr_to_bsr(csr, 16)
+    for grad in (False, True):
+        got = bsr_spmm_pallas_plan(bsr, grad=grad, precision="high")(dense)
+        assert_allclose(got, want, eps=1e-3, msg=f"precision=high grad={grad}")
+
+
 def test_bsr_pallas_bf16_inputs():
     # b=128 is the MXU-native bf16 config (smaller b has lane dim < 128,
     # which Mosaic rejects for bf16 — small-b matrices get repacked to 128).
