@@ -24,10 +24,10 @@ run() {
 
 run r2s3     python scripts/r2_s3_runs.py
 run tlprobe  python scripts/r2_twolevel_ab.py
+run precab   python scripts/r2_precision_ab.py
 run int8ell  python scripts/r2_int8_ell_ab.py
 run tlfull   python scripts/r2_twolevel_ab.py --full
 run tlint8   python scripts/r2_twolevel_ab.py --full --int8
-run precab   python scripts/r2_precision_ab.py
 run meancol  python scripts/r2_meancol_ab.py
 run coverage python scripts/r2_coverage_small.py
 run train    python scripts/r2_train_fullscale.py
