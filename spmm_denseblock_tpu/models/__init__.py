@@ -27,6 +27,11 @@ from spmm_denseblock_tpu.models.checkpoint import (
     save_checkpoint,
     load_checkpoint,
 )
+from spmm_denseblock_tpu.models.checkpoint_dist import (
+    make_manager,
+    save_dist_checkpoint,
+    restore_dist_checkpoint,
+)
 
 __all__ = [
     "add_self_loops",
@@ -51,4 +56,7 @@ __all__ = [
     "make_eval_step",
     "save_checkpoint",
     "load_checkpoint",
+    "make_manager",
+    "save_dist_checkpoint",
+    "restore_dist_checkpoint",
 ]
