@@ -31,6 +31,13 @@ def main():
     ap.add_argument("--block-size", type=int, default=32)
     ap.add_argument("--strategy", default="ring", choices=["ring", "allgather"])
     ap.add_argument("--col-parallel", type=int, default=None)
+    ap.add_argument(
+        "--ckpt-dir", default=None,
+        help="sharded orbax checkpoints (models/checkpoint_dist.py): "
+             "resume from the latest step if one exists, save every "
+             "--ckpt-every epochs",
+    )
+    ap.add_argument("--ckpt-every", type=int, default=10)
     args = ap.parse_args()
 
     import jax
@@ -63,14 +70,36 @@ def main():
         block_size=args.block_size, strategy=args.strategy,
     )
 
+    mgr, start = None, 0
+    if args.ckpt_dir:
+        from spmm_denseblock_tpu.models import (
+            make_manager,
+            restore_dist_checkpoint,
+            save_dist_checkpoint,
+        )
+
+        mgr = make_manager(args.ckpt_dir)
+        if mgr.latest_step() is not None:
+            state, start = restore_dist_checkpoint(
+                mgr, {"params": params, "opt": opt_state}
+            )
+            params, opt_state = state["params"], state["opt"]
+            log(f"resumed from {args.ckpt_dir} at epoch {start}")
+
     t0 = time.perf_counter()
-    for epoch in range(args.epochs):
+    for epoch in range(start, args.epochs):
         params, opt_state, m = step(params, opt_state, x, y, mask)
         if epoch % 5 == 0 or epoch == args.epochs - 1:
             log(f"epoch {epoch:3d} loss {float(m['loss']):.4f} "
                 f"acc {float(m['acc']):.3f}")
+        if mgr and (epoch + 1) % args.ckpt_every == 0:
+            save_dist_checkpoint(
+                mgr, epoch + 1, {"params": params, "opt": opt_state}
+            )
     dt = time.perf_counter() - t0
-    log(f"{args.epochs} epochs in {dt:.1f}s ({dt / args.epochs * 1e3:.0f} ms/epoch)")
+    done = args.epochs - start
+    if done:
+        log(f"{done} epochs in {dt:.1f}s ({dt / done * 1e3:.0f} ms/epoch)")
 
 
 if __name__ == "__main__":

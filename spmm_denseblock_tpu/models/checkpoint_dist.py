@@ -60,10 +60,27 @@ def save_dist_checkpoint(mgr, step: int, state: Any, wait: bool = True):
 
 def _abstract_like(state: Any):
     """ShapeDtypeStructs carrying each template leaf's sharding, so
-    restore places shards without a host round-trip."""
+    restore places shards without a host round-trip.
+
+    Leaves without a mesh sharding (e.g. optax's scalar `count`, which
+    init leaves as an uncommitted single-device array) are restored
+    REPLICATED over the mesh of the other leaves: a restored array is
+    committed to its sharding's devices, and a committed
+    single-device scalar can no longer mix with mesh arrays inside one
+    jitted step (ValueError: incompatible devices)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    mesh = None
+    for leaf in jax.tree.leaves(state):
+        s = getattr(leaf, "sharding", None)
+        if isinstance(s, NamedSharding):
+            mesh = s.mesh
+            break
 
     def one(x):
         sharding = getattr(x, "sharding", None)
+        if mesh is not None and not isinstance(sharding, NamedSharding):
+            sharding = NamedSharding(mesh, PartitionSpec())
         return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
 
     return jax.tree.map(one, state)
