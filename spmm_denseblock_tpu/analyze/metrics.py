@@ -131,6 +131,7 @@ def ell_compact_metrics(
         _row_widths,
     )
     from spmm_denseblock_tpu.reorder.simple import _ragged_arange
+    from spmm_denseblock_tpu import native
 
     deg = csr.degrees().astype(np.int64)
     K_r = _row_widths(deg, bucket)
@@ -157,7 +158,9 @@ def ell_compact_metrics(
             m = min(tgt_m, rows_k.size - s)
             S = m * int(K)
             seg = idx[off[s]: off[s + m]]
-            U = int(np.unique(seg).size) + 1  # + pad id
+            res = native.unique_inverse(seg, int(csr.n_cols))
+            nu = res[0].size if res is not None else np.unique(seg).size
+            U = int(nu) + 1  # + pad id
             r_sub = _gather_ns_per_slot(U * feat_dim * itemsize, itemsize)
             flat = S * r_big
             two = U * r_big + S * r_sub

@@ -38,6 +38,10 @@ _SIGNATURES = {
     "sdb_greedy_closest": [_I64, _PI32, _PI32, _I64, _PI64],
     "sdb_permutate": [_I64, _PI32, _PI32, _PI64, _PI32, _PI32, _PI64],
 }
+# functions with a non-void return (set after CDLL load)
+_RETURNING = {
+    "sdb_unique_inverse": ([_I64, _PI32, _I64, _PI32, _PI32], _I64),
+}
 
 
 def _build() -> bool:
@@ -96,6 +100,10 @@ def load() -> Optional[ctypes.CDLL]:
                 fn = getattr(lib, name)
                 fn.argtypes = argtypes
                 fn.restype = None
+            for name, (argtypes, restype) in _RETURNING.items():
+                fn = getattr(lib, name)
+                fn.argtypes = argtypes
+                fn.restype = restype
             _lib = lib
         except Exception:
             _lib = None
@@ -117,3 +125,19 @@ def run(name: str, csr, *extra) -> Optional[np.ndarray]:
     out = np.empty(csr.n_rows, dtype=np.int64)
     getattr(lib, name)(csr.n_rows, indptr, indices, *extra, out)
     return out
+
+
+def unique_inverse(seg: np.ndarray, n_vals: int):
+    """np.unique(seg, return_inverse=True) for a bounded-value int32
+    stream via the native dense-mark pass (O(n + n_vals) vs the numpy
+    comparison sort) — the ELL compaction layout builder's hot host
+    pass. Returns (uniq, inv) or None for 'use numpy'."""
+    lib = load()
+    if lib is None:
+        return None
+    seg = np.ascontiguousarray(seg, dtype=np.int32)
+    cap = int(min(seg.size, n_vals))
+    uniq = np.empty(cap, dtype=np.int32)
+    inv = np.empty(seg.size, dtype=np.int32)
+    u = lib.sdb_unique_inverse(seg.size, seg, int(n_vals), uniq, inv)
+    return uniq[:u].copy(), inv

@@ -416,4 +416,29 @@ void sdb_permutate(i64 n, const i32* indptr, const i32* indices,
   }
 }
 
+// Sorted-unique + inverse over a bounded-value int32 stream — the hot
+// host pass of the ELL two-level compaction layout builder
+// (ops/csr_spmm_ell._compact_spans): np.unique(seg, return_inverse=1)
+// is a comparison sort, O(n log n) over up to CHUNK_SLOTS per span;
+// values here are column ids < n_vals, so a dense mark array gives the
+// sorted unique set and ranks in O(n + n_vals). uniq_out needs
+// capacity min(n, n_vals); returns the unique count. Matches
+// np.unique's (sorted values, first-occurrence-free inverse) exactly.
+i64 sdb_unique_inverse(i64 n, const i32* seg, i64 n_vals, i32* uniq_out,
+                       i32* inv_out) {
+  std::vector<i32> mark(n_vals, 0);
+  for (i64 i = 0; i < n; ++i) mark[seg[i]] = 1;
+  i64 u = 0;
+  for (i64 v = 0; v < n_vals; ++v) {
+    if (mark[v]) {
+      uniq_out[u] = (i32)v;
+      mark[v] = (i32)(u + 1);  // rank + 1 (0 = absent)
+      ++u;
+    }
+  }
+#pragma omp parallel for schedule(static)
+  for (i64 i = 0; i < n; ++i) inv_out[i] = mark[seg[i]] - 1;
+  return u;
+}
+
 }  // extern "C"

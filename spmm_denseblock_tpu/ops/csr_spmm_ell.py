@@ -79,7 +79,7 @@ def _gather_ns_per_slot(table_bytes: int, itemsize: int) -> float:
 
 
 def _compact_spans(idx, m_k, K, max_m, compact, compact_slots, feat_dim,
-                   itemsize, r_big):
+                   itemsize, r_big, n_vals):
     """Split a degree class's m_k rows into chunk spans. Returns a list
     of (row_start, n_rows, uniq_or_None): uniq != None marks a span the
     host cost model (or compact="force") chose to two-level gather.
@@ -97,10 +97,16 @@ def _compact_spans(idx, m_k, K, max_m, compact, compact_slots, feat_dim,
     # chunks exactly as to plain ones
     tgt_m = max(1, min(compact_slots // K, max_m))
     spans, pend = [], None  # pend: accumulated rejected (start, len)
+    from spmm_denseblock_tpu import native
+
     for s in range(0, m_k, tgt_m):
         m = min(tgt_m, m_k - s)
         seg = idx[s * K: (s + m) * K]
-        uniq, inv = np.unique(seg, return_inverse=True)
+        # native dense-mark pass (O(n + n_vals)); numpy sort fallback
+        res = native.unique_inverse(seg, n_vals)
+        uniq, inv = res if res is not None else np.unique(
+            seg, return_inverse=True
+        )
         S, U = m * K, uniq.size
         r_sub = _gather_ns_per_slot(U * feat_dim * itemsize, itemsize)
         win = U * r_big + S * r_sub <= _COMPACT_MIN_GAIN * S * r_big
@@ -387,7 +393,8 @@ def _ell_layout(csr: CSR, bucket: str = "quarter", reduce: str = "auto",
         max_m = max(1, CHUNK_SLOTS // K)
         for s, m, uniq, inv in _compact_spans(idx, m_k, int(K), max_m,
                                               compact, compact_slots,
-                                              feat_dim, itemsize, r_big):
+                                              feat_dim, itemsize, r_big,
+                                              csr.n_cols + 1):
             seg_flat = idx[s * K: (s + m) * K]
             vflat = v[s * K: (s + m) * K] if has_vals else None
             if uniq is not None:

@@ -203,3 +203,24 @@ def test_native_products_scale_rate_gates(lib):
     # linear-ish scaling: 10% of products must stay well under 1/5 of
     # the full-scale budgets (quadratic regressions blow these out)
     assert t_perm < 15 and t_rabbit < 60, (t_perm, t_rabbit)
+
+
+def test_native_unique_inverse_matches_numpy():
+    """sdb_unique_inverse (dense-mark O(n + n_vals)) must match
+    np.unique(seg, return_inverse=True) exactly: sorted unique values
+    and the same inverse mapping — the ELL compaction layout builder's
+    hot host pass."""
+    from spmm_denseblock_tpu import native
+
+    if native.load() is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(41)
+    for n, n_vals in ((1, 5), (1000, 37), (100_000, 1 << 20), (64, 1)):
+        seg = rng.integers(0, n_vals, size=n).astype(np.int32)
+        uniq, inv = native.unique_inverse(seg, n_vals)
+        w_uniq, w_inv = np.unique(seg, return_inverse=True)
+        np.testing.assert_array_equal(uniq, w_uniq.astype(np.int32))
+        np.testing.assert_array_equal(inv.astype(np.int64), w_inv)
+        assert uniq.dtype == np.int32 and inv.dtype == np.int32
