@@ -82,7 +82,19 @@ def probe():
     uniq = np.sort(rng.choice(N_ROWS, U, replace=False)).astype(np.int32)
     local = rng.integers(0, U, size=(M, K)).astype(np.int32)
     flat_idx = uniq[local]  # control gathers the same physical rows
-    uniq_d, local_d, flat_d = map(jnp.asarray, (uniq, local, flat_idx))
+    # global control: indices over the WHOLE table — the incumbent's
+    # true rate anchor, in case the per-index cost tracks the working
+    # set rather than the table size (the "clustered" probe said table
+    # size, but it predates the _mix fix)
+    glob_idx = rng.integers(0, N_ROWS, size=M * K).astype(np.int32)
+    uniq_d, local_d, flat_d, glob_d = map(
+        jnp.asarray, (uniq, local, flat_idx, glob_idx)
+    )
+
+    @jax.jit
+    def control_global(x, s):
+        g = jnp.take(x, glob_d, axis=0)
+        return g.reshape(M, K, F).sum(axis=1, dtype=jnp.float32) + s
 
     @jax.jit
     def control(x, s):
@@ -107,7 +119,8 @@ def probe():
     b = np.asarray(twolevel(table, z), np.float32)
     assert np.allclose(a, b, atol=1e-2), np.abs(a - b).max()
 
-    for name, fn in (("control_flat", control), ("twolevel", twolevel),
+    for name, fn in (("control_global", control_global),
+                     ("control_flat", control), ("twolevel", twolevel),
                      ("twolevel_barrier", twolevel_barrier)):
         secs = _time_carry(fn, table)
         emit({
