@@ -354,7 +354,9 @@ def dist_bsr_spmm_plan(
     )
 
 
-def _ell_layout_stripes(csr: CSR, n_shards: int):
+def _ell_layout_stripes(csr: CSR, n_shards: int, compact: str = "off",
+                        compact_slots: int = None, itemsize: int = 4,
+                        feat_dim: int = 128):
     """Cross-stripe-uniform degree-bucketed ELL layouts for shard_map.
 
     shard_map traces ONE program for every device, so per-stripe layouts
@@ -363,11 +365,18 @@ def _ell_layout_stripes(csr: CSR, n_shards: int):
     same (slots,) index buffer with pad slots pointing at column n_cols
     (a zero row of the padded operand — no zero-row concat on device).
 
-    Returns (idx, vals, positions, layout, has_vals): idx/vals are
-    (n_shards, slots); positions (n_shards, rows_per) maps each local
-    row to its row in the class-concatenated output; layout is the
-    shared tuple of (m, K) chunks (same CHUNK_SLOTS splitting as the
-    single-chip tier, ops/csr_spmm_ell.py)."""
+    Returns (idx, vals, positions, layout, has_vals, uniq): idx/vals
+    are (n_shards, slots); positions (n_shards, rows_per) maps each
+    local row to its row in the class-concatenated output; layout is
+    the shared tuple of (m, K, u) chunks (same CHUNK_SLOTS splitting as
+    the single-chip tier, ops/csr_spmm_ell.py). u > 0 marks a chunk the
+    two-level compaction chose (compact="auto"/"force", same byte-rate
+    model as the single-chip tier): that chunk's idx slots hold LOCAL
+    positions into its uniq row-slice, `uniq` is the (n_shards, sum_u)
+    concatenation of per-chunk unique column ids, padded per stripe to
+    the cross-stripe max with the zero-row id n_cols (shard_map traces
+    one program, so capacities must agree — the uniform-capacity trick
+    the class layouts already use)."""
     from spmm_denseblock_tpu.ops.csr_spmm_ell import CHUNK_SLOTS, _row_widths
     from spmm_denseblock_tpu.reorder.simple import _ragged_arange
 
@@ -413,30 +422,94 @@ def _ell_layout_stripes(csr: CSR, n_shards: int):
                 val[s, tgt] = vals[src]
             pos[s, loc] = cat_off[j] + np.arange(loc.size, dtype=np.int64)
 
+    if compact not in ("off", "auto", "force"):
+        raise ValueError(f"unknown compact mode: {compact!r}")
+    from spmm_denseblock_tpu.ops.csr_spmm_ell import (
+        COMPACT_SLOTS,
+        _COMPACT_MIN_GAIN,
+        _gather_ns_per_slot,
+    )
+
+    span = CHUNK_SLOTS
+    if compact != "off":
+        span = min(CHUNK_SLOTS, compact_slots or COMPACT_SLOTS)
     layout = []
     for j, K in enumerate(Ks):
-        max_m = max(1, CHUNK_SLOTS // int(K))
+        max_m = max(1, span // int(K))
         m_k = int(caps[j])
         for t in range(0, m_k, max_m):
             layout.append((int(min(max_m, m_k - t)), int(K)))
-    return idx, val, pos, tuple(layout), has_vals
+
+    if compact == "off":
+        layout = tuple((m, K, 0) for m, K in layout)
+        return idx, val, pos, layout, has_vals, np.zeros((n_shards, 1),
+                                                         np.int32)
+
+    from spmm_denseblock_tpu import native
+
+    # every stripe gathers from the all-gathered FULL table, so the
+    # big/small rate brackets are exactly the single-chip ones
+    r_big = _gather_ns_per_slot((n_cols + 1) * feat_dim * itemsize, itemsize)
+    n_vals = n_cols + 1  # pad slots hold n_cols (the zero row)
+    out_layout, uniq_parts = [], []
+    off = 0
+    for m, K in layout:
+        S = m * K
+        us, invs = [], []
+        for sh in range(n_shards):
+            seg = idx[sh, off: off + S]
+            res = native.unique_inverse(seg, n_vals)
+            u, inv = res if res is not None else np.unique(
+                seg, return_inverse=True
+            )
+            us.append(u)
+            invs.append(inv)
+        u_cap = max(u.size for u in us)
+        r_sub = _gather_ns_per_slot(u_cap * feat_dim * itemsize, itemsize)
+        win = u_cap * r_big + S * r_sub <= _COMPACT_MIN_GAIN * S * r_big
+        if compact == "force" or win:
+            arr = np.full((n_shards, u_cap), n_cols, np.int32)
+            for sh in range(n_shards):
+                arr[sh, : us[sh].size] = us[sh]
+                idx[sh, off: off + S] = invs[sh].astype(np.int32)
+            uniq_parts.append(arr)
+            out_layout.append((m, K, int(u_cap)))
+        else:
+            out_layout.append((m, K, 0))
+        off += S
+    uniq = (
+        np.concatenate(uniq_parts, axis=1)
+        if uniq_parts
+        else np.zeros((n_shards, 1), np.int32)
+    )
+    return idx, val, pos, tuple(out_layout), has_vals, uniq
 
 
 @functools.partial(jax.jit, static_argnames="statics")
-def _dist_ell_run(statics, idx, val, pos, col_scale, dense):
+def _dist_ell_run(statics, idx, val, pos, col_scale, uniq, dense):
     (mesh, axis, layout, has_vals, dtype_key, n_rows, k_padded) = statics
     stripe = NamedSharding(mesh, P(axis))
     int8_mode = dtype_key == "int8"
 
-    def stripe_fn(idx, val, pos, b_local):
+    def stripe_fn(idx, val, pos, uniq, b_local):
         if dtype_key is not None and not int8_mode:
             b_local = b_local.astype(dtype_key)
         b_full = jax.lax.all_gather(b_local, axis, tiled=True)
         outs = []
         off = 0
-        for m, K in layout:
+        uoff = 0
+        for m, K, u in layout:
+            if u:
+                # two-level: one big-table gather of the chunk's unique
+                # rows, then the slot gather reads the compact sub-table
+                # at the small-table rate (pad rows re-read the zero row)
+                urow = jax.lax.dynamic_slice_in_dim(uniq[0], uoff, u)
+                src = jnp.take(b_full, urow, axis=0)
+                uoff += u
+            else:
+                src = b_full
             sl = jax.lax.dynamic_slice_in_dim(idx[0], off, m * K)
-            g = jnp.take(b_full, sl, axis=0)
+            g = jnp.take(src, sl, axis=0)
             if g.dtype == jnp.int8:
                 # int8 pays in the all_gather (4x less ICI vs f32) and
                 # the HBM gather; widen for the value multiply/sum
@@ -454,7 +527,7 @@ def _dist_ell_run(statics, idx, val, pos, col_scale, dense):
     fn = jax.shard_map(
         stripe_fn,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis, None)),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis, None)),
         out_specs=P(axis, None),
     )
     dense = dense.astype(jnp.float32)
@@ -469,7 +542,7 @@ def _dist_ell_run(statics, idx, val, pos, col_scale, dense):
         dense, col_scale = quantize_per_column(dense, col_scale)
     dense = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
     dense = jax.lax.with_sharding_constraint(dense, stripe)
-    out = fn(idx, val, pos, dense)[:n_rows]
+    out = fn(idx, val, pos, uniq, dense)[:n_rows]
     if int8_mode:
         out = out * col_scale[None, :]
     return out
@@ -545,7 +618,8 @@ def _dist_win_apply(statics, arrays, dense):
 
 def dist_csr_spmm_ell_plan(
     csr: CSR, mesh: Optional[Mesh] = None, axis: str = "row", dtype=None,
-    calibration=None,
+    calibration=None, compact: str = "off", compact_slots: int = None,
+    feat_dim: int = 128,
 ):
     """Row-partitioned ELL SpMM: the scatter-free degree-bucketed tier
     (2.5x over gather+segment-sum single-chip, ops/csr_spmm_ell.py)
@@ -555,6 +629,10 @@ def dist_csr_spmm_ell_plan(
     is quantized ONCE globally with per-column symmetric scales
     (calibration= for static serving scales, else one absmax pass per
     call) and both the all_gather and the HBM row gathers move int8.
+    compact="auto"/"force": per-stripe-chunk two-level gathers — every
+    stripe reads the all-gathered FULL table, so the single-chip
+    compaction model applies verbatim (see ops/csr_spmm_ell); uniform
+    cross-stripe unique capacities keep shard_map's one-program rule.
     Returns a Plan pytree (sharded arrays as leaves)."""
     if mesh is None:
         mesh = make_mesh_1d()
@@ -562,7 +640,13 @@ def dist_csr_spmm_ell_plan(
     n_rows, n_cols = csr.shape
     # pad strictly past n_cols so index n_cols is a guaranteed-zero row
     k_padded = -(-(n_cols + 1) // n) * n
-    idx, val, pos, layout, has_vals = _ell_layout_stripes(csr, n)
+    itemsize = (
+        1 if (dtype is not None and jnp.dtype(dtype) == jnp.int8)
+        else (4 if dtype is None else jnp.dtype(dtype).itemsize)
+    )
+    idx, val, pos, layout, has_vals, uniq = _ell_layout_stripes(
+        csr, n, compact, compact_slots, itemsize, feat_dim
+    )
 
     stripe = NamedSharding(mesh, P(axis))
     idx_d = jax.device_put(idx, stripe)
@@ -581,20 +665,25 @@ def dist_csr_spmm_ell_plan(
         from spmm_denseblock_tpu.ops.bsr_spmm_int8 import static_col_scale
 
         cs = jnp.asarray(static_col_scale(calibration))
+    uniq_d = jax.device_put(uniq, stripe)
     statics = (mesh, axis, layout, has_vals, dtype_key, n_rows, k_padded)
-    return Plan((idx_d, val_d, pos_d, cs), _dist_ell_apply, statics)
+    return Plan((idx_d, val_d, pos_d, cs, uniq_d), _dist_ell_apply, statics)
 
 
 def dist_csr_spmm_plan(
     csr: CSR, mesh: Optional[Mesh] = None, axis: str = "row",
-    impl: str = "ell", dtype=None, calibration=None,
+    impl: str = "ell", dtype=None, calibration=None, **ell_kw,
 ):
     """Row-partitioned element-sparse SpMM. impl="ell" (default) is the
-    scatter-free degree-bucketed tier; impl="segment" keeps the original
-    per-stripe gather + segment-sum after a tiled all_gather of B."""
+    scatter-free degree-bucketed tier (extra kwargs — compact,
+    compact_slots, feat_dim — reach it); impl="segment" keeps the
+    original per-stripe gather + segment-sum after a tiled all_gather
+    of B."""
     if impl == "ell":
         return dist_csr_spmm_ell_plan(csr, mesh=mesh, axis=axis, dtype=dtype,
-                                      calibration=calibration)
+                                      calibration=calibration, **ell_kw)
+    if ell_kw:
+        raise TypeError(f"impl={impl!r} takes no extra kwargs: {ell_kw}")
     assert impl == "segment", impl
     if mesh is None:
         mesh = make_mesh_1d()

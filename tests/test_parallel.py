@@ -406,6 +406,45 @@ def test_dist_csr_ell_matches_segment_and_oracle(mesh, rng):
         assert_allclose(np.asarray(run(dense)), want)
 
 
+def test_dist_csr_ell_compact_matches_oracle(mesh, rng):
+    """compact="force" (per-stripe-chunk two-level gathers, uniform
+    cross-stripe unique capacities) matches the oracle — valued and
+    pattern-only matrices, plus the layout invariants: compacted chunks
+    carry positive u, local indices address the uniq slice, pad uniq
+    slots hold the zero-row id."""
+    from spmm_denseblock_tpu.formats.csr import CSR
+    from spmm_denseblock_tpu.parallel.spmm import _ell_layout_stripes
+
+    for valued in (True, False):
+        csr = random_csr(0.04, 280, 190, seed=9)
+        if not valued:
+            csr = CSR(indptr=csr.indptr, indices=csr.indices, data=None,
+                      shape=csr.shape)
+        dense = rng.standard_normal((190, 9)).astype(np.float32)
+        want = spmm_scipy(csr, dense)
+        run = dist_csr_spmm_plan(csr, mesh=mesh, compact="force",
+                                 compact_slots=128)
+        assert_allclose(np.asarray(run(dense)), want)
+
+    n = 8
+    idx, _, _, layout, _, uniq = _ell_layout_stripes(
+        csr, n, "force", 128
+    )
+    assert any(u > 0 for _, _, u in layout)
+    assert uniq.shape[0] == n and uniq.max() <= csr.n_cols
+    off = uoff = 0
+    for m, K, u in layout:
+        if u:
+            local = idx[:, off: off + m * K]
+            assert local.max() < u
+            uoff += u
+        off += m * K
+    assert uoff == uniq.shape[1]
+    # "auto" on a tiny table never compacts (full table already fast)
+    _, _, _, layout_auto, _, _ = _ell_layout_stripes(csr, n, "auto")
+    assert all(u == 0 for _, _, u in layout_auto)
+
+
 def test_dist_csr_ell_bf16_gather(mesh, rng):
     """dtype=bf16 casts B before the all_gather (halves ICI + gather
     bytes); f32 accumulate keeps rel err ~1e-3 — outside the 1e-4 oracle
