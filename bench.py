@@ -45,6 +45,10 @@ def _time_fn(fn, x0, iters=10):
     return time_chained_square(fn, x0, iters=iters)
 
 
+V5E_BF16_PEAK_GFLOPS = 197.4e3  # one consistent MFU denominator
+V5E_HBM_GBPS = 819.0
+
+
 def main():
     from spmm_denseblock_tpu.formats.bsr import random_bsr
     from spmm_denseblock_tpu.ops import bsr_spmm_pallas_plan, bsr_spmm_xla_plan
@@ -72,15 +76,45 @@ def main():
     dense_dev = jax.device_put(dense)
 
     flops = 2.0 * bsr.nnzb * b * b * f
+    iters = 10 if on_tpu else 2
+
+    xla = bsr_spmm_xla_plan(bsr)
+    t_xla = _time_fn(xla, dense_dev, iters=iters)
 
     pallas = bsr_spmm_pallas_plan(bsr, grad=False)
-    xla = bsr_spmm_xla_plan(bsr)
+    t_f32 = _time_fn(pallas, dense_dev, iters=iters)
+    t_best, dtype_label = t_f32, "f32"
 
-    t_pallas = _time_fn(pallas, dense_dev, iters=10 if on_tpu else 2)
-    t_xla = _time_fn(xla, dense_dev, iters=10 if on_tpu else 2)
+    tiers = {"f32_highest": round(flops / t_f32 / 1e9, 1)}
+    if on_tpu:
+        # bf16x3 (precision="high", 3 MXU passes vs HIGHEST's 6): promote
+        # to the f32-grade headline ONLY if it passes the check_result
+        # 1e-4 elementwise gate against the exact-f32 oracle on this very
+        # input (self-validating flip; ROUND2_NOTES session-4 design).
+        high = bsr_spmm_pallas_plan(bsr, grad=False, precision="high")
+        want = np.asarray(xla(dense_dev))
+        got = np.asarray(high(dense_dev))
+        err = float(
+            np.max(np.abs(got - want)) / max(1e-30, float(np.max(np.abs(want))))
+        )
+        t_high = _time_fn(high, dense_dev, iters=iters)
+        tiers["f32_bf16x3"] = round(flops / t_high / 1e9, 1)
+        tiers["bf16x3_rel_err"] = err
+        if err < 1e-4 and t_high < t_best:
+            t_best, dtype_label = t_high, "f32(bf16x3)"
 
-    gflops = flops / t_pallas / 1e9
-    vs = t_xla / t_pallas  # >1 means Pallas beats the compiler baseline
+        # reduced-precision serving tier, reported alongside (opt-in for
+        # users; the headline stays f32-grade per the 1e-4 discipline)
+        bf16 = bsr_spmm_pallas_plan(bsr, grad=False, dtype="bfloat16")
+        t_bf16 = _time_fn(bf16, dense_dev, iters=iters)
+        tiers["bf16"] = round(flops / t_bf16 / 1e9, 1)
+
+    gflops = flops / t_best / 1e9
+    vs = t_xla / t_best  # >1 means Pallas beats the compiler baseline
+    # roofline estimate: blocks + gathered B tiles + output, f32 bytes
+    bytes_moved = (
+        bsr.nnzb * b * b * 4 + bsr.nnzb * b * f * 4 + bsr.shape[0] * f * 4
+    )
     print(
         json.dumps(
             {
@@ -88,6 +122,10 @@ def main():
                 "value": round(gflops, 2),
                 "unit": "GFLOP/s",
                 "vs_baseline": round(vs, 3),
+                "dtype": dtype_label,
+                "mfu_vs_bf16_peak": round(gflops / V5E_BF16_PEAK_GFLOPS, 4),
+                "achieved_gbps": round(bytes_moved / t_best / 1e9, 1),
+                "tiers_gflops": tiers,
             }
         )
     )

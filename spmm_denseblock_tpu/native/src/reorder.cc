@@ -96,46 +96,83 @@ void sdb_rcm_variant(i64 n, const i32* indptr, const i32* indices,
 
 // Gorder (window-locality greedy, SIGMOD'16 algorithm): next vertex
 // maximizes sum over the last-w window of (adjacency + common-neighbor)
-// score. Keys move by +-1; a lazy binary heap with an authoritative key
-// table keeps pops O(log n). Hubs (deg > sqrt(n)) skip the expensive
-// common-neighbor propagation. Tie-break: highest key, then lowest id —
-// identical to reorder/gorder.py.
+// score. Keys change by +-1 only, so the priority structure is a
+// bucket-list unit queue — a doubly-linked list per key value with
+// head-insertion, O(1) key moves and O(1) amortized extract-max (the
+// max-bucket cursor only scans down what increments pushed up). This is
+// the role the reference's bucketed UnitHeap plays
+// (/root/reference/Gorder/UnitHeap.h:50-117, used by Graph.cpp:423);
+// structure re-derived, not ported. The previous lazy binary heap made
+// the pass superlinear (115 s at 6M nnz, 380 s at 12M — round-2 notes).
+// Per-propagate deltas are batched (net +-d per touched vertex, one
+// list move each). Hubs (deg > sqrt(n)) skip the expensive
+// common-neighbor propagation, as the reference does. Tie-break among
+// equal keys: most recently moved wins (bucket head) — deterministic,
+// mirrored exactly by reorder/gorder.py (bit-equality tests).
 void sdb_gorder(i64 n, const i32* indptr, const i32* indices, i64 window,
                 i64* old2new) {
   if (n == 0) return;
   auto deg = degrees(n, indptr);
   double hub_cut = 1.0;
   if ((double)n > 1.0) hub_cut = std::max(1.0, std::sqrt((double)n));
-  // size-gated fast path — formula-identical with reorder/gorder.py
-  // (bit-equality tests): past 20M nnz cap score-update fan-out near
-  // the average degree; sum(deg^2) under the sqrt(n) cut goes
-  // superlinear on heavy-tailed graphs (115 s at 6M nnz, 380 s at 12M).
   i64 nnz = indptr[n];
-  if (nnz > 20000000)
-    hub_cut = std::min(hub_cut, std::max(64.0, 4.0 * (double)nnz / (double)n));
-  std::vector<i64> key(n, 0);
-  std::vector<char> placed(n, 0);
-  // max-heap on (key, -id): highest key first, then lowest id
-  std::priority_queue<std::pair<i64, i64>> heap;
 
-  auto bump = [&](i64 u, i64 delta) {
-    key[u] += delta;
-    if (delta > 0 && !placed[u]) heap.push({key[u], -u});
+  std::vector<i64> key(n, 0), prv(n, -1), nxt_(n, -1);
+  std::vector<char> placed(n, 0);
+  std::vector<i64> bhead(1, -1);  // bucket k -> first vertex (-1 empty)
+  i64 maxkey = 0;
+
+  auto unlink = [&](i64 u) {
+    if (prv[u] >= 0)
+      nxt_[prv[u]] = nxt_[u];
+    else
+      bhead[key[u]] = nxt_[u];
+    if (nxt_[u] >= 0) prv[nxt_[u]] = prv[u];
   };
-  auto propagate = [&](i64 ve, i64 delta) {
+  auto push_front = [&](i64 u, i64 k) {
+    if ((i64)bhead.size() <= k) bhead.resize((size_t)k + 1, -1);
+    prv[u] = -1;
+    nxt_[u] = bhead[k];
+    if (nxt_[u] >= 0) prv[nxt_[u]] = u;
+    bhead[k] = u;
+    key[u] = k;
+    if (k > maxkey) maxkey = k;
+  };
+  // all vertices start at key 0; ids inserted descending so the initial
+  // bucket-0 head is the lowest id (matches the lowest-unvisited-id
+  // restart rule before any scores exist)
+  for (i64 u = n - 1; u >= 0; --u) push_front(u, 0);
+
+  std::vector<i64> delta(n, 0), touched;
+  touched.reserve(1024);
+  auto propagate = [&](i64 ve, i64 d) {
+    touched.clear();
     for (i32 k = indptr[ve]; k < indptr[ve + 1]; ++k) {
-      i64 u = indices[k];
-      if (!placed[u]) bump(u, delta);
+      i64 u = indices[k];  // S_n adjacency term
+      if (!placed[u]) {
+        if (delta[u] == 0) touched.push_back(u);
+        delta[u] += d;
+      }
     }
     for (i32 k = indptr[ve]; k < indptr[ve + 1]; ++k) {
       i64 w = indices[k];
-      if ((double)deg[w] > hub_cut) continue;
+      if ((double)deg[w] > hub_cut) continue;  // hub skip
       for (i32 j = indptr[w]; j < indptr[w + 1]; ++j) {
-        i64 u = indices[j];
-        if (!placed[u]) bump(u, delta);
+        i64 u = indices[j];  // S_s common-neighbor term via w
+        if (!placed[u]) {
+          if (delta[u] == 0) touched.push_back(u);
+          delta[u] += d;
+        }
       }
     }
+    for (i64 u : touched) {  // one O(1) move per touched vertex
+      i64 nk = key[u] + delta[u];
+      delta[u] = 0;
+      unlink(u);
+      push_front(u, nk);
+    }
   };
+  (void)nnz;
 
   // start at the first max-degree vertex
   i64 v = 0;
@@ -145,6 +182,7 @@ void sdb_gorder(i64 n, const i32* indptr, const i32* indices, i64 window,
   std::vector<i64> win;
   i64 scan = 0;
   for (i64 i = 0; i < n; ++i) {
+    unlink(v);  // DeleteElement: v leaves the queue on placement
     placed[v] = 1;
     old2new[v] = i;
     win.push_back(v);
@@ -155,21 +193,16 @@ void sdb_gorder(i64 n, const i32* indptr, const i32* indices, i64 window,
       propagate(out, -1);
     }
     if (i == n - 1) break;
-    i64 nxt = -1;
-    while (!heap.empty()) {
-      auto [k, negu] = heap.top();
-      heap.pop();
-      i64 u = -negu;
-      if (!placed[u] && k == key[u]) {
-        nxt = u;
-        break;
-      }
-    }
-    if (nxt == -1) {  // disconnected remainder: lowest unvisited id
+    // ExtractMax: highest non-empty bucket with key >= 1; a key-0
+    // candidate carries no window affinity, so fall through to the
+    // lowest-unvisited-id restart (same rule as the old lazy heap).
+    while (maxkey > 0 && bhead[maxkey] < 0) --maxkey;
+    i64 nx = (maxkey > 0) ? bhead[maxkey] : -1;
+    if (nx < 0) {  // disconnected remainder: lowest unvisited id
       while (scan < n && placed[scan]) ++scan;
-      nxt = scan;
+      nx = scan;
     }
-    v = nxt;
+    v = nx;
   }
 }
 

@@ -44,11 +44,23 @@ from spmm_denseblock_tpu.parallel.shard import (
 )
 
 
-def _local_bsr_spmm(local_rows, cols, blocks, b_blocked, n_seg):
+def _local_bsr_spmm(local_rows, cols, blocks, b_blocked, n_seg, scales=None):
     """One stripe: gather B tiles, batched MXU matmul, segment-sum.
 
-    b_blocked: (n_bc, b, F) blocked view of the dense operand."""
+    b_blocked: (n_bc, b, F) blocked view of the dense operand. int8
+    blocks run int8 x int8 -> int32 on the MXU and rescale by the
+    per-block `scales` (the ops/bsr_spmm_int8.py scheme; the separable
+    per-column operand scale is applied once by the caller)."""
     gathered = jnp.take(b_blocked, cols, axis=0)  # (m, b, F)
+    if blocks.dtype == jnp.int8:
+        prod = jax.lax.dot_general(
+            blocks,
+            gathered,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )
+        prod = prod.astype(jnp.float32) * scales[:, None, None]
+        return jax.ops.segment_sum(prod, local_rows, num_segments=n_seg)
     prec = (
         jax.lax.Precision.HIGHEST
         if blocks.dtype == jnp.float32
@@ -75,11 +87,25 @@ def _local_bsr_spmm(local_rows, cols, blocks, b_blocked, n_seg):
 # ---------------------------------------------------------------------------
 
 
+def _quantize_operand(dense, cs):
+    """Shared int8 entry: quantize the FULL operand once with global
+    per-column scales (ops/bsr_spmm_int8.quantize_per_column) so every
+    stripe agrees, and move int8 over ICI (4x less than f32). Returns
+    (q_int8, col_scale); the caller applies col_scale to the output."""
+    from spmm_denseblock_tpu.ops.bsr_spmm_int8 import quantize_per_column
+
+    return quantize_per_column(dense.astype(jnp.float32), cs)
+
+
 @functools.partial(jax.jit, static_argnames="statics")
-def _ag_run(statics, lr, bc, bv, dense):
+def _ag_run(statics, lr, bc, bv, sc, cs, dense):
     (mesh, axis, feature_axis, local_impl, interpret, rows_per, cpc, n, b,
-     n_rows, k_padded) = statics
+     n_rows, k_padded, dtype_key) = statics
     b_spec = P(axis, feature_axis)
+    int8_mode = dtype_key == "int8"
+    col_scale = None
+    if int8_mode:
+        dense, col_scale = _quantize_operand(dense, cs)
     f_orig = dense.shape[1]
     if local_impl == "pallas":
         # the flat Pallas kernel wants F in whole tiles
@@ -92,7 +118,7 @@ def _ag_run(statics, lr, bc, bv, dense):
     )
     dense = jax.lax.with_sharding_constraint(dense, NamedSharding(mesh, b_spec))
 
-    def stripe_fn(lr, bc, bv, b_local):
+    def stripe_fn(lr, bc, bv, sc, b_local):
         # (1, m) locals -> (m,); B local stripe (k_padded/n, F)
         b_full = jax.lax.all_gather(b_local, axis, tiled=True)
         if local_impl == "pallas":
@@ -106,31 +132,39 @@ def _ag_run(statics, lr, bc, bv, dense):
                 group=1, interpret=interpret,
             )
         b_blocked = b_full.reshape(n * cpc, b, b_full.shape[1])
-        out = _local_bsr_spmm(lr[0], bc[0], bv[0], b_blocked, rows_per)
+        out = _local_bsr_spmm(
+            lr[0], bc[0], bv[0], b_blocked, rows_per, scales=sc[0]
+        )
         return out.reshape(rows_per * b, b_full.shape[1])
 
     fn = jax.shard_map(
         stripe_fn,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), b_spec),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), b_spec),
         out_specs=b_spec,
         # pallas_call's out_shape carries no vma annotation; skip
         # the varying-axes check for the hand-written kernel path
         check_vma=(local_impl != "pallas"),
     )
-    out = fn(lr, bc, bv, dense)[:n_rows].astype(jnp.float32)
-    return out[:, :f_orig] if f_padded != f_orig else out
+    out = fn(lr, bc, bv, sc, dense)[:n_rows].astype(jnp.float32)
+    if f_padded != f_orig:
+        out = out[:, :f_orig]
+    return out * col_scale[None, :] if int8_mode else out
 
 
 @functools.partial(jax.jit, static_argnames="statics")
-def _ring_run(statics, lr, cc, bv, dense):
+def _ring_run(statics, lr, cc, bv, sc, cs, dense):
     (mesh, axis, feature_axis, rows_per, cpc, n, b, n_rows,
-     k_padded) = statics
+     k_padded, dtype_key) = statics
     b_spec = P(axis, feature_axis)
     perm = [(i, (i + 1) % n) for i in range(n)]
+    int8_mode = dtype_key == "int8"
+    col_scale = None
+    if int8_mode:
+        dense, col_scale = _quantize_operand(dense, cs)
 
-    def stripe_fn(lr, cc, bv, b_local):
-        lr, cc, bv = lr[0], cc[0], bv[0]  # (n, mb[, b, b])
+    def stripe_fn(lr, cc, bv, sc, b_local):
+        lr, cc, bv, sc = lr[0], cc[0], bv[0], sc[0]  # (n, mb[, b, b])
         me = jax.lax.axis_index(axis)
         f_dim = b_local.shape[1]
         acc0 = jnp.zeros((rows_per, b, f_dim), jnp.float32)
@@ -150,6 +184,7 @@ def _ring_run(statics, lr, cc, bv, dense):
                 jnp.take(bv, c, axis=0),
                 b_blocked,
                 rows_per,
+                scales=jnp.take(sc, c, axis=0),
             )
             b_chunk = jax.lax.ppermute(b_chunk, axis, perm)
             return b_chunk, acc
@@ -159,22 +194,28 @@ def _ring_run(statics, lr, cc, bv, dense):
 
     fn = jax.shard_map(
         stripe_fn, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), b_spec), out_specs=b_spec,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), b_spec),
+        out_specs=b_spec,
     )
     dense = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
     dense = jax.lax.with_sharding_constraint(dense, NamedSharding(mesh, b_spec))
-    return fn(lr, cc, bv, dense)[:n_rows].astype(jnp.float32)
+    out = fn(lr, cc, bv, sc, dense)[:n_rows].astype(jnp.float32)
+    return out * col_scale[None, :] if int8_mode else out
 
 
 @functools.partial(jax.jit, static_argnames="statics")
-def _halo_run(statics, lr, cc, bv, dense):
+def _halo_run(statics, lr, cc, bv, sc, cs, dense):
     (mesh, axis, feature_axis, rows_per, cpc, n, b, n_rows, k_padded,
-     halo) = statics
+     halo, dtype_key) = statics
     b_spec = P(axis, feature_axis)
     width = 2 * halo + 1
+    int8_mode = dtype_key == "int8"
+    col_scale = None
+    if int8_mode:
+        dense, col_scale = _quantize_operand(dense, cs)
 
-    def stripe_fn(lr, cc, bv, b_local):
-        lr, cc, bv = lr[0], cc[0], bv[0]
+    def stripe_fn(lr, cc, bv, sc, b_local):
+        lr, cc, bv, sc = lr[0], cc[0], bv[0], sc[0]
         f_dim = b_local.shape[1]
         out = jnp.zeros((rows_per, b, f_dim), jnp.float32)
         for h in range(width):
@@ -186,23 +227,25 @@ def _halo_run(statics, lr, cc, bv, dense):
                 chunk = jax.lax.ppermute(b_local, axis, perm_h)
             out = out + _local_bsr_spmm(
                 lr[h], cc[h], bv[h],
-                chunk.reshape(cpc, b, f_dim), rows_per,
+                chunk.reshape(cpc, b, f_dim), rows_per, scales=sc[h],
             )
         return out.reshape(rows_per * b, f_dim)
 
     fn = jax.shard_map(
         stripe_fn, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), b_spec), out_specs=b_spec,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), b_spec),
+        out_specs=b_spec,
     )
     dense = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
     dense = jax.lax.with_sharding_constraint(dense, NamedSharding(mesh, b_spec))
-    return fn(lr, cc, bv, dense)[:n_rows].astype(jnp.float32)
+    out = fn(lr, cc, bv, sc, dense)[:n_rows].astype(jnp.float32)
+    return out * col_scale[None, :] if int8_mode else out
 
 
 def _dist_bsr_apply(statics, arrays, dense):
     run, inner_statics, dtype_key = statics
     dense = jnp.asarray(dense)
-    if dtype_key is not None:
+    if dtype_key is not None and dtype_key != "int8":
         dense = dense.astype(dtype_key)
     return {"allgather": _ag_run, "ring": _ring_run, "halo": _halo_run}[run](
         inner_statics, *arrays, dense
@@ -226,12 +269,20 @@ def dist_bsr_spmm_plan(
     local_impl: str = "xla",
     halo: int = 1,
     balance="auto",
+    calibration=None,
 ):
     """Host shard prep once -> jitted C = f(B) over the mesh.
 
     local_impl: per-stripe compute — "xla" (batched matmul + segment-sum)
     or "pallas" (the flat MXU kernel; allgather strategy only), the
     multi-chip deployment of the measured-fastest single-chip kernel.
+
+    dtype=int8 (inference only): blocks quantized per block at plan
+    time, the operand quantized ONCE globally per call with per-column
+    symmetric scales (calibration= fixes them at plan time — the same
+    contract as the other int8 tiers, ops/bsr_spmm_int8.py), and every
+    collective (all_gather / ring ppermute / halo ppermute) moves int8 —
+    4x fewer ICI bytes than f32. int8 x int8 -> int32 on the MXU.
 
     B may be passed with any sharding (it is constrained to the row-
     sharded layout on entry); C comes back row-sharded over `axis`.
@@ -285,6 +336,7 @@ def dist_bsr_spmm_plan(
                 permuted, mesh=mesh, axis=axis, strategy=strategy,
                 dtype=dtype, feature_axis=feature_axis,
                 local_impl=local_impl, halo=halo, balance=False,
+                calibration=calibration,
             )
             rows = np.arange(bsr.shape[0], dtype=np.int64)
             undo = jnp.asarray(
@@ -303,20 +355,60 @@ def dist_bsr_spmm_plan(
     n_rows, n_cols = bsr.shape
 
     stripe = NamedSharding(mesh, P(axis))
-    from spmm_denseblock_tpu.ops.bsr_spmm_int8 import reject_int8_cast
-
-    reject_int8_cast(dtype, 'dist_bsr (no quantized dist BSR tier yet)')
-    cast = (lambda x: x.astype(dtype)) if dtype is not None else (lambda x: x)
     dtype_key = None if dtype is None else jnp.dtype(dtype).name
+    int8_mode = dtype_key == "int8"
+    if int8_mode and local_impl != "xla":
+        raise ValueError("dtype=int8 requires local_impl='xla'")
+    if calibration is not None and not int8_mode:
+        raise ValueError(
+            "calibration= only applies to dtype=int8 serving plans; "
+            f"got dtype={dtype_key!r}"
+        )
+    cast = (
+        (lambda x: x.astype(dtype))
+        if dtype is not None and not int8_mode
+        else (lambda x: x)
+    )
+    cs = None
+    if int8_mode and calibration is not None:
+        from spmm_denseblock_tpu.ops.bsr_spmm_int8 import static_col_scale
+
+        cs = jnp.asarray(static_col_scale(calibration))
+
+    def quantized(bv_h):
+        """Per-block int8 + scales for a (..., b, b) host block array
+        (the ops/bsr_spmm_int8.quantize_blocks scheme over the leading
+        dims flattened; zero padding blocks quantize to q=0, s=1)."""
+        from spmm_denseblock_tpu.ops.bsr_spmm_int8 import quantize_blocks
+
+        lead = bv_h.shape[:-2]
+        q, s = quantize_blocks(
+            np.asarray(bv_h, np.float32).reshape((-1,) + bv_h.shape[-2:])
+        )
+        return q.reshape(bv_h.shape), s.reshape(lead)
+
+    def put_blocks(bv_h):
+        """Returns (bv_dev, sc_dev); sc is a per-stripe dummy (leading
+        dims kept, block dims dropped to 1) when not int8 so every
+        strategy shares one shard_map arity and indexing pattern."""
+        bv_h = np.asarray(bv_h)
+        if int8_mode:
+            q, s = quantized(bv_h)
+            return (jax.device_put(jnp.asarray(q), stripe),
+                    jax.device_put(jnp.asarray(s), stripe))
+        sc = jax.device_put(
+            jnp.zeros(bv_h.shape[:-3] + (1,), jnp.float32), stripe
+        )
+        return jax.device_put(cast(jnp.asarray(bv_h)), stripe), sc
 
     if strategy == "allgather":
         lr = jax.device_put(sh.local_rows, stripe)
         bc = jax.device_put(sh.block_cols, stripe)
-        bv = jax.device_put(cast(jnp.asarray(sh.blocks)), stripe)
+        bv, sc = put_blocks(sh.blocks)
         interpret = jax.default_backend() != "tpu"
         inner = (mesh, axis, feature_axis, local_impl, interpret,
-                 rows_per, cpc, n, b, n_rows, k_padded)
-        return Plan((lr, bc, bv), _dist_bsr_apply,
+                 rows_per, cpc, n, b, n_rows, k_padded, dtype_key)
+        return Plan((lr, bc, bv, sc, cs), _dist_bsr_apply,
                     ("allgather", inner, dtype_key))
 
     if strategy == "ring":
@@ -325,10 +417,11 @@ def dist_bsr_spmm_plan(
         lr_b, cc_b, bv_b = bucket_by_col_chunk(sh)  # (n, n, mb, ...)
         lr = jax.device_put(lr_b, stripe)
         cc = jax.device_put(cc_b, stripe)
-        bv = jax.device_put(cast(jnp.asarray(bv_b)), stripe)
+        bv, sc = put_blocks(bv_b)
         inner = (mesh, axis, feature_axis, rows_per, cpc, n, b, n_rows,
-                 k_padded)
-        return Plan((lr, cc, bv), _dist_bsr_apply, ("ring", inner, dtype_key))
+                 k_padded, dtype_key)
+        return Plan((lr, cc, bv, sc, cs), _dist_bsr_apply,
+                    ("ring", inner, dtype_key))
 
     if strategy == "halo":
         # true halo exchange: each stripe receives only its 2*halo
@@ -340,14 +433,16 @@ def dist_bsr_spmm_plan(
             return dist_bsr_spmm_plan(
                 bsr, mesh=mesh, axis=axis, strategy="allgather",
                 dtype=dtype, feature_axis=feature_axis, local_impl=local_impl,
+                calibration=calibration,
             )  # matrix not banded within the requested halo
         lr_b, cc_b, bv_b = buckets  # (n, 2h+1, mb, ...)
         lr = jax.device_put(lr_b, stripe)
         cc = jax.device_put(cc_b, stripe)
-        bv = jax.device_put(cast(jnp.asarray(bv_b)), stripe)
+        bv, sc = put_blocks(bv_b)
         inner = (mesh, axis, feature_axis, rows_per, cpc, n, b, n_rows,
-                 k_padded, halo)
-        return Plan((lr, cc, bv), _dist_bsr_apply, ("halo", inner, dtype_key))
+                 k_padded, halo, dtype_key)
+        return Plan((lr, cc, bv, sc, cs), _dist_bsr_apply,
+                    ("halo", inner, dtype_key))
 
     raise ValueError(
         f"unknown strategy {strategy!r}; use 'allgather', 'ring', or 'halo'"
@@ -578,15 +673,16 @@ def _dist_segment_apply(statics, arrays, dense):
 
 
 @functools.partial(jax.jit, static_argnames="statics")
-def _dist_win_run(statics, tiles, win, dense):
+def _dist_win_run(statics, tiles, sc, cs, win, dense):
     (mesh, axis, R, W, K, tiles_per, k_padded, n_rows, dtype_key) = statics
+    int8_mode = dtype_key == "int8"
     prec = (
         jax.lax.Precision.HIGHEST
         if dtype_key is None
         else jax.lax.Precision.DEFAULT
     )
 
-    def stripe_fn(tiles, win, b_local):
+    def stripe_fn(tiles, sc, win, b_local):
         b_full = jax.lax.all_gather(b_local, axis, tiled=True)
         blocked = b_full.reshape(k_padded // W, W, b_full.shape[1])
         wins = jnp.take(blocked, win, axis=0)  # (tiles_per, K, W, F)
@@ -594,22 +690,28 @@ def _dist_win_run(statics, tiles, win, dense):
             tiles,
             wins,
             dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
-            preferred_element_type=jnp.float32,
-            precision=prec,
+            preferred_element_type=jnp.int32 if int8_mode else jnp.float32,
+            precision=None if int8_mode else prec,
         )
+        if int8_mode:  # (tiles_per, K, R, F) int32 * per-(tile,slot) scale
+            out = out.astype(jnp.float32) * sc[:, :, None, None]
         return jnp.sum(out, axis=1).reshape(tiles_per * R, b_full.shape[1])
 
     fn = jax.shard_map(
         stripe_fn,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis, None)),
+        in_specs=(P(axis), P(axis), P(axis), P(axis, None)),
         out_specs=P(axis, None),
     )
+    col_scale = None
+    if int8_mode:
+        dense, col_scale = _quantize_operand(dense, cs)
     d = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
-    if dtype_key is not None:
+    if dtype_key is not None and not int8_mode:
         d = d.astype(dtype_key)
     d = jax.lax.with_sharding_constraint(d, NamedSharding(mesh, P(axis, None)))
-    return fn(tiles, win, d)[:n_rows].astype(jnp.float32)
+    out = fn(tiles, sc, win, d)[:n_rows].astype(jnp.float32)
+    return out * col_scale[None, :] if int8_mode else out
 
 
 def _dist_win_apply(statics, arrays, dense):
@@ -706,24 +808,31 @@ def dist_hybrid_spmm_plan(
     axis: str = "row",
     strategy: str = "allgather",
     dtype=None,
+    calibration=None,
 ):
     """Distributed hybrid: dense-block stripes + remainder-CSR stripes,
     summed on device (divide.cu's two accumulating kernels, sharded).
-    Both parts use the same row partition, so the sum is local."""
+    Both parts use the same row partition, so the sum is local. dtype
+    (incl. int8 + calibration) reaches both parts."""
     if mesh is None:
         mesh = make_mesh_1d()
     from spmm_denseblock_tpu.formats.hybrid import Hybrid
 
     assert isinstance(hyb, Hybrid)
     if hyb.dense.nnzb == 0:
-        return dist_csr_spmm_plan(hyb.remainder, mesh=mesh, axis=axis)
+        return dist_csr_spmm_plan(
+            hyb.remainder, mesh=mesh, axis=axis, dtype=dtype,
+            calibration=calibration,
+        )
     bsr_run = dist_bsr_spmm_plan(
-        hyb.dense, mesh=mesh, axis=axis, strategy=strategy, dtype=dtype
+        hyb.dense, mesh=mesh, axis=axis, strategy=strategy, dtype=dtype,
+        calibration=calibration,
     )
     if hyb.remainder.nnz == 0:
         return bsr_run
     csr_run = dist_csr_spmm_plan(
-        hyb.remainder, mesh=mesh, axis=axis, dtype=dtype
+        hyb.remainder, mesh=mesh, axis=axis, dtype=dtype,
+        calibration=calibration,
     )
     # both parts are Plan pytrees on the same row partition: the generic
     # sum composition keeps the whole thing a Plan (passable through jit
@@ -761,12 +870,19 @@ def dist_windowed_spmm_plan(
     mesh: Optional[Mesh] = None,
     axis: str = "row",
     dtype=None,
+    calibration=None,
 ):
     """Distributed windowed dense-tile SpMM: row-band tiles stripe
     contiguously over `axis` (tile t covers rows [t*R, (t+1)*R), so
     stripes need no index translation); each stripe all-gathers B and
     takes its contiguous windows; the remainder CSR rides the existing
-    row-partitioned plan on the same mesh."""
+    row-partitioned ELL plan on the same mesh (dtype forwarded, so bf16
+    and int8 shrink the remainder's ICI exchange too).
+
+    dtype=int8 (inference only): tiles quantized per (tile, slot) at
+    plan time (the windowed_spmm_int8_plan scheme), one global
+    per-column operand quantization per call (calibration= makes the
+    scales plan constants), int8 all_gather."""
     from spmm_denseblock_tpu.formats.windowed import Windowed
 
     assert isinstance(wt, Windowed)
@@ -791,22 +907,46 @@ def dist_windowed_spmm_plan(
         win_h = np.concatenate(
             [win_h, np.zeros((pad_t, K), win_h.dtype)]
         )
-    from spmm_denseblock_tpu.ops.bsr_spmm_int8 import reject_int8_cast
+    dtype_key = None if dtype is None else jnp.dtype(dtype).name
+    int8_mode = dtype_key == "int8"
+    if calibration is not None and not int8_mode:
+        raise ValueError(
+            "calibration= only applies to dtype=int8 serving plans; "
+            f"got dtype={dtype_key!r}"
+        )
+    cs = None
+    if int8_mode:
+        from spmm_denseblock_tpu.ops.bsr_spmm_int8 import (
+            quantize_blocks,
+            static_col_scale,
+        )
 
-    reject_int8_cast(dtype, "dist_windowed (no quantized dist tier yet)")
-    if dtype is not None:
-        tiles_h = tiles_h.astype(dtype)
+        T_pad = tiles_h.shape[0]
+        q, s = quantize_blocks(
+            np.asarray(tiles_h, np.float32).reshape(T_pad * K, R, W)
+        )
+        tiles_h = q.reshape(T_pad, K, R, W)
+        sc_h = s.reshape(T_pad, K).astype(np.float32)
+        if calibration is not None:
+            cs = jnp.asarray(static_col_scale(calibration))
+    else:
+        if dtype is not None:
+            tiles_h = tiles_h.astype(dtype)
+        sc_h = np.zeros((tiles_h.shape[0], 1), np.float32)
 
     stripe = NamedSharding(mesh, P(axis))
     tiles_d = jax.device_put(jnp.asarray(tiles_h), stripe)
+    sc_d = jax.device_put(jnp.asarray(sc_h), stripe)
     win_d = jax.device_put(jnp.asarray(win_h), stripe)
 
-    dtype_key = None if dtype is None else jnp.dtype(dtype).name
     statics = (mesh, axis, R, W, K, tiles_per, k_padded, n_rows, dtype_key)
-    win_plan = Plan((tiles_d, win_d), _dist_win_apply, statics)
+    win_plan = Plan((tiles_d, sc_d, cs, win_d), _dist_win_apply, statics)
     if not wt.remainder.nnz:
         return win_plan
-    rem_plan = dist_csr_spmm_plan(wt.remainder, mesh=mesh, axis=axis)
+    rem_plan = dist_csr_spmm_plan(
+        wt.remainder, mesh=mesh, axis=axis, dtype=dtype,
+        calibration=calibration if int8_mode else None,
+    )
     return sum_plan((win_plan, rem_plan))
 
 

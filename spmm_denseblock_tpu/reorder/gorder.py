@@ -4,18 +4,21 @@ Re-derived from the algorithm the reference vendors
 (/root/reference/Gorder/Graph.cpp:423-..., UnitHeap.h:50-117): place
 vertices one at a time; the next vertex maximizes the locality score
 sum_{u in last-w window} S(u, v) with S = #common in-neighbors +
-adjacency. Keys change by +-1 only, so the reference uses a bucketed
-unit heap; here a lazy max-heap with a authoritative key table gives the
-same asymptotics in Python. Hub vertices with degree > sqrt(n) skip the
-expensive common-neighbor propagation, as the vendored code does.
+adjacency. Keys change by +-1 only, so the priority structure is a
+bucket-list unit queue (doubly-linked list per key value, head
+insertion): O(1) key moves, O(1) amortized extract-max — the same role
+the reference's bucketed UnitHeap plays, structure re-derived. Hub
+vertices with degree > sqrt(n) skip the expensive common-neighbor
+propagation, as the vendored code does. Tie-break among equal keys:
+most recently moved wins (bucket head). This Python body is the
+executable specification; sdb_gorder (native/src/reorder.cc) matches it
+bit-for-bit (tests/test_native.py) and is what production runs use.
 
 This host-side pass is inherently sequential; like the reference we run
 it once offline and cache the permutation (io/graph_io.py).
 """
 
 from __future__ import annotations
-
-import heapq
 
 import numpy as np
 
@@ -37,18 +40,12 @@ def gorder(csr: CSR, window: int = 5) -> np.ndarray:
     if out is not None:
         return out
     n = csr.n_rows
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
     indptr = np.asarray(csr.indptr)
     indices = np.asarray(csr.indices, dtype=np.int64)
     deg = np.diff(indptr)
     hub_cut = max(1.0, np.sqrt(n))
-    # size-gated fast path: the score updates cost ~sum(deg^2) under the
-    # sqrt(n) hub cut, which goes superlinear on heavy-tailed graphs
-    # (measured: 6.2M nnz 115 s, 12.3M nnz 380 s). Past 20M nnz, cap the
-    # update fan-out near the average degree — hubs contribute little
-    # window locality anyway (the same reasoning as the sqrt(n) skip).
-    # MUST stay formula-identical with sdb_gorder (bit-equality tests).
-    if csr.nnz > 20_000_000:
-        hub_cut = min(hub_cut, max(64.0, 4.0 * csr.nnz / n))
 
     def out_neighbors(v):
         return indices[indptr[v] : indptr[v + 1]]
@@ -56,36 +53,76 @@ def gorder(csr: CSR, window: int = 5) -> np.ndarray:
     # undirected adjacency: in-neighbors == out-neighbors. For directed
     # inputs callers should symmetrize first (the reference's graphs are
     # symmetrized edge dumps, download_ogb.py:23-27).
-    key = np.zeros(n, dtype=np.int64)
+    #
+    # Bucket-list unit queue (the spec sdb_gorder matches move for
+    # move): key[v] buckets as doubly-linked lists with head insertion;
+    # per-propagate deltas are batched to one list move per touched
+    # vertex, in first-touch order.
+    key = [0] * n
+    prv = [-1] * n
+    nxt = [-1] * n
+    bhead = [-1]
+    maxkey = 0
     placed = np.zeros(n, dtype=bool)
-    heap: list = []  # lazy entries (-key, v)
 
-    def bump(v, delta):
-        key[v] += delta
-        if delta > 0 and not placed[v]:
-            heapq.heappush(heap, (-key[v], v))
+    def unlink(u):
+        if prv[u] >= 0:
+            nxt[prv[u]] = nxt[u]
+        else:
+            bhead[key[u]] = nxt[u]
+        if nxt[u] >= 0:
+            prv[nxt[u]] = prv[u]
 
-    def propagate(ve, delta):
+    def push_front(u, k):
+        nonlocal maxkey
+        if len(bhead) <= k:
+            bhead.extend([-1] * (k + 1 - len(bhead)))
+        prv[u] = -1
+        nxt[u] = bhead[k]
+        if nxt[u] >= 0:
+            prv[nxt[u]] = u
+        bhead[k] = u
+        key[u] = k
+        if k > maxkey:
+            maxkey = k
+
+    # ids inserted descending so the initial bucket-0 head is id 0
+    for u in range(n - 1, -1, -1):
+        push_front(u, 0)
+
+    delta = [0] * n
+    touched: list = []
+
+    def propagate(ve, d):
         """ve enters (+1) or leaves (-1) the window."""
+        touched.clear()
         for u in out_neighbors(ve):
-            if not placed[u]:
-                bump(u, delta)  # S_n adjacency term
+            if not placed[u]:  # S_n adjacency term
+                if delta[u] == 0:
+                    touched.append(u)
+                delta[u] += d
         for w in out_neighbors(ve):
             if deg[w] > hub_cut:
                 continue  # hub skip
             for u in out_neighbors(w):
-                if not placed[u]:
-                    bump(u, delta)  # S_s common-in-neighbor term via w
-        if delta < 0:
-            # decrements don't push; stale heap entries are filtered on pop
-            pass
+                if not placed[u]:  # S_s common-in-neighbor term via w
+                    if delta[u] == 0:
+                        touched.append(u)
+                    delta[u] += d
+        for u in touched:  # one O(1) move per touched vertex
+            nk = key[u] + delta[u]
+            delta[u] = 0
+            unlink(u)
+            push_front(u, nk)
 
     start = int(np.argmax(deg)) if n else 0
     order = np.empty(n, dtype=np.int64)
     window_buf: list = []
 
     v = start
+    scan = 0
     for i in range(n):
+        unlink(v)  # v leaves the queue on placement
         placed[v] = True
         order[i] = v
         window_buf.append(v)
@@ -94,17 +131,15 @@ def gorder(csr: CSR, window: int = 5) -> np.ndarray:
             propagate(window_buf.pop(0), -1)
         if i == n - 1:
             break
-        # pop the max-key unplaced vertex with a fresh key
-        v = -1
-        while heap:
-            negk, cand = heapq.heappop(heap)
-            if not placed[cand] and -negk == key[cand]:
-                v = cand
-                break
-        if v == -1:
-            # disconnected remainder: lowest unvisited id (reference
-            # restarts the same way)
-            v = int(np.nonzero(~placed)[0][0])
+        # extract-max: highest non-empty bucket with key >= 1 (a key-0
+        # candidate has no window affinity -> lowest-unvisited restart)
+        while maxkey > 0 and bhead[maxkey] < 0:
+            maxkey -= 1
+        v = bhead[maxkey] if maxkey > 0 else -1
+        if v < 0:
+            while scan < n and placed[scan]:
+                scan += 1
+            v = scan
 
     old2new = np.empty(n, dtype=np.int64)
     old2new[order] = np.arange(n)

@@ -535,3 +535,94 @@ def test_dist_plans_are_plan_pytrees_no_hlo_constants(mesh, rng):
         # and passing through jit computes the right thing
         got = np.asarray(jax.jit(lambda p, v: p(v))(plan, x))
         assert_allclose(got, want)
+
+
+@pytest.mark.parametrize("strategy", ["allgather", "ring"])
+def test_dist_bsr_spmm_int8(mesh, rng, strategy):
+    """dtype=int8 on the dist BSR tier: per-block quantized A (plan
+    time) x one global per-column operand quantization; every
+    collective moves int8. Quantization-noise tolerance (~1e-2), with
+    and without plan-time calibration scales."""
+    import jax.numpy as jnp
+
+    bsr, dense, want = _random_case(rng, b=8, nbr=16, nbc=16, f=16)
+    cal = rng.standard_normal((400, 16)).astype(np.float32)
+    for calib in (None, cal):
+        run = dist_bsr_spmm_plan(
+            bsr, mesh=mesh, strategy=strategy, dtype=jnp.int8,
+            calibration=calib,
+        )
+        got = np.asarray(run(dense))
+        rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+        assert 0 < rel < 3e-2, (strategy, calib is None, rel)
+
+
+def test_dist_bsr_spmm_int8_halo(mesh, rng):
+    """int8 on the halo strategy: the O(1) neighbor exchange moves int8
+    chunks (banded fixture from test_dist_bsr_spmm_halo)."""
+    import jax.numpy as jnp
+
+    from spmm_denseblock_tpu.formats.csr import CSR
+    from spmm_denseblock_tpu.convert.csr2bsr import csr_to_bsr
+
+    n = 32 * 8
+    rows = np.repeat(np.arange(n), 5)
+    cols = (rows + np.tile(np.arange(-2 * 8, -2 * 8 + 5), n)) % n
+    banded = CSR.from_coo(rows, cols, None, (n, n))
+    bsr = csr_to_bsr(banded, 8)
+    dense = rng.standard_normal((n, 12)).astype(np.float32)
+    want = spmm_scipy(banded, dense)
+    run = dist_bsr_spmm_plan(bsr, mesh=mesh, strategy="halo",
+                             dtype=jnp.int8)
+    got = np.asarray(run(dense))
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert 0 < rel < 3e-2, rel
+
+
+def test_dist_windowed_int8(mesh, rng):
+    """int8 dist windowed: per-(tile,slot) quantized tiles, one global
+    operand quantization, int8 all_gather; the int8 remainder rides the
+    dist ELL tier under the same calibration."""
+    import jax.numpy as jnp
+
+    from spmm_denseblock_tpu.formats.windowed import divide_windowed
+    from spmm_denseblock_tpu.parallel.spmm import dist_windowed_spmm_plan
+
+    csr = random_csr(0.05, 256, 256, seed=3)
+    wt = divide_windowed(csr, tile_rows=16, window=32)
+    dense = rng.standard_normal((256, 16)).astype(np.float32)
+    cal = rng.standard_normal((1600, 16)).astype(np.float32)
+    want = spmm_scipy(csr, dense)
+    for calib in (None, cal):
+        run = dist_windowed_spmm_plan(wt, mesh=mesh, dtype=jnp.int8,
+                                      calibration=calib)
+        got = np.asarray(run(dense))
+        rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+        assert 0 < rel < 3e-2, (calib is None, rel)
+
+
+def test_dist_hybrid_int8(mesh, rng):
+    """dist hybrid forwards dtype=int8 + calibration to both parts."""
+    import jax.numpy as jnp
+
+    from spmm_denseblock_tpu.convert.divide import divide
+    from spmm_denseblock_tpu.parallel.spmm import dist_hybrid_spmm_plan
+
+    csr = random_csr(0.05, 256, 256, seed=3)
+    hyb = divide(csr, 16, 0.05)
+    assert hyb.dense.nnzb > 0 and hyb.remainder.nnz > 0
+    dense = rng.standard_normal((256, 16)).astype(np.float32)
+    want = spmm_scipy(csr, dense)
+    run = dist_hybrid_spmm_plan(hyb, mesh=mesh, dtype=jnp.int8)
+    got = np.asarray(run(dense))
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert 0 < rel < 3e-2, rel
+
+
+def test_dist_int8_rejects_mismatched_calibration(mesh, rng):
+    """calibration= without dtype=int8 is a contract error on every
+    dist tier that accepts it (mirrors the single-chip tiers)."""
+    bsr, _, _ = _random_case(rng, b=8, nbr=16, nbc=16, f=16)
+    cal = rng.standard_normal((10, 16)).astype(np.float32)
+    with pytest.raises(ValueError, match="calibration"):
+        dist_bsr_spmm_plan(bsr, mesh=mesh, calibration=cal)
