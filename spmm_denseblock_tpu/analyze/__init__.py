@@ -13,8 +13,14 @@ from spmm_denseblock_tpu.analyze.heatmap import (
     load_heatmap,
     plot_heatmap,
 )
+from spmm_denseblock_tpu.analyze.molecules import (
+    molecule_utilization_study,
+    per_graph_reorder,
+)
 
 __all__ = [
+    "molecule_utilization_study",
+    "per_graph_reorder",
     "calculate_nnzb",
     "block_metrics",
     "fill_histogram",

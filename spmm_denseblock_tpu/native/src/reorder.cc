@@ -14,6 +14,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <queue>
 #include <unordered_map>
@@ -109,28 +110,57 @@ void sdb_rcm_variant(i64 n, const i32* indptr, const i32* indices,
 // common-neighbor propagation, as the reference does. Tie-break among
 // equal keys: most recently moved wins (bucket head) — deterministic,
 // mirrored exactly by reorder/gorder.py (bit-equality tests).
+// Touch-volume budget for the hub cut: the propagation volume is
+// 2*(nnz + sum_{w: deg_w <= cut} deg_w^2) queue events, ~30-110
+// ns/event depending on whether the int32 working arrays fit LLC
+// (measured: 31 ns at n=1.2M, 111 ns at n=2.45M). 1e9 events keeps
+// full ogbn-products (123M nnz) around the ~2-minute envelope. Must
+// match reorder/gorder.py exactly (bit-equality tests).
+static const i64 kGorderTouchBudget = 1000000000LL;
+
 void sdb_gorder(i64 n, const i32* indptr, const i32* indices, i64 window,
                 i64* old2new) {
   if (n == 0) return;
-  auto deg = degrees(n, indptr);
+  auto deg64 = degrees(n, indptr);
+  std::vector<i32> deg(n);
+  for (i64 i = 0; i < n; ++i) deg[i] = (i32)deg64[i];
   double hub_cut = 1.0;
   if ((double)n > 1.0) hub_cut = std::max(1.0, std::sqrt((double)n));
   i64 nnz = indptr[n];
+  {
+    // volume-budgeted cap: largest degree value whose cumulative
+    // sum(deg^2) keeps the total under budget, floored at 64 (keep the
+    // common-neighbor signal on degree-dense graphs even if it
+    // overshoots), capped at sqrt(n) (the reference's hub rule).
+    std::vector<i64> sorted(deg64);
+    std::sort(sorted.begin(), sorted.end());
+    i64 cum = 0, cut_b = 0;
+    for (i64 i = 0; i < n; ++i) {
+      i64 d = sorted[i];
+      if ((double)d > hub_cut) break;
+      cum += d * d;
+      if (2 * (nnz + cum) <= kGorderTouchBudget)
+        cut_b = d;
+      else
+        break;
+    }
+    hub_cut = std::min(hub_cut, std::max(64.0, (double)cut_b));
+  }
 
-  std::vector<i64> key(n, 0), prv(n, -1), nxt_(n, -1);
+  std::vector<i32> key(n, 0), prv(n, -1), nxt_(n, -1);
   std::vector<char> placed(n, 0);
-  std::vector<i64> bhead(1, -1);  // bucket k -> first vertex (-1 empty)
-  i64 maxkey = 0;
+  std::vector<i32> bhead(1, -1);  // bucket k -> first vertex (-1 empty)
+  i32 maxkey = 0;
 
-  auto unlink = [&](i64 u) {
+  auto unlink = [&](i32 u) {
     if (prv[u] >= 0)
       nxt_[prv[u]] = nxt_[u];
     else
       bhead[key[u]] = nxt_[u];
     if (nxt_[u] >= 0) prv[nxt_[u]] = prv[u];
   };
-  auto push_front = [&](i64 u, i64 k) {
-    if ((i64)bhead.size() <= k) bhead.resize((size_t)k + 1, -1);
+  auto push_front = [&](i32 u, i32 k) {
+    if ((i32)bhead.size() <= k) bhead.resize((size_t)k + 1, -1);
     prv[u] = -1;
     nxt_[u] = bhead[k];
     if (nxt_[u] >= 0) prv[nxt_[u]] = u;
@@ -141,38 +171,39 @@ void sdb_gorder(i64 n, const i32* indptr, const i32* indices, i64 window,
   // all vertices start at key 0; ids inserted descending so the initial
   // bucket-0 head is the lowest id (matches the lowest-unvisited-id
   // restart rule before any scores exist)
-  for (i64 u = n - 1; u >= 0; --u) push_front(u, 0);
+  for (i64 u = n - 1; u >= 0; --u) push_front((i32)u, 0);
 
-  std::vector<i64> delta(n, 0), touched;
+  std::vector<i32> delta(n, 0), touched;
   touched.reserve(1024);
-  auto propagate = [&](i64 ve, i64 d) {
+  i32 hub_cut_i = (i32)hub_cut;
+  auto propagate = [&](i32 ve, i32 d) {
+    // single scan of ve's adjacency: the S_n term for each neighbor w,
+    // then (non-hub w) the S_s common-neighbor term through w — one
+    // deg[w]/placed[w] access pattern instead of two full scans.
+    // Touch order = adjacency-interleaved (mirrored in gorder.py).
     touched.clear();
     for (i32 k = indptr[ve]; k < indptr[ve + 1]; ++k) {
-      i64 u = indices[k];  // S_n adjacency term
-      if (!placed[u]) {
-        if (delta[u] == 0) touched.push_back(u);
-        delta[u] += d;
+      i32 w = indices[k];
+      if (!placed[w]) {  // S_n adjacency term
+        if (delta[w] == 0) touched.push_back(w);
+        delta[w] += d;
       }
-    }
-    for (i32 k = indptr[ve]; k < indptr[ve + 1]; ++k) {
-      i64 w = indices[k];
-      if ((double)deg[w] > hub_cut) continue;  // hub skip
+      if (deg[w] > hub_cut_i) continue;  // hub skip
       for (i32 j = indptr[w]; j < indptr[w + 1]; ++j) {
-        i64 u = indices[j];  // S_s common-neighbor term via w
+        i32 u = indices[j];  // S_s common-neighbor term via w
         if (!placed[u]) {
           if (delta[u] == 0) touched.push_back(u);
           delta[u] += d;
         }
       }
     }
-    for (i64 u : touched) {  // one O(1) move per touched vertex
-      i64 nk = key[u] + delta[u];
+    for (i32 u : touched) {  // one O(1) move per touched vertex
+      i32 nk = key[u] + delta[u];
       delta[u] = 0;
       unlink(u);
       push_front(u, nk);
     }
   };
-  (void)nnz;
 
   // start at the first max-degree vertex
   i64 v = 0;
@@ -182,15 +213,15 @@ void sdb_gorder(i64 n, const i32* indptr, const i32* indices, i64 window,
   std::vector<i64> win;
   i64 scan = 0;
   for (i64 i = 0; i < n; ++i) {
-    unlink(v);  // DeleteElement: v leaves the queue on placement
+    unlink((i32)v);  // DeleteElement: v leaves the queue on placement
     placed[v] = 1;
     old2new[v] = i;
     win.push_back(v);
-    propagate(v, +1);
+    propagate((i32)v, +1);
     if ((i64)win.size() > window) {
       i64 out = win.front();
       win.erase(win.begin());
-      propagate(out, -1);
+      propagate((i32)out, -1);
     }
     if (i == n - 1) break;
     // ExtractMax: highest non-empty bucket with key >= 1; a key-0
@@ -257,11 +288,20 @@ struct OMap {  // insertion-ordered community -> weight map
 }  // namespace rabbit_detail
 
 // community-map cap for the rabbit fast path (see prune_to): bounds
-// total aggregation work to O(n * cap + nnz)
-static const size_t kRabbitCap = 1024;
+// total aggregation work to O(n * cap + nnz). Overridable at runtime
+// via SDB_RABBIT_CAP (0 = unlimited) for quality A/Bs of the prune —
+// it perturbs merge choices on hub-rich graphs, so its effect on
+// ordering quality is measured, not assumed (scripts/r3_reorder_quality.py).
+static size_t rabbit_cap() {
+  const char* env = std::getenv("SDB_RABBIT_CAP");
+  if (!env || !*env) return 1024;
+  long v = std::atol(env);
+  return v <= 0 ? (size_t)-1 / 4 : (size_t)v;
+}
 
 void sdb_rabbit(i64 n, const i32* indptr, const i32* indices, i64* old2new) {
   using rabbit_detail::OMap;
+  const size_t kRabbitCap = rabbit_cap();
   auto deg = degrees(n, indptr);
   double two_m = (double)indptr[n];
   if (two_m == 0) {

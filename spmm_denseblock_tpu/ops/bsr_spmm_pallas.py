@@ -53,6 +53,24 @@ from spmm_denseblock_tpu.convert.pack import round_up
 from spmm_denseblock_tpu.ops.plan import Plan, grad_plan, sum_plan
 
 
+def _dot3(lhs, rhs):
+    """Manual bf16x3: split each f32 operand into bf16 hi + bf16 lo
+    (the residual), run 3 native-bf16 MXU passes with f32 accumulation,
+    drop the lo*lo term (~2^-16 relative — far under the 1e-4 gate).
+    This is what Precision.HIGH means on TPU, hand-rolled because
+    Mosaic has no HIGH lowering ("Unsupported dot precision: HIGH");
+    HIGHEST's 6 passes halve the compute ceiling the dense regime is
+    bound on (ROUND2_NOTES: 23.6 TF/s = 72% of the 6-pass 33 TF/s)."""
+    lh = lhs.astype(jnp.bfloat16)
+    ll = (lhs - lh.astype(jnp.float32)).astype(jnp.bfloat16)
+    rh = rhs.astype(jnp.bfloat16)
+    rl = (rhs - rh.astype(jnp.float32)).astype(jnp.bfloat16)
+    acc = jnp.dot(lh, rh, preferred_element_type=jnp.float32)
+    acc += jnp.dot(lh, rl, preferred_element_type=jnp.float32)
+    acc += jnp.dot(ll, rh, preferred_element_type=jnp.float32)
+    return acc
+
+
 def _kernel(rows_ref, cols_ref, blocks_ref, *rest, precision, group, fuse_dot):
     dense_refs, out_ref = rest[:-1], rest[-1]
     j = pl.program_id(1)
@@ -61,6 +79,13 @@ def _kernel(rows_ref, cols_ref, blocks_ref, *rest, precision, group, fuse_dot):
     @pl.when(jnp.logical_or(j == 0, rows_ref[j] != prev_row))
     def _zero():
         out_ref[:] = jnp.zeros_like(out_ref)
+
+    def mxu_dot(lhs, rhs):
+        if precision == "bf16x3":
+            return _dot3(lhs, rhs)
+        return jnp.dot(
+            lhs, rhs, preferred_element_type=jnp.float32, precision=precision
+        )
 
     # f32 inputs: HIGHEST keeps the reference 1e-4 gate exact. bf16
     # inputs: DEFAULT is the native MXU mode (bf16 multiply, f32
@@ -84,23 +109,11 @@ def _kernel(rows_ref, cols_ref, blocks_ref, *rest, precision, group, fuse_dot):
         rhs = jnp.concatenate(
             [dense_refs[g][:] for g in range(group)], axis=0
         )
-        out_ref[:] += jnp.dot(
-            lhs, rhs, preferred_element_type=jnp.float32, precision=precision
-        )
+        out_ref[:] += mxu_dot(lhs, rhs)
         return
-    acc = jnp.dot(
-        blocks_ref[0],
-        dense_refs[0][:],
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
+    acc = mxu_dot(blocks_ref[0], dense_refs[0][:])
     for g in range(1, group):
-        acc += jnp.dot(
-            blocks_ref[g],
-            dense_refs[g][:],
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
+        acc += mxu_dot(blocks_ref[g], dense_refs[g][:])
     out_ref[:] += acc
 
 
@@ -182,12 +195,15 @@ def _pallas_spmm(
         + n_slots * b * f_padded * dense.dtype.itemsize
         + n_block_rows * b * f_padded * 4
     )
-    if precision_name is not None:
-        # opt-in override: "high" = bf16x3 (3 MXU passes, ~f32-grade
-        # error) where the dtype default would pick HIGHEST's 6 passes
-        # — the measured f32 ceiling is compute-bound on those passes
-        # (ROUND2_NOTES multi-block section: 23.6 TF/s = 72% of
-        # HIGHEST's 33 TF/s effective peak)
+    if precision_name == "high":
+        # opt-in override: bf16x3 (3 MXU passes, ~f32-grade error) where
+        # the dtype default would pick HIGHEST's 6 passes — the measured
+        # f32 ceiling is compute-bound on those passes (ROUND2_NOTES:
+        # 23.6 TF/s = 72% of HIGHEST's 33 TF/s effective peak). Mosaic
+        # has no Precision.HIGH lowering, so the kernel decomposes the
+        # operands itself (_dot3).
+        precision = "bf16x3"
+    elif precision_name is not None:
         precision = getattr(jax.lax.Precision, precision_name.upper())
     elif blocks.dtype == jnp.float32:
         precision = jax.lax.Precision.HIGHEST

@@ -120,7 +120,9 @@ def spmm_plan(matrix, impl: str = "auto", block_size: int = 128, **kw):
     (/root/reference/rocsparse_bsrmm.h:192-252). Pass feat_dim to steer;
     default assumes wide (the GNN/bench regime).
     """
+    was_auto = impl == "auto"
     feat_dim = kw.pop("feat_dim", None)
+    tune_with = kw.pop("tune_with", None)
     repack_to = kw.pop("repack_to", None)
     if repack_to is not None and isinstance(matrix, BSR):
         from spmm_denseblock_tpu.convert.pack import repack_bsr
@@ -235,11 +237,49 @@ def spmm_plan(matrix, impl: str = "auto", block_size: int = 128, **kw):
                 # gather chunk, the operand table, the output, and the
                 # timing/train step's in-flight buffers — a products-scale
                 # run with dense at budget//2 exhausted the chip
-                best_thr, _ = score_thresholds(
+                best_thr, rep = score_thresholds(
                     matrix, block_size, candidates=cands,
                     slots_per_block=4000.0 if big_table else 400.0,
                     dense_bytes_budget=budget // 4, dtype_bytes=dtype_bytes,
                 )
+                # thin-margin tune fallback (VERDICT r2 #7): the
+                # slots_per_block constants are two-point fits — when
+                # the hybrid/pure-ELL scores sit within 15% and the
+                # caller supplied a representative operand, MEASURE the
+                # finalists instead of trusting the model (mid-round-2
+                # the model picked a 1844 ms route where 1298 was
+                # available on exactly such a margin).
+                if tune_with is not None:
+                    scores = {
+                        r["thr"]: r["score"]
+                        for r in rep
+                        if r.get("score") is not None
+                    }
+                    s_ell = scores.get(None)
+                    s_hyb = min(
+                        (v for k, v in scores.items() if k is not None),
+                        default=None,
+                    )
+                    thin = (
+                        s_ell is not None
+                        and s_hyb is not None
+                        and abs(s_hyb - s_ell) <= 0.15 * min(s_hyb, s_ell)
+                    )
+                    if thin:
+                        hyb_thr = best_thr if best_thr is not None else min(
+                            (k for k, v in scores.items()
+                             if k is not None and v == s_hyb),
+                        )
+                        plan, _ = spmm_tune(
+                            matrix, tune_with,
+                            candidates=(
+                                ("hybrid", {"density_threshold": hyb_thr,
+                                            "compact": "auto"}),
+                                ("csr_ell", {"compact": "auto"}),
+                            ),
+                            block_size=block_size, **kw,
+                        )
+                        return plan
                 if best_thr is not None:
                     matrix = divide(matrix, block_size, best_thr)
                     impl = "hybrid"
@@ -259,6 +299,16 @@ def spmm_plan(matrix, impl: str = "auto", block_size: int = 128, **kw):
             kw.pop("dtype")
             impl = _INT8_VARIANT.get(impl, impl)
     kw.pop("bsr_bytes_budget", None)
+    if was_auto and impl in (
+        "csr_ell", "csr_ell_int8", "hybrid", "hybrid_int8"
+    ):
+        # two-level compacted gathers, chip-validated round 3
+        # (benchmarks/tpu_v5e_twolevel.jsonl: full products bf16
+        # 1297.8 -> 943.8 ms, int8 -> 869.4; ppa bf16 457.5 -> 269.1).
+        # "auto" only compacts chunks whose byte-rate model predicts a
+        # win, so small tables are unaffected; plan-build cost rises by
+        # one unique+searchsorted pass per candidate span.
+        kw.setdefault("compact", "auto")
     if impl.startswith("bsr") and isinstance(matrix, CSR):
         matrix = csr_to_bsr(matrix, block_size)
     if feat_dim is not None and impl in (

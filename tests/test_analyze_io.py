@@ -329,3 +329,141 @@ def test_load_dataset_calibrated_profile(tmp_path):
     assert any("_cal" in f for f in names) and any("_cal" not in f for f in names)
     with pytest.raises(ValueError):
         load_dataset("ogbn-arxiv", cache_dir=d, profile="nope")
+
+
+def test_load_ogb_mocked_structure():
+    """_load_ogb (io/datasets.py) with a fake `ogb` package injected in
+    sys.modules: the symmetrize + de-self-loop + CSR build path is
+    tested code, not dead code, and load_dataset prefers the real
+    loader over the synthetic fallback when ogb import succeeds
+    (VERDICT r2 #8; mirrors download_ogb.py:12-27's edge dump)."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from spmm_denseblock_tpu.io.datasets import _load_ogb
+
+    edge_index = np.array([[0, 1, 2, 3], [1, 2, 3, 0]])  # directed ring
+
+    class _FakeNodeDS:
+        def __init__(self, name):
+            assert name == "ogbn-test"
+
+        def __getitem__(self, i):
+            return ({"edge_index": edge_index, "num_nodes": 5}, None)
+
+    class _FakeLinkDS:
+        def __init__(self, name):
+            assert name == "ogbl-test"
+
+        def __getitem__(self, i):
+            return {"edge_index": edge_index, "num_nodes": 5}
+
+    fake_ogb = types.ModuleType("ogb")
+    fake_node = types.ModuleType("ogb.nodeproppred")
+    fake_node.NodePropPredDataset = _FakeNodeDS
+    fake_link = types.ModuleType("ogb.linkproppred")
+    fake_link.LinkPropPredDataset = _FakeLinkDS
+    saved = {k: sys.modules.get(k) for k in
+             ("ogb", "ogb.nodeproppred", "ogb.linkproppred")}
+    sys.modules.update({"ogb": fake_ogb, "ogb.nodeproppred": fake_node,
+                        "ogb.linkproppred": fake_link})
+    try:
+        for name in ("ogbn-test", "ogbl-test"):
+            csr = _load_ogb(name)
+            assert csr.shape == (5, 5)
+            # symmetrized ring: each of vertices 0-3 has degree 2,
+            # isolated vertex 4 has none
+            deg = np.diff(np.asarray(csr.indptr))
+            np.testing.assert_array_equal(deg, [2, 2, 2, 2, 0])
+            dense = csr.to_dense()
+            np.testing.assert_array_equal(dense, dense.T)  # symmetric
+            assert np.trace(dense) == 0  # no self loops
+        import pytest
+
+        with pytest.raises(ValueError):
+            _load_ogb("ogbg-test")  # graph-property names unsupported
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+def test_load_dataset_uses_real_loader_when_ogb_present(tmp_path):
+    """The try/except in load_dataset's build() takes the _load_ogb
+    branch when it succeeds — the fallback decision itself is tested."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from spmm_denseblock_tpu.io import datasets as D
+
+    edge_index = np.array([[0, 1, 2], [1, 2, 0]])
+
+    class _FakeNodeDS:
+        def __init__(self, name):
+            pass
+
+        def __getitem__(self, i):
+            return ({"edge_index": edge_index, "num_nodes": 3}, None)
+
+    fake_ogb = types.ModuleType("ogb")
+    fake_node = types.ModuleType("ogb.nodeproppred")
+    fake_node.NodePropPredDataset = _FakeNodeDS
+    saved = {k: sys.modules.get(k) for k in ("ogb", "ogb.nodeproppred")}
+    sys.modules.update({"ogb": fake_ogb, "ogb.nodeproppred": fake_node})
+    try:
+        csr = D.load_dataset("ogbn-arxiv", cache_dir=str(tmp_path))
+        # the real loader returned the tiny mocked graph, NOT the
+        # 169k-node synthetic fallback
+        assert csr.shape == (3, 3)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+def test_molecule_utilization_study():
+    """Per-graph reorder + 100-graph average utilization (the
+    ogbg_code_rcmk.py:60-76 analog): reordering must not lose nnz, the
+    global permutation keeps each graph inside its id range, and the
+    per-molecule reorder improves (or matches) small-block utilization
+    vs the original order on average."""
+    import numpy as np
+
+    from spmm_denseblock_tpu.analyze import (
+        molecule_utilization_study,
+        per_graph_reorder,
+    )
+    from spmm_denseblock_tpu.io.datasets import synthetic_molecules
+    from spmm_denseblock_tpu.reorder import check_permutation, permutate
+
+    csr, gids = synthetic_molecules(n_graphs=40, mean_nodes=12, seed=5)
+    perm = per_graph_reorder(csr, gids, "rcmk")
+    check_permutation(perm, csr.n_rows)
+    # graphs stay in-range: the permuted graph_ids equal the original
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size)
+    np.testing.assert_array_equal(np.asarray(gids)[inv], gids)
+    assert permutate(perm, csr).nnz == csr.nnz
+
+    table = molecule_utilization_study(
+        csr, gids, strategies=("original", "rcmk"), n_graphs=40,
+        block_sizes=(2, 4, 8),
+    )
+    for strat in ("original", "rcmk"):
+        for b in (2, 4, 8):
+            row = table[strat][b]
+            assert 0 < row["utilization"] <= 1
+            assert row["n_graphs"] == 40
+    # rcmk should help (or at worst tie) at small blocks on average
+    assert (
+        table["rcmk"][4]["utilization"]
+        >= table["original"][4]["utilization"] - 1e-9
+    )

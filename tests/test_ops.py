@@ -640,3 +640,26 @@ def test_int8_static_calibration_scales(rng):
     s = static_col_scale(cal)
     assert s.shape == (24,)
     assert np.all(s > 0)
+
+
+def test_auto_tune_with_fallback(rng):
+    """auto + tune_with=operand: when the threshold scorer's hybrid vs
+    pure-ELL margin is thin (<15%), the router measures the finalists
+    on the caller's operand instead of trusting the two-point-fit
+    constants (VERDICT r2 #7). Whatever it returns must be a working
+    plan that matches the oracle."""
+    from spmm_denseblock_tpu.ops import spmm_plan
+
+    a = sp.random(512, 512, density=0.03, random_state=4, format="csr")
+    a.data[:] = 1.0
+    csr = CSR.from_scipy(a)
+    x = rng.standard_normal((512, 16)).astype(np.float32)
+    want = a @ x
+    # tiny budget forces the densifying-route branch where the scorer +
+    # tune fallback live
+    for tw in (None, x):
+        plan = spmm_plan(csr, impl="auto", block_size=64,
+                         bsr_bytes_budget=1 << 16, tune_with=tw)
+        got = np.asarray(plan(x))
+        rel = np.abs(got - want).max() / np.abs(want).max()
+        assert rel < 1e-4, (tw is None, rel)
