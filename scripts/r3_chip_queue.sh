@@ -23,4 +23,6 @@ run() {
 
 run precab2 python scripts/r2_precision_ab.py
 run bench2  python bench.py
+run matrix  python scripts/r3_dataset_matrix.py
+run bench3  python bench.py
 echo "=== r3 chip queue done $(date +%T)"

@@ -68,17 +68,32 @@ def _bsr_record(bsr: BSR, dim: int, secs: float) -> Dict:
 
 def bench_synthetic_bsr(
     p: float, block_size: int, dim: int, impl: str = "bsr_pallas",
-    n_block_rows: int = 1024, dtype=None,
+    n_block_rows: int = 1024, dtype=None, transb: int = 0,
 ) -> Dict:
-    """test_bsrmm analog: seeded random BSR, one timed SpMM."""
+    """test_bsrmm analog: seeded random BSR, one timed SpMM.
+
+    transb=1: the dense operand arrives COLUMN-major ((dim, K), the
+    reference's transB axis — test_bsrmm.cu sweeps transB in {0,1} with
+    cusparse's op(B)). The TPU layout standardizes on row-major
+    features, so this tier measures the honest cost of that choice: a
+    jitted transpose fused in front of the same plan. The transpose is
+    timed INSIDE the call (it is what a column-major caller pays)."""
     bsr = random_bsr(p, n_block_rows, block_size=block_size, seed=1234)
     plan = spmm_plan(bsr, impl=impl, dtype=dtype) if dtype else spmm_plan(bsr, impl=impl)
     x = _dense_operand(bsr.shape[1], dim)
+    if transb:
+        inner = plan
+
+        @jax.jit
+        def plan(xt):  # noqa: F811 — the timed callable
+            return inner(xt.T)
+
+        x = np.ascontiguousarray(x.T)
     secs = _time(plan, x)
     rec = _bsr_record(bsr, dim, secs)
     rec.update(
         kind="synthetic_bsr", p=p, b=block_size, dim=dim, impl=impl,
-        n=bsr.shape[0], nnzb=bsr.nnzb,
+        n=bsr.shape[0], nnzb=bsr.nnzb, transb=transb,
         dtype=str(dtype) if dtype else "float32",
     )
     return rec

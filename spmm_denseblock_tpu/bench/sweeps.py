@@ -29,6 +29,10 @@ BSR_GRID = {
     "b": [32, 64, 128],
     "dim": [64, 128, 256, 512],
     "impl": ["bsr_pallas", "bsr_xla"],
+    # the reference's transB axis (test_bsrmm.cu / benchmark.py:8):
+    # transb=1 feeds a column-major operand and times the entry
+    # transpose with the SpMM (the cost of the row-major layout choice)
+    "transb": [0, 1],
 }
 CSR_GRID = {
     "p": [2e-4, 2e-3, 2e-2],
@@ -66,11 +70,12 @@ def _run_grid(cases: Iterable[Dict], fn, out) -> List[Dict]:
 def sweep_bsrmm(quick=False, out=None):
     g = BSR_GRID
     cases = [
-        dict(p=p, block_size=b, dim=d, impl=i)
+        dict(p=p, block_size=b, dim=d, impl=i, transb=t)
         for p in (g["p"][:1] if quick else g["p"])
         for b in (g["b"][-1:] if quick else g["b"])
         for d in (g["dim"][:1] if quick else g["dim"])
         for i in g["impl"]
+        for t in (g["transb"][:1] if quick else g["transb"])
     ]
     return _run_grid(cases, harness.bench_synthetic_bsr, out)
 

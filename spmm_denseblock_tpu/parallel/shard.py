@@ -47,6 +47,13 @@ class ShardedBSR:
     col_chunk: int  # block-cols per ring chunk (= per-shard B stripe)
     nnzb: int  # real (unpadded) total
     nnzb_per_shard: np.ndarray = None  # (n_shards,) real block counts
+    # optional variable contiguous stripe boundaries (n_shards+1,) in
+    # block-row units; None = uniform stripes of rows_per_shard. When
+    # set, local ids are relative to boundaries[s] and every stripe is
+    # PADDED to rows_per_shard (= max stripe height) so shard_map's
+    # one-program rule holds; B must be laid out with the matching
+    # padded-stripe view (see parallel/spmm._halo_run).
+    boundaries: np.ndarray = None
 
     @property
     def n_shards(self) -> int:
@@ -57,19 +64,57 @@ class ShardedBSR:
         return self.block_size
 
 
-def shard_bsr(bsr: BSR, n_shards: int) -> ShardedBSR:
-    """Partition into `n_shards` equal block-row stripes, pad each stripe's
-    block list to the max stripe nnzb."""
+def balanced_contiguous_boundaries(bsr: BSR, n_shards: int) -> np.ndarray:
+    """Contiguous stripe boundaries with near-equal nnzb per stripe
+    (prefix-sum split at load quantiles). Unlike LPT block-row
+    permutation, this preserves row ORDER — a banded (reordered) matrix
+    stays banded, so halo's O(1)-comms eligibility survives balancing.
+    Returns (n_shards+1,) block-row splits with boundaries[0]=0,
+    boundaries[-1]=n_block_rows."""
+    nbr = bsr.n_block_rows
+    counts = np.bincount(
+        np.asarray(bsr.block_rows[: bsr.nnzb]), minlength=nbr
+    ).astype(np.int64)
+    csum = np.cumsum(counts)
+    total = int(csum[-1])
+    targets = total * np.arange(1, n_shards) / n_shards
+    cuts = np.searchsorted(csum, targets, side="left") + 1
+    bounds = np.concatenate([[0], cuts, [nbr]]).astype(np.int64)
+    # enforce strictly increasing (degenerate loads can collapse cuts)
+    for i in range(1, n_shards + 1):
+        lo = bounds[i - 1] + 1 if i < n_shards else bounds[i - 1]
+        hi = nbr - (n_shards - i) if i < n_shards else nbr
+        bounds[i] = min(max(bounds[i], lo), hi)
+    return bounds
+
+
+def shard_bsr(bsr: BSR, n_shards: int, boundaries=None) -> ShardedBSR:
+    """Partition into `n_shards` contiguous block-row stripes, pad each
+    stripe's block list to the max stripe nnzb. boundaries=None gives
+    uniform stripes; an (n_shards+1,) array gives variable contiguous
+    stripes (balanced_contiguous_boundaries), each padded to the max
+    stripe height."""
     b = bsr.b
     nbr = bsr.n_block_rows
-    rows_per = _cdiv(nbr, n_shards)
-    col_chunk = _cdiv(bsr.n_block_cols, n_shards)
+    if boundaries is None:
+        rows_per = _cdiv(nbr, n_shards)
+        col_chunk = _cdiv(bsr.n_block_cols, n_shards)
+    else:
+        boundaries = np.asarray(boundaries, dtype=np.int64)
+        assert boundaries.shape == (n_shards + 1,)
+        rows_per = int(np.diff(boundaries).max())
+        col_chunk = rows_per  # square padded chunks (halo-only layout)
 
     rows = np.asarray(bsr.block_rows[: bsr.nnzb])
     cols = np.asarray(bsr.block_cols[: bsr.nnzb])
     blocks = np.asarray(bsr.blocks[: bsr.nnzb])
 
-    owner = rows // rows_per
+    if boundaries is None:
+        owner = rows // rows_per
+        base = None
+    else:
+        owner = np.searchsorted(boundaries, rows, side="right") - 1
+        base = boundaries
     real_counts = np.bincount(owner, minlength=n_shards)
 
     # per-shard covering: every LOCAL block-row gets >= 1 block (zero
@@ -79,10 +124,14 @@ def shard_bsr(bsr: BSR, n_shards: int) -> ShardedBSR:
     shard_lists = []
     for s in range(n_shards):
         sel = owner == s
-        slr = (rows[sel] - s * rows_per).astype(np.int64)
+        s_base = s * rows_per if base is None else int(base[s])
+        s_height = rows_per if base is None else int(base[s + 1] - base[s])
+        slr = (rows[sel] - s_base).astype(np.int64)
         sbc = cols[sel].astype(np.int64)
         sbv = blocks[sel]
-        present = np.zeros(rows_per, dtype=bool)
+        # covering applies to the stripe's REAL height only; padded rows
+        # above it never receive output reads
+        present = np.zeros(max(s_height, 1), dtype=bool)
         present[slr] = True
         missing = np.nonzero(~present)[0]
         if missing.size:
@@ -113,6 +162,7 @@ def shard_bsr(bsr: BSR, n_shards: int) -> ShardedBSR:
         col_chunk=col_chunk,
         nnzb=bsr.nnzb,
         nnzb_per_shard=real_counts,
+        boundaries=base,
     )
 
 
@@ -223,7 +273,19 @@ def bucket_halo(sh: ShardedBSR, halo: int = 1):
     width = 2 * halo + 1
     if width >= n:
         return None  # halo covers everything; use allgather
-    chunk_of = np.asarray(sh.block_cols) // cpc  # (n, m)
+    if sh.boundaries is None:
+        chunk_of = np.asarray(sh.block_cols) // cpc  # (n, m)
+        col_local = np.asarray(sh.block_cols) % cpc
+    else:
+        # variable contiguous stripes: B chunk s covers block-cols
+        # [boundaries[s], boundaries[s+1]) padded to rows_per (square
+        # matrices only — the adjacency case halo serves)
+        bounds = np.asarray(sh.boundaries)
+        chunk_of = (
+            np.searchsorted(bounds, np.asarray(sh.block_cols), side="right")
+            - 1
+        )
+        col_local = np.asarray(sh.block_cols) - bounds[chunk_of]
     shard_ids = np.arange(n)[:, None]
     offset = (chunk_of - shard_ids + halo) % n  # (n, m) in [0, n)
     # padding entries are zero blocks at col 0 -> chunk 0; their offset
@@ -231,6 +293,7 @@ def bucket_halo(sh: ShardedBSR, halo: int = 1):
     # them to the center slot instead of failing the halo check.
     pad_mask = np.abs(sh.blocks).sum(axis=(-1, -2)) == 0
     offset = np.where(pad_mask, halo, offset)
+    col_local = np.where(pad_mask, 0, col_local)
     if (offset >= width).any():
         return None
     per = np.zeros((n, width), dtype=np.int64)
@@ -248,6 +311,6 @@ def bucket_halo(sh: ShardedBSR, halo: int = 1):
                 rows_sh = sh.local_rows[s, sel]
                 order = np.argsort(rows_sh, kind="stable")
                 lr[s, h, :k] = rows_sh[order]
-                cc[s, h, :k] = (sh.block_cols[s, sel] % cpc)[order]
+                cc[s, h, :k] = col_local[s, sel][order]
                 bv[s, h, :k] = sh.blocks[s, sel][order]
     return lr, cc, bv

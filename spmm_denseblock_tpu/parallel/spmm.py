@@ -37,6 +37,7 @@ from spmm_denseblock_tpu.formats.csr import CSR
 from spmm_denseblock_tpu.parallel.mesh import make_mesh_1d
 from spmm_denseblock_tpu.ops.plan import Plan, sum_plan
 from spmm_denseblock_tpu.parallel.shard import (
+    balanced_contiguous_boundaries,
     bucket_by_col_chunk,
     bucket_halo,
     shard_bsr,
@@ -204,7 +205,7 @@ def _ring_run(statics, lr, cc, bv, sc, cs, dense):
 
 
 @functools.partial(jax.jit, static_argnames="statics")
-def _halo_run(statics, lr, cc, bv, sc, cs, dense):
+def _halo_run(statics, lr, cc, bv, sc, cs, bp_idx, out_idx, dense):
     (mesh, axis, feature_axis, rows_per, cpc, n, b, n_rows, k_padded,
      halo, dtype_key) = statics
     b_spec = P(axis, feature_axis)
@@ -236,9 +237,20 @@ def _halo_run(statics, lr, cc, bv, sc, cs, dense):
         in_specs=(P(axis), P(axis), P(axis), P(axis), b_spec),
         out_specs=b_spec,
     )
-    dense = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
+    if bp_idx is not None:
+        # variable contiguous stripes (balanced_contiguous_boundaries):
+        # build the uniform padded-stripe view of B — stripe s holds
+        # B[bounds[s]*b : bounds[s+1]*b] padded to rows_per*b with the
+        # appended zero row. One extra pass over B (HBM, not ICI); the
+        # halo exchange stays O(1) in mesh size.
+        dz = jnp.pad(dense, ((0, 1), (0, 0)))
+        dense = jnp.take(dz, bp_idx, axis=0)  # (n * rows_per * b, F)
+    else:
+        dense = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
     dense = jax.lax.with_sharding_constraint(dense, NamedSharding(mesh, b_spec))
-    out = fn(lr, cc, bv, sc, dense)[:n_rows].astype(jnp.float32)
+    out = fn(lr, cc, bv, sc, dense).astype(jnp.float32)
+    # caller-order rows: variable stripes need the index unpad
+    out = out[:n_rows] if out_idx is None else jnp.take(out, out_idx, axis=0)
     return out * col_scale[None, :] if int8_mode else out
 
 
@@ -304,6 +316,32 @@ def dist_bsr_spmm_plan(
     if mesh is None:
         mesh = make_mesh_1d()
 
+    sh_bal, bounds = None, None
+    if (
+        balance
+        and strategy in ("auto", "halo")
+        and bsr.shape[0] == bsr.shape[1]
+    ):
+        # contiguous equal-load stripes FIRST: unlike LPT (which
+        # scatters block-rows and destroys bandedness), prefix-sum
+        # boundaries keep row order, so an imbalanced BANDED graph gets
+        # both load balance and halo's O(1) comms — the design answer
+        # to VERDICT r2's halo-vs-LPT tension.
+        n_dev = int(mesh.shape[axis])
+        nbr = bsr.n_block_rows
+        counts = np.bincount(
+            np.asarray(bsr.block_rows[: bsr.nnzb]), minlength=nbr
+        ).astype(np.int64)
+        rows_per0 = -(-nbr // n_dev)
+        pad = n_dev * rows_per0 - nbr
+        loads = np.pad(counts, (0, pad)).reshape(n_dev, rows_per0).sum(1)
+        imb = loads.max() / max(loads.mean(), 1e-9)
+        if balance == "contiguous" or imb > 1.25:
+            cand = balanced_contiguous_boundaries(bsr, n_dev)
+            sh_c = shard_bsr(bsr, n_dev, boundaries=cand)
+            if bucket_halo(sh_c, halo) is not None:
+                sh_bal, bounds, strategy = sh_c, cand, "halo"
+
     if balance and strategy != "halo":
         n_dev = int(mesh.shape[axis])
         nbr = bsr.n_block_rows
@@ -345,7 +383,7 @@ def dist_bsr_spmm_plan(
             return Plan((inner, undo), _undo_apply)
     n = int(mesh.shape[axis])
     b = bsr.b
-    sh = shard_bsr(bsr, n)
+    sh = sh_bal if sh_bal is not None else shard_bsr(bsr, n)
     if strategy == "auto":
         # halo when the (reordered) matrix is banded enough for O(1)
         # neighbor exchange; else the one-collective allgather
@@ -439,9 +477,26 @@ def dist_bsr_spmm_plan(
         lr = jax.device_put(lr_b, stripe)
         cc = jax.device_put(cc_b, stripe)
         bv, sc = put_blocks(bv_b)
+        bp_d = oi_d = None
+        if sh.boundaries is not None:
+            # variable contiguous stripes: index maps for the padded
+            # B-stripe view and the caller-order output unpad
+            bounds = np.asarray(sh.boundaries)
+            bp = np.full((n, rows_per * b), n_cols, np.int64)
+            for s in range(n):
+                g0, g1 = int(bounds[s]) * b, int(bounds[s + 1]) * b
+                seg = np.arange(g0, g1, dtype=np.int64)
+                bp[s, : g1 - g0] = np.where(seg >= n_cols, n_cols, seg)
+            rows_all = np.arange(n_rows, dtype=np.int64)
+            s_of = np.searchsorted(bounds, rows_all // b, side="right") - 1
+            oi = s_of * rows_per * b + (rows_all - bounds[s_of] * b)
+            bp_d = jax.device_put(
+                jnp.asarray(bp.reshape(-1).astype(np.int32)), stripe
+            )
+            oi_d = jnp.asarray(oi.astype(np.int32))
         inner = (mesh, axis, feature_axis, rows_per, cpc, n, b, n_rows,
                  k_padded, halo, dtype_key)
-        return Plan((lr, cc, bv, sc, cs), _dist_bsr_apply,
+        return Plan((lr, cc, bv, sc, cs, bp_d, oi_d), _dist_bsr_apply,
                     ("halo", inner, dtype_key))
 
     raise ValueError(

@@ -122,3 +122,18 @@ def test_timing_mix_produces_distinct_chain_inputs():
     y = jnp.ones((32, 128), jnp.float32)  # sum(y)=4096 -> eps*sum ~ 4e-9
     out = np.asarray(_mix(x, y))
     assert not np.array_equal(out, np.asarray(x))
+
+
+def test_bench_synthetic_bsr_transb():
+    """transb=1 (the reference's transposed-operand axis,
+    test_bsrmm.cu): a column-major operand goes through an entry
+    transpose fused with the same plan — record carries transb and the
+    timing path handles the non-square chaining."""
+    from spmm_denseblock_tpu.bench.harness import bench_synthetic_bsr
+
+    rec = bench_synthetic_bsr(0.05, 16, 24, impl="bsr_xla",
+                              n_block_rows=8, transb=1)
+    assert rec["transb"] == 1 and rec["ms"] > 0
+    rec0 = bench_synthetic_bsr(0.05, 16, 24, impl="bsr_xla",
+                               n_block_rows=8, transb=0)
+    assert rec0["transb"] == 0

@@ -626,3 +626,75 @@ def test_dist_int8_rejects_mismatched_calibration(mesh, rng):
     cal = rng.standard_normal((10, 16)).astype(np.float32)
     with pytest.raises(ValueError, match="calibration"):
         dist_bsr_spmm_plan(bsr, mesh=mesh, calibration=cal)
+
+
+def test_balanced_contiguous_halo(mesh, rng):
+    """Contiguous equal-load stripes keep a banded-but-imbalanced
+    matrix halo-eligible (LPT would scatter rows and lose the O(1)
+    exchange): boundaries balance nnzb, bucket_halo still succeeds at
+    variable boundaries, and the end-to-end plan is oracle-exact."""
+    from spmm_denseblock_tpu.formats.csr import CSR
+    from spmm_denseblock_tpu.convert.csr2bsr import csr_to_bsr
+    from spmm_denseblock_tpu.parallel.shard import (
+        balanced_contiguous_boundaries,
+        bucket_halo,
+        shard_bsr,
+    )
+
+    # banded adjacency with a density gradient: early rows carry 8
+    # neighbors, late rows 2 -> contiguous uniform stripes are ~2.4x
+    # imbalanced, but the band (|col-row| <= 8) stays narrow everywhere
+    n = 64 * 8
+    rows_l, cols_l = [], []
+    for r in range(n):
+        k = 8 if r < n // 3 else (4 if r < 2 * n // 3 else 2)
+        for j in range(k):
+            rows_l.append(r)
+            cols_l.append(min(n - 1, max(0, r - 4 + j)))
+    csr = CSR.from_coo(np.array(rows_l), np.array(cols_l), None, (n, n))
+    bsr = csr_to_bsr(csr, 8)
+
+    bounds = balanced_contiguous_boundaries(bsr, 8)
+    assert bounds[0] == 0 and bounds[-1] == bsr.n_block_rows
+    assert (np.diff(bounds) > 0).all()
+    sh = shard_bsr(bsr, 8, boundaries=bounds)
+    # balanced: stripe loads within ~30% of each other
+    per = np.asarray(sh.nnzb_per_shard, dtype=np.float64)
+    assert per.max() / per.mean() < 1.3, per.tolist()
+    # still halo-eligible at the variable boundaries
+    assert bucket_halo(sh, 1) is not None
+
+    dense = rng.standard_normal((n, 12)).astype(np.float32)
+    want = spmm_scipy(csr, dense)
+    for bal in ("contiguous", "auto"):
+        run = dist_bsr_spmm_plan(bsr, mesh=mesh, strategy="halo",
+                                 balance=bal)
+        assert_allclose(np.asarray(run(dense)), want)
+    # auto strategy takes the same path (banded + imbalanced)
+    run = dist_bsr_spmm_plan(bsr, mesh=mesh, strategy="auto")
+    assert_allclose(np.asarray(run(dense)), want)
+
+
+def test_balanced_contiguous_halo_int8(mesh, rng):
+    """int8 composes with the contiguous-balanced halo path."""
+    import jax.numpy as jnp
+
+    from spmm_denseblock_tpu.formats.csr import CSR
+    from spmm_denseblock_tpu.convert.csr2bsr import csr_to_bsr
+
+    n = 64 * 8
+    rows_l, cols_l = [], []
+    for r in range(n):
+        k = 8 if r < n // 3 else 2
+        for j in range(k):
+            rows_l.append(r)
+            cols_l.append(min(n - 1, max(0, r - 4 + j)))
+    csr = CSR.from_coo(np.array(rows_l), np.array(cols_l), None, (n, n))
+    bsr = csr_to_bsr(csr, 8)
+    dense = rng.standard_normal((n, 12)).astype(np.float32)
+    want = spmm_scipy(csr, dense)
+    run = dist_bsr_spmm_plan(bsr, mesh=mesh, strategy="halo",
+                             balance="contiguous", dtype=jnp.int8)
+    got = np.asarray(run(dense))
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert 0 < rel < 3e-2, rel
