@@ -103,11 +103,21 @@ def main():
         if err < 1e-4 and t_high < t_best:
             t_best, dtype_label = t_high, "f32(bf16x3)"
 
-        # reduced-precision serving tier, reported alongside (opt-in for
-        # users; the headline stays f32-grade per the 1e-4 discipline)
+        # reduced-precision serving tiers, reported alongside (opt-in
+        # for users; the headline stays f32-grade per the 1e-4
+        # discipline). int8: grouped kernel + static calibration (the
+        # serving deployment shape), ~1e-2 rel err.
         bf16 = bsr_spmm_pallas_plan(bsr, grad=False, dtype="bfloat16")
         t_bf16 = _time_fn(bf16, dense_dev, iters=iters)
         tiers["bf16"] = round(flops / t_bf16 / 1e9, 1)
+
+        from spmm_denseblock_tpu.ops.bsr_spmm_pallas_int8 import (
+            bsr_spmm_pallas_int8_plan,
+        )
+
+        i8 = bsr_spmm_pallas_int8_plan(bsr, calibration=dense[:4096])
+        t_i8 = _time_fn(i8, dense_dev, iters=iters)
+        tiers["int8_calibrated"] = round(flops / t_i8 / 1e9, 1)
 
     gflops = flops / t_best / 1e9
     vs = t_xla / t_best  # >1 means Pallas beats the compiler baseline

@@ -36,6 +36,16 @@ def _dense_operand(n_rows: int, dim: int, seed: int = 1234) -> np.ndarray:
     return rng.standard_normal((n_rows, dim)).astype(np.float32)
 
 
+@jax.jit
+def _transb_apply(plan, xt):
+    """Column-major entry: transpose fused in front of the plan. The
+    plan is a jit ARGUMENT (Plan is a pytree), NOT a closure capture —
+    closing over it would re-embed its device arrays as HLO constants
+    (the ops/plan.py round-1 lesson; observed again as a 3.18 GB
+    constant upload that broke the relay in scripts/r3_transb.py)."""
+    return plan(xt.T)
+
+
 def _time(plan, x) -> float:
     x_dev = jax.device_put(x)
     probe = plan(x_dev)
@@ -82,12 +92,9 @@ def bench_synthetic_bsr(
     plan = spmm_plan(bsr, impl=impl, dtype=dtype) if dtype else spmm_plan(bsr, impl=impl)
     x = _dense_operand(bsr.shape[1], dim)
     if transb:
-        inner = plan
+        import functools
 
-        @jax.jit
-        def plan(xt):  # noqa: F811 — the timed callable
-            return inner(xt.T)
-
+        plan = functools.partial(_transb_apply, plan)
         x = np.ascontiguousarray(x.T)
     secs = _time(plan, x)
     rec = _bsr_record(bsr, dim, secs)

@@ -292,6 +292,11 @@ struct OMap {  // insertion-ordered community -> weight map
 // via SDB_RABBIT_CAP (0 = unlimited) for quality A/Bs of the prune —
 // it perturbs merge choices on hub-rich graphs, so its effect on
 // ordering quality is measured, not assumed (scripts/r3_reorder_quality.py).
+// Measured (benchmarks/reorder_quality_r3.jsonl): cap=1024 vs
+// unlimited on arxiv/collab — b=32 density 0.0254 vs 0.0255 / 0.0261
+// vs 0.0260, utilization and avg fill identical; cap=1024 vs 8192 on
+// full products — identical quality (avg 2.052 vs 2.033), 12% faster.
+// The prune is quality-neutral at every measured scale; 1024 stays.
 static size_t rabbit_cap() {
   const char* env = std::getenv("SDB_RABBIT_CAP");
   if (!env || !*env) return 1024;

@@ -230,8 +230,17 @@ def _pallas_spmm(
 
 def _pack_groups(rows, cols, blocks, group: int):
     """Group-pad a row-sorted flat block list: every block-row's blocks
-    are padded to a multiple of `group` with zero blocks (col = previous
-    real col, so the pipeline re-fetches a hot tile instead of tile 0).
+    are padded to a multiple of `group` with zero blocks.
+
+    Pad-slot col choice matters for bandwidth, not correctness (the pad
+    block is zero): each group slot g owns its own BlockSpec pipeline
+    buffer, and Mosaic only issues the B-tile DMA when that buffer's
+    block index CHANGES between consecutive grid steps. So a pad slot
+    repeats the SAME buffer's previous-step col — the copy is skipped
+    entirely (7% of slots at G=4, 15% at G=8 on the headline shape
+    are pads; the earlier row-last-col fill paid a full gather DMA for
+    every one of them). Leading pads (before a buffer's first real
+    block) fall back to the row's last real col.
 
     Returns (step_rows (n_steps,), slot_cols (n_steps*group,),
     blocks_padded (n_steps*group, b, b))."""
@@ -249,12 +258,25 @@ def _pack_groups(rows, cols, blocks, group: int):
     blocks_pad[dest] = blocks
     cols_pad = np.full(n_slots, -1, np.int64)
     cols_pad[dest] = cols
-    # forward-fill pad cols from the row's last real block (every row has
-    # >= 1 block and pads follow reals, so the fill never crosses rows)
+    # fallback fill: the row's last real block (flat forward fill —
+    # every row has >= 1 block and pads follow reals within a row)
     ffill = np.maximum.accumulate(
         np.where(cols_pad >= 0, np.arange(n_slots), 0)
     )
-    cols_pad = cols_pad[ffill].astype(np.int32)
+    flat_fill = cols_pad[ffill]
+    if group > 1:
+        # per-buffer fill: pad at (step j, buffer g) repeats this
+        # buffer's previous-step col -> Mosaic skips the DMA
+        c2 = cols_pad.reshape(n_steps, group)
+        step_idx = np.where(c2 >= 0, np.arange(n_steps)[:, None], -1)
+        src = np.maximum.accumulate(step_idx, axis=0)
+        per_buf = np.take_along_axis(c2, np.maximum(src, 0), axis=0)
+        cols_pad = np.where(
+            src >= 0, per_buf, flat_fill.reshape(n_steps, group)
+        ).reshape(-1)
+    else:
+        cols_pad = flat_fill
+    cols_pad = cols_pad.astype(np.int32)
     step_rows = np.repeat(uniq, steps_per_row).astype(np.int32)
     return step_rows, cols_pad, blocks_pad
 

@@ -1,11 +1,20 @@
 """int8 Pallas BSR SpMM — quantized serving on the hand-scheduled path.
 
 Same schedule as the flat f32 kernel (ops/bsr_spmm_pallas.py: flat
-block list, scalar-prefetched indices, VMEM-resident output
-accumulation) with int8 operands: the MXU runs int8 x int8 -> int32
-(double bf16 throughput on v5e-class chips) and each step rescales into
-the f32 accumulator with its block scale; the per-column operand scale
-is applied once on the output epilogue (separable factors).
+block list GROUP-packed per step, scalar-prefetched indices,
+VMEM-resident output accumulation) with int8 operands: the MXU runs
+int8 x int8 -> int32 (double bf16 throughput on v5e-class chips) and
+each slot rescales into the f32 accumulator with its block scale; the
+per-column operand scale is applied once on the output epilogue
+(separable factors).
+
+Round-3 note: until this round the int8 kernel ran ONE block per grid
+step while the f32/bf16 kernel had gained group packing — at the
+headline shape that is ~20.7k steps of fixed grid cost for a kernel
+whose int8 bandwidth SoL is ~2.4 ms, i.e. step-overhead-bound at
+33.6 TF/s. The grouped schedule (G slots per step, per-slot scales in
+SMEM, pad slots repeating the same buffer's previous col so their DMA
+is skipped) is shared with the f32 kernel via _pack_groups.
 
 Quantization contract matches ops/bsr_spmm_int8.py (per-block weight
 scales, per-column dynamic operand scales, symmetric, ~1e-2 rel err).
@@ -24,11 +33,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from spmm_denseblock_tpu.convert.pack import round_up
 from spmm_denseblock_tpu.formats.bsr import BSR
-from spmm_denseblock_tpu.ops.bsr_spmm_pallas import _ensure_covering
+from spmm_denseblock_tpu.ops.bsr_spmm_pallas import (
+    _auto_group,
+    _ensure_covering,
+    _pack_groups,
+)
 from spmm_denseblock_tpu.ops.bsr_spmm_int8 import quantize_blocks
 
 
-def _kernel(rows_ref, cols_ref, scales_ref, blocks_ref, dense_ref, out_ref):
+def _kernel(rows_ref, cols_ref, scales_ref, blocks_ref, *rest, group):
+    dense_refs, out_ref = rest[:-1], rest[-1]
     j = pl.program_id(1)
     prev_row = rows_ref[jnp.maximum(j - 1, 0)]
 
@@ -36,20 +50,26 @@ def _kernel(rows_ref, cols_ref, scales_ref, blocks_ref, dense_ref, out_ref):
     def _zero():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    d = jnp.dot(
-        blocks_ref[0],
-        dense_ref[:],
-        preferred_element_type=jnp.int32,
-    )
-    out_ref[:] += scales_ref[j] * d.astype(jnp.float32)
+    # per-slot block scales force f32 accumulation across the group
+    # (int32 accumulate would need a shared scale); the int8 MXU dot per
+    # slot is still the full-rate path
+    acc = scales_ref[j * group] * jnp.dot(
+        blocks_ref[0], dense_refs[0][:], preferred_element_type=jnp.int32
+    ).astype(jnp.float32)
+    for g in range(1, group):
+        acc += scales_ref[j * group + g] * jnp.dot(
+            blocks_ref[g], dense_refs[g][:], preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+    out_ref[:] += acc
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_block_rows", "n_rows", "f_tile", "interpret")
+    jax.jit,
+    static_argnames=("n_block_rows", "n_rows", "f_tile", "group", "interpret"),
 )
 def _pallas_int8_spmm(
-    block_rows,
-    block_cols,
+    step_rows,
+    slot_cols,
     qblocks,
     scales,
     qdense,
@@ -57,12 +77,20 @@ def _pallas_int8_spmm(
     n_block_rows: int,
     n_rows: int,
     f_tile: int,
+    group: int = 1,
     interpret: bool = False,
 ):
-    nnzb, b, _ = qblocks.shape
+    n_slots, b, _ = qblocks.shape
+    n_steps = n_slots // group
     f_padded = qdense.shape[1]
     assert f_padded % f_tile == 0
-    grid = (f_padded // f_tile, nnzb)
+    grid = (f_padded // f_tile, n_steps)
+
+    def _b_spec(g):
+        return pl.BlockSpec(
+            (b, f_tile),
+            lambda f, j, rows, cols, sc, g=g: (cols[j * group + g], f),
+        )
 
     # scales ride the scalar-prefetch path (SMEM) next to the indices —
     # Mosaic rejects tiny (1,1) BlockSpec'd SMEM operands
@@ -70,21 +98,21 @@ def _pallas_int8_spmm(
         num_scalar_prefetch=3,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, b, b), lambda f, j, rows, cols, sc: (j, 0, 0)),
-            pl.BlockSpec((b, f_tile), lambda f, j, rows, cols, sc: (cols[j], f)),
+            pl.BlockSpec((group, b, b), lambda f, j, rows, cols, sc: (j, 0, 0)),
+            *[_b_spec(g) for g in range(group)],
         ],
         out_specs=pl.BlockSpec(
             (b, f_tile), lambda f, j, rows, cols, sc: (rows[j], f)
         ),
     )
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, group=group),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_block_rows * b, f_padded), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * nnzb * b * b * f_padded,
+            flops=2 * n_slots * b * b * f_padded,
             bytes_accessed=int(
-                qblocks.size + nnzb * b * f_padded + n_block_rows * b * f_padded * 4
+                qblocks.size + n_slots * b * f_padded + n_block_rows * b * f_padded * 4
             ),
             transcendentals=0,
         ),
@@ -92,7 +120,7 @@ def _pallas_int8_spmm(
             dimension_semantics=("parallel", "arbitrary")
         ),
         interpret=interpret,
-    )(block_rows, block_cols, scales, qblocks, qdense)
+    )(step_rows, slot_cols, scales, qblocks, *([qdense] * group))
     # per-column operand scale applied once on the epilogue
     return out[:n_rows] * col_scale[None, :]
 
@@ -119,6 +147,7 @@ def bsr_spmm_pallas_int8_plan(
     interpret: Optional[bool] = None,
     chunk_nnzb: Optional[int] = None,
     calibration=None,
+    group: Optional[int] = None,
     **_ignored,
 ):
     """Host quantization + layout prep once -> jitted C = f(B).
@@ -126,7 +155,9 @@ def bsr_spmm_pallas_int8_plan(
     ceiling like the f32 plan (sum of covered row-sorted chunks).
 
     calibration: optional representative operand batch — per-column
-    scales become plan constants (see bsr_spmm_int8.static_col_scale)."""
+    scales become plan constants (see bsr_spmm_int8.static_col_scale).
+    group: blocks per grid step (None = _auto_group, shared with the
+    f32 kernel)."""
     from spmm_denseblock_tpu.ops.bsr_spmm_int8 import reject_grad_request
     from spmm_denseblock_tpu.ops.bsr_spmm_pallas import CHUNK_NNZB
 
@@ -148,6 +179,7 @@ def bsr_spmm_pallas_int8_plan(
                 bsr_spmm_pallas_int8_plan(
                     frag, f_tile=f_tile, interpret=interpret,
                     chunk_nnzb=bsr.nnzb + 1, calibration=calibration,
+                    group=group,
                 )
             )
 
@@ -158,11 +190,20 @@ def bsr_spmm_pallas_int8_plan(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     covered = _ensure_covering(bsr)
-    qblocks, scales = quantize_blocks(
-        np.asarray(covered.blocks[: covered.nnzb], dtype=np.float32)
+    rows_h = np.asarray(covered.block_rows[: covered.nnzb])
+    cols_h = np.asarray(covered.block_cols[: covered.nnzb])
+    blocks_h = np.asarray(covered.blocks[: covered.nnzb], dtype=np.float32)
+    if group is None:
+        group = _auto_group(covered.nnzb, np.unique(rows_h).size)
+    # pack f32 blocks, THEN quantize the packed list: pad slots are
+    # zero blocks -> q = 0 regardless of scale, so pads contribute
+    # exactly nothing and the per-slot scales array lines up with slots
+    step_rows_h, slot_cols_h, blocks_pad_h = _pack_groups(
+        rows_h, cols_h, blocks_h, group
     )
-    br = jnp.asarray(np.asarray(covered.block_rows[: covered.nnzb]))
-    bc = jnp.asarray(np.asarray(covered.block_cols[: covered.nnzb]))
+    qblocks, scales = quantize_blocks(blocks_pad_h)
+    br = jnp.asarray(step_rows_h)
+    bc = jnp.asarray(slot_cols_h)
     qb = jnp.asarray(qblocks)
     sc = jnp.asarray(scales)
     b = covered.b
@@ -178,7 +219,8 @@ def bsr_spmm_pallas_int8_plan(
 
     arrays = (br, bc, qb, sc)
     statics = (
-        covered.n_block_rows, n_rows, n_cols, k_needed, f_tile, interpret,
+        covered.n_block_rows, n_rows, n_cols, k_needed, f_tile, group,
+        interpret,
         None if static_scale is None else tuple(float(v) for v in static_scale),
     )
     return Plan(arrays, _int8_pallas_apply, statics)
@@ -186,7 +228,7 @@ def bsr_spmm_pallas_int8_plan(
 
 def _int8_pallas_apply(statics, arrays, dense):
     (n_block_rows, n_rows, n_cols, k_needed,
-     f_tile, interpret, static_scale) = statics
+     f_tile, group, interpret, static_scale) = statics
     br, bc, qb, sc = arrays
     dense = jnp.asarray(dense, jnp.float32)
     assert dense.shape[0] == n_cols, (dense.shape, n_cols)
@@ -205,6 +247,7 @@ def _int8_pallas_apply(statics, arrays, dense):
     else:
         qdense, col_scale = _quantize_cols(dense)
     out = _pallas_int8_spmm(
-        br, bc, qb, sc, qdense, col_scale, n_block_rows, n_rows, ft, interpret
+        br, bc, qb, sc, qdense, col_scale, n_block_rows, n_rows, ft, group,
+        interpret,
     )
     return out[:, : out.shape[1] - pad_c] if pad_c else out

@@ -291,13 +291,14 @@ def spmm_plan(matrix, impl: str = "auto", block_size: int = 128, **kw):
                     # band-slice rate) — banded stays an opt-in tier for
                     # graphs whose reordering localizes harder
                     impl = "csr_ell"
-        # quantized serving: auto + dtype=int8 maps the chosen tier to
-        # its int8 variant (inference only; pass calibration= for
-        # static scales)
-        dt = kw.get("dtype")
-        if dt is not None and jnp.dtype(dt) == jnp.int8:
-            kw.pop("dtype")
-            impl = _INT8_VARIANT.get(impl, impl)
+    # quantized serving: dtype=int8 maps the chosen tier (auto-routed OR
+    # explicitly named) to its int8 variant (inference only; pass
+    # calibration= for static scales). Tiers without a quantized variant
+    # still reach their reject_int8_cast guard.
+    dt = kw.get("dtype")
+    if dt is not None and jnp.dtype(dt) == jnp.int8 and impl in _INT8_VARIANT:
+        kw.pop("dtype")
+        impl = _INT8_VARIANT[impl]
     kw.pop("bsr_bytes_budget", None)
     if was_auto and impl in (
         "csr_ell", "csr_ell_int8", "hybrid", "hybrid_int8"

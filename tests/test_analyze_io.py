@@ -218,6 +218,18 @@ def test_graph_stats_and_triadic_closure():
     sc = graph_stats(closed, sample=400, seed=1)
     assert sc["clustering_sampled"] > sb["clustering_sampled"]
 
+    # clique knob (round 3, ogbl-collab calibration): disjoint q-cliques
+    # push clustering far past the lattice ceiling; clique=0 leaves the
+    # legacy generator bit-identical (determinism guard above relies
+    # on the rng stream being untouched by the clique branch)
+    cliq = synthetic_powerlaw(4000, 60000, seed=3, clique=0.84,
+                              clustering=0.3)
+    sq = graph_stats(cliq, sample=400, seed=1)
+    assert sq["clustering_sampled"] > 0.6 > sc["clustering_sampled"]
+    a = synthetic_powerlaw(4000, 60000, seed=3, clique=0.0)
+    assert np.array_equal(np.asarray(a.indptr), np.asarray(base.indptr))
+    assert np.array_equal(np.asarray(a.indices), np.asarray(base.indices))
+
     assert dataset_provenance("ogbn-arxiv") in ("ogb", "synthetic_fallback")
 
 

@@ -371,6 +371,14 @@ def test_auto_routes_int8_variant(rng):
     assert np.abs(f32 - want).max() / np.abs(want).max() < 1e-4
     assert not np.allclose(np.asarray(plan(x)), f32)
 
+    # round 3: EXPLICIT impl + dtype=int8 remaps too (previously only
+    # auto did; an explicit bsr_pallas + int8 + calibration raised a
+    # confusing TypeError instead of routing to bsr_int8_pallas)
+    explicit = spmm_plan(csr, impl="bsr_pallas", block_size=64,
+                         dtype=jnp.int8, calibration=cal)
+    rel = np.abs(np.asarray(explicit(x)) - want).max() / np.abs(want).max()
+    assert rel < 1e-1, rel
+
 
 def test_hybrid_int8_quantized(rng):
     """hybrid_int8: int8 dense blocks + int8-table ELL remainder sum to
@@ -572,7 +580,9 @@ def test_bsr_spmm_pallas_group_packing(rng):
 
 def test_bsr_spmm_pallas_group_pack_layout():
     """_pack_groups invariants: slots per row are a multiple of G, pads
-    carry zero blocks and the previous real column id."""
+    carry zero blocks and repeat the SAME buffer's previous-step col
+    (so the Mosaic pipeline skips the pad slot's B-tile DMA — the index
+    is unchanged for that buffer across consecutive steps)."""
     import numpy as np
     from spmm_denseblock_tpu.ops.bsr_spmm_pallas import _pack_groups
 
@@ -580,11 +590,21 @@ def test_bsr_spmm_pallas_group_pack_layout():
     cols = np.array([4, 1, 7, 3, 0], dtype=np.int32)
     blocks = np.ones((5, 8, 8), np.float32)
     step_rows, slot_cols, blocks_pad = _pack_groups(rows, cols, blocks, 2)
-    # row 0: 3 blocks -> 2 steps (1 pad); row 2: 2 blocks -> 1 step
+    # row 0: 3 blocks -> 2 steps (1 pad); row 2: 2 blocks -> 1 step.
+    # The pad (step 1, buffer 1) repeats buffer 1's step-0 col (1),
+    # not the row's last real col (7): equal consecutive index = no DMA.
     np.testing.assert_array_equal(step_rows, [0, 0, 2])
-    np.testing.assert_array_equal(slot_cols, [4, 1, 7, 7, 3, 0])
+    np.testing.assert_array_equal(slot_cols, [4, 1, 7, 1, 3, 0])
     assert blocks_pad.shape == (6, 8, 8)
     assert float(blocks_pad[3].sum()) == 0.0  # pad slot zeroed
+
+    # leading pad (buffer has no prior real col): falls back to the
+    # row's last real col
+    rows1 = np.array([0, 1, 1], dtype=np.int32)
+    cols1 = np.array([5, 2, 6], dtype=np.int32)
+    _, sc1, bp1 = _pack_groups(rows1, cols1, np.ones((3, 8, 8), np.float32), 2)
+    np.testing.assert_array_equal(sc1, [5, 5, 2, 6])
+    assert float(bp1[1].sum()) == 0.0
 
 
 def test_csr_spmm_pallas_matches_oracle_and_grad(rng):
