@@ -148,7 +148,7 @@ def _ensure_covering(bsr: BSR) -> BSR:
     jax.jit,
     static_argnames=(
         "n_block_rows", "n_rows", "f_tile", "group", "fuse_dot", "interpret",
-        "precision_name",
+        "precision_name", "lookahead",
     ),
 )
 def _pallas_spmm(
@@ -163,19 +163,44 @@ def _pallas_spmm(
     fuse_dot: bool = False,
     interpret: bool = False,
     precision_name: str = None,
+    lookahead: int = 0,
 ):
     """step_rows: (n_steps,) block-row per grid step; slot_cols:
     (n_steps * group,) block-col per slot; blocks: (n_steps * group, b, b)
-    group-padded flat blocks (zero blocks in pad slots)."""
+    group-padded flat blocks (zero blocks in pad slots).
+
+    lookahead > 0: multi-buffer the gathered B tiles (pl.Buffered) so
+    the pipeline issues DMAs up to lookahead-1 steps ahead. MEASURED
+    NEGATIVE in this environment (benchmarks/lookahead_ab_r3.jsonl):
+    the lowering rejects both use_lookahead ("not supported for XLA
+    pipeline emitter lowering") and buffer_count > 2 ("Only single (1)
+    and double (2) buffering are supported"). Kept as an opt-in for
+    toolchains that lower deeper pipelines; on this one the default
+    double buffer IS the supported maximum, which closes the floor
+    proof: the bf16 kernel's measured 63-70% of bandwidth SoL cannot
+    be improved through pipeline depth here."""
     n_slots, b, _ = blocks.shape
     n_steps = n_slots // group
     f_padded = dense.shape[1]
     assert f_padded % f_tile == 0
     grid = (f_padded // f_tile, n_steps)
 
+    # use_lookahead=True is rejected by this environment's lowering
+    # ("Lookahead is not supported for XLA pipeline emitter lowering",
+    # benchmarks/lookahead_ab_r3.jsonl) — plain multi-buffering still
+    # issues DMAs up to (buffer_count - 1) steps ahead, which is the
+    # latency-hiding half of the idea.
+    b_mode = (
+        pl.Buffered(buffer_count=lookahead, use_lookahead=False)
+        if lookahead and not interpret
+        else None
+    )
+
     def _b_spec(g):
         return pl.BlockSpec(
-            (b, f_tile), lambda f, j, rows, cols, g=g: (cols[j * group + g], f)
+            (b, f_tile),
+            lambda f, j, rows, cols, g=g: (cols[j * group + g], f),
+            pipeline_mode=b_mode,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -308,6 +333,7 @@ def bsr_spmm_pallas_plan(
     group: Optional[int] = None,
     fuse_dot: bool = False,
     precision: Optional[str] = None,
+    lookahead: int = 0,
 ):
     """Host layout prep once -> jitted C = f(B).
 
@@ -343,12 +369,13 @@ def bsr_spmm_pallas_plan(
         return _chunked_plan(
             bsr, dtype=dtype, f_tile=f_tile, interpret=interpret,
             grad=grad, chunk_nnzb=chunk_nnzb, group=group, fuse_dot=fuse_dot,
-            precision=precision,
+            precision=precision, lookahead=lookahead,
         )
     if grad:
         fwd = bsr_spmm_pallas_plan(
             bsr, dtype=dtype, f_tile=f_tile, interpret=interpret,
             grad=False, group=group, fuse_dot=fuse_dot, precision=precision,
+            lookahead=lookahead,
         )
         bwd = bsr_spmm_pallas_plan(
             bsr.transpose(),
@@ -359,6 +386,7 @@ def bsr_spmm_pallas_plan(
             group=group,
             fuse_dot=fuse_dot,
             precision=precision,
+            lookahead=lookahead,
         )
         return grad_plan(fwd, bwd)
 
@@ -387,14 +415,15 @@ def bsr_spmm_pallas_plan(
     dtype_key = None if dtype is None else jnp.dtype(dtype).name
     statics = (
         covered.n_block_rows, n_rows, n_cols, k_needed,
-        f_tile, group, fuse_dot, interpret, dtype_key, precision,
+        f_tile, group, fuse_dot, interpret, dtype_key, precision, lookahead,
     )
     return Plan(arrays, _pallas_apply, statics)
 
 
 def _pallas_apply(statics, arrays, dense):
     (n_block_rows, n_rows, n_cols, k_needed,
-     f_tile, group, fuse_dot, interpret, dtype_key, precision) = statics
+     f_tile, group, fuse_dot, interpret, dtype_key, precision,
+     lookahead) = statics
     step_rows, slot_cols, blocks_dev = arrays
     dense = jnp.asarray(dense)
     assert dense.shape[0] == n_cols, (dense.shape, n_cols)
@@ -418,6 +447,7 @@ def _pallas_apply(statics, arrays, dense):
         fuse_dot,
         interpret,
         precision,
+        lookahead,
     )
     return out[:, : out.shape[1] - pad_c] if pad_c else out
 
@@ -427,7 +457,7 @@ def bsr_spmm_pallas(bsr: BSR, dense, **kw) -> jnp.ndarray:
 
 
 def _chunked_plan(bsr, dtype, f_tile, interpret, grad, chunk_nnzb, group=None,
-                  fuse_dot=False, precision=None):
+                  fuse_dot=False, precision=None, lookahead=0):
     """Sum of per-chunk kernel launches for nnzb beyond the SMEM prefetch
     capacity. Blocks are row-sorted, so chunks are contiguous row bands
     (a row split across two chunks just contributes partial sums)."""
@@ -448,6 +478,7 @@ def _chunked_plan(bsr, dtype, f_tile, interpret, grad, chunk_nnzb, group=None,
                 frag, dtype=dtype, f_tile=f_tile, interpret=interpret,
                 grad=grad, chunk_nnzb=bsr.nnzb + 1,  # no recursion
                 group=group, fuse_dot=fuse_dot, precision=precision,
+                lookahead=lookahead,
             )
         )
     return sum_plan(plans)
