@@ -16,6 +16,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <limits>
 #include <queue>
 #include <unordered_map>
 #include <vector>
@@ -173,31 +174,82 @@ void sdb_gorder(i64 n, const i32* indptr, const i32* indices, i64 window,
   // restart rule before any scores exist)
   for (i64 u = n - 1; u >= 0; --u) push_front((i32)u, 0);
 
+  // delta doubles as the placed flag (kPlacedDelta sentinel): the
+  // propagate inner loop is DRAM-latency-bound random access (measured
+  // ~111 ns/event at products' n=2.45M, ROUND3_NOTES), and a separate
+  // placed[] byte array was a SECOND random stream per touched vertex.
+  // One i32 load decides skip/first-touch/accumulate. Software
+  // prefetch hides part of the remaining latency: indices[] is a
+  // streamy read, so upcoming delta addresses are known ~8 iterations
+  // ahead.
+  const i32 kPlacedDelta = std::numeric_limits<i32>::min() / 2;
   std::vector<i32> delta(n, 0), touched;
   touched.reserve(1024);
   i32 hub_cut_i = (i32)hub_cut;
+  // software prefetch measured faster at every probed scale (12M nnz:
+  // 14.9 s with vs 19.8 s without; 6M within noise; CPU timing noise
+  // here is ~10%) — the propagate loop is DRAM-latency-bound past LLC
+  // (~111 ns/event at products' n=2.45M) and indices[] is streamy, so
+  // upcoming delta addresses are known cheaply ahead of use.
+  const bool kPrefetch = true;
   auto propagate = [&](i32 ve, i32 d) {
     // single scan of ve's adjacency: the S_n term for each neighbor w,
     // then (non-hub w) the S_s common-neighbor term through w — one
-    // deg[w]/placed[w] access pattern instead of two full scans.
+    // deg[w] access pattern instead of two full scans.
     // Touch order = adjacency-interleaved (mirrored in gorder.py).
     touched.clear();
     for (i32 k = indptr[ve]; k < indptr[ve + 1]; ++k) {
       i32 w = indices[k];
-      if (!placed[w]) {  // S_n adjacency term
-        if (delta[w] == 0) touched.push_back(w);
-        delta[w] += d;
+      if (kPrefetch && k + 4 < indptr[ve + 1]) {
+        i32 wn = indices[k + 4];
+        __builtin_prefetch(&delta[wn]);
+        __builtin_prefetch(&deg[wn]);
+        __builtin_prefetch(&indptr[wn]);
+        // (a two-stage variant that also prefetched w's adjacency
+        // SEGMENT START measured no win — 177.9 s vs 168.7 full
+        // products; segment starts are already covered by the
+        // hardware prefetcher once indptr[w] arrives)
+      }
+      i32 dw = delta[w];
+      if (dw != kPlacedDelta) {  // S_n adjacency term
+        if (dw == 0) touched.push_back(w);
+        delta[w] = dw + d;
       }
       if (deg[w] > hub_cut_i) continue;  // hub skip
-      for (i32 j = indptr[w]; j < indptr[w + 1]; ++j) {
-        i32 u = indices[j];  // S_s common-neighbor term via w
-        if (!placed[u]) {
-          if (delta[u] == 0) touched.push_back(u);
-          delta[u] += d;
+      i32 jend = indptr[w + 1];
+      if (kPrefetch) {
+        for (i32 j = indptr[w]; j < jend; ++j) {
+          if (j + 8 < jend) __builtin_prefetch(&delta[indices[j + 8]]);
+          i32 u = indices[j];  // S_s common-neighbor term via w
+          i32 du = delta[u];
+          if (du != kPlacedDelta) {
+            if (du == 0) touched.push_back(u);
+            delta[u] = du + d;
+          }
+        }
+      } else {
+        for (i32 j = indptr[w]; j < jend; ++j) {
+          i32 u = indices[j];
+          i32 du = delta[u];
+          if (du != kPlacedDelta) {
+            if (du == 0) touched.push_back(u);
+            delta[u] = du + d;
+          }
         }
       }
     }
-    for (i32 u : touched) {  // one O(1) move per touched vertex
+    // flush: one O(1) list move per touched vertex — ~6 random
+    // accesses each (key/prv/nxt_ reads + writes); touched is dense,
+    // so prefetch the move targets a few entries ahead
+    size_t tn = touched.size();
+    for (size_t t = 0; t < tn; ++t) {
+      if (t + 4 < tn) {
+        i32 un = touched[t + 4];
+        __builtin_prefetch(&key[un]);
+        __builtin_prefetch(&prv[un]);
+        __builtin_prefetch(&nxt_[un]);
+      }
+      i32 u = touched[t];
       i32 nk = key[u] + delta[u];
       delta[u] = 0;
       unlink(u);
@@ -215,6 +267,7 @@ void sdb_gorder(i64 n, const i32* indptr, const i32* indices, i64 window,
   for (i64 i = 0; i < n; ++i) {
     unlink((i32)v);  // DeleteElement: v leaves the queue on placement
     placed[v] = 1;
+    delta[v] = kPlacedDelta;  // delta doubles as the placed flag
     old2new[v] = i;
     win.push_back(v);
     propagate((i32)v, +1);
