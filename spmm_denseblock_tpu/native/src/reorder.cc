@@ -122,6 +122,11 @@ static const i64 kGorderTouchBudget = 1000000000LL;
 void sdb_gorder(i64 n, const i32* indptr, const i32* indices, i64 window,
                 i64* old2new) {
   if (n == 0) return;
+  // Negative result (round 3): MADV_HUGEPAGE copies of indices/indptr
+  // changed nothing (169.0 s vs 168.7 full products, THP verified
+  // granted in this container) — the propagate loop is raw DRAM
+  // latency bound, not TLB bound. Don't re-attempt hugepage work
+  // here; the binding constraint is the 1e9-event volume budget.
   auto deg64 = degrees(n, indptr);
   std::vector<i32> deg(n);
   for (i64 i = 0; i < n; ++i) deg[i] = (i32)deg64[i];
