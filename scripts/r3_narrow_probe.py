@@ -76,8 +76,49 @@ if __name__ == "__main__":
     import traceback
 
     try:
-        main()
+        if "--phase2" not in sys.argv:
+            main()
     except Exception:
         print(f"[narrow-probe] FAILED: {traceback.format_exc(limit=5)}",
               flush=True)
         sys.exit(1)
+
+
+# --- phase 2 (appended): can a row-major caller BUY the fast layout?
+# "transb_jit" was 4.11 vs 5.17 ms plain at dim=128: the kernel runs
+# faster when its operand is produced by an on-device transpose. A
+# row-major caller could pay transpose+barrier+transpose (~0.3 ms of
+# layout passes) to get the same kernel speedup (~1.06 ms) — IF the
+# double transpose with a barrier reproduces the layout effect.
+def phase2():
+    import functools
+
+    import jax.numpy as jnp
+
+    from spmm_denseblock_tpu.bench.timing import time_chained
+    from spmm_denseblock_tpu.formats.bsr import random_bsr
+    from spmm_denseblock_tpu.ops import spmm_plan
+
+    @jax.jit
+    def _dt_barrier(plan, x):
+        xt = jax.lax.optimization_barrier(x.T)
+        return plan(xt.T)
+
+    rng = np.random.default_rng(1234)
+    bsr = random_bsr(2e-2, 1024, 1024, block_size=128, seed=1234)
+    plan = spmm_plan(bsr, impl="bsr_pallas", grad=False)
+    for dim in (128, 512):
+        x = rng.standard_normal((bsr.shape[1], dim)).astype(np.float32)
+        xd = jax.device_put(x)
+        fn = functools.partial(_dt_barrier, plan)
+        secs = time_chained(fn, xd, iters=10)
+        rec = {"kind": "narrow_probe", "dim": dim,
+               "variant": "double_transpose_barrier", "ms": secs * 1e3,
+               "ts": time.time()}
+        with open(OUT, "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__" and "--phase2" in sys.argv:
+    phase2()
