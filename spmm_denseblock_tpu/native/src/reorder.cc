@@ -150,7 +150,12 @@ void sdb_gorder(i64 n, const i32* indptr, const i32* indices, i64 window,
       else
         break;
     }
-    hub_cut = std::min(hub_cut, std::max(64.0, (double)cut_b));
+    // floor overridable via SDB_GORDER_FLOOR (quality/time A/Bs;
+    // mirrored in gorder.py so bit-equality holds under override)
+    double floor_v = 64.0;
+    if (const char* env = std::getenv("SDB_GORDER_FLOOR"))
+      if (*env) floor_v = std::atof(env);
+    hub_cut = std::min(hub_cut, std::max(floor_v, (double)cut_b));
   }
 
   std::vector<i32> key(n, 0), prv(n, -1), nxt_(n, -1);

@@ -20,6 +20,8 @@ it once offline and cache the permutation (io/graph_io.py).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from spmm_denseblock_tpu.formats.csr import CSR
@@ -60,7 +62,10 @@ def gorder(csr: CSR, window: int = 5) -> np.ndarray:
     cum = 2 * (int(csr.nnz) + np.cumsum(s * s))
     fits = np.nonzero(cum <= GORDER_TOUCH_BUDGET)[0]
     cut_b = int(s[fits[-1]]) if fits.size else 0
-    hub_cut = min(hub_cut, max(64.0, float(cut_b)))
+    # floor overridable for quality/time A/Bs (mirrors the C++ engine's
+    # SDB_GORDER_FLOOR so bit-equality holds under override)
+    floor = float(os.environ.get("SDB_GORDER_FLOOR") or 64)
+    hub_cut = min(hub_cut, max(floor, float(cut_b)))
 
     def out_neighbors(v):
         return indices[indptr[v] : indptr[v + 1]]
