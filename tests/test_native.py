@@ -97,6 +97,21 @@ def test_native_matches_python_exactly(lib, name, gi):
     np.testing.assert_array_equal(got, want)
 
 
+def test_gorder_floor_override_bit_equal(lib, monkeypatch):
+    """SDB_GORDER_FLOOR (the round-3 speed/quality knob): both engines
+    read it at call time and bit-equality holds under override. The
+    floor only BINDS when the volume budget binds (>=~8M-nnz graphs —
+    too heavy for a unit test); the binding case is covered by the
+    measured full-products A/B (reorder_quality_r3.jsonl,
+    kind=gorder_floor_ab: 110.7 s at floor=48 vs 168.7 at 64)."""
+    monkeypatch.setenv("SDB_GORDER_FLOOR", "8")
+    csr = synthetic_powerlaw(4096, 4096 * 16, seed=7)
+    got = _native_impl("gorder")(csr)
+    want = _python_impl("gorder")(csr)
+    check_permutation(got, csr.n_rows)
+    np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.parametrize("gi", range(len(GRAPHS)))
 def test_native_rabbit_valid_and_comparable(lib, gi):
     csr = GRAPHS[gi]()
