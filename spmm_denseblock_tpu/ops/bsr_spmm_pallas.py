@@ -60,7 +60,19 @@ def _dot3(lhs, rhs):
     This is what Precision.HIGH means on TPU, hand-rolled because
     Mosaic has no HIGH lowering ("Unsupported dot precision: HIGH");
     HIGHEST's 6 passes halve the compute ceiling the dense regime is
-    bound on (ROUND2_NOTES: 23.6 TF/s = 72% of the 6-pass 33 TF/s)."""
+    bound on (ROUND2_NOTES: 23.6 TF/s = 72% of the 6-pass 33 TF/s).
+
+    Negative result (round 3, benchmarks/padfill_ab_r3.jsonl
+    kind=packed_high_ab): a "packed" variant that pre-split blocks at
+    plan time and the dense operand at entry, gathering 2G bf16 plane
+    pipelines so the kernel ran pure MXU passes (no per-slot VPU
+    casts), measured SLOWER on chip — 28.98 vs 31.42 TF/s at G=4
+    (doubling the gather DMA count at half the size costs more than
+    the ~1.8 ms of VPU split work saved) — AND returned bf16-grade
+    error (1.57e-3) on hardware while interpret mode was exact,
+    pointing at a lowering issue with two same-index-map block
+    operands + 2G dense pipelines. Do not re-attempt without first
+    reproducing the numerics gap in isolation."""
     lh = lhs.astype(jnp.bfloat16)
     ll = (lhs - lh.astype(jnp.float32)).astype(jnp.bfloat16)
     rh = rhs.astype(jnp.bfloat16)
