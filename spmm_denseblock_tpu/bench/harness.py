@@ -38,8 +38,8 @@ def _dense_operand(n_rows: int, dim: int, seed: int = 1234) -> np.ndarray:
 
 @jax.jit
 def _transb_apply(plan, xt):
-    """Column-major entry: transpose fused in front of the plan. The
-    plan is a jit ARGUMENT (Plan is a pytree), NOT a closure capture —
+    """Column-major entry: ops/plan.transb_plan semantics, jitted with
+    the plan as an ARGUMENT (Plan is a pytree), NOT a closure capture —
     closing over it would re-embed its device arrays as HLO constants
     (the ops/plan.py round-1 lesson; observed again as a 3.18 GB
     constant upload that broke the relay in scripts/r3_transb.py)."""

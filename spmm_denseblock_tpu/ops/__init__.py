@@ -9,7 +9,7 @@ from spmm_denseblock_tpu.ops.csr_spmm_ell import (
     csr_spmm_ell_int8_plan,
     csr_spmm_ell_plan,
 )
-from spmm_denseblock_tpu.ops.plan import Plan, grad_plan, sum_plan
+from spmm_denseblock_tpu.ops.plan import Plan, grad_plan, sum_plan, transb_plan
 from spmm_denseblock_tpu.ops.bsr_spmm_xla import bsr_spmm_xla, bsr_spmm_xla_plan
 from spmm_denseblock_tpu.ops.bsr_spmm_pallas import (
     bsr_spmm_pallas,
@@ -50,6 +50,7 @@ __all__ = [
     "Plan",
     "grad_plan",
     "sum_plan",
+    "transb_plan",
     "bcoo_spmm_plan",
     "bsr_spmm_xla",
     "bsr_spmm_xla_plan",

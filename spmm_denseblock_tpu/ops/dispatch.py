@@ -124,6 +124,24 @@ def spmm_plan(matrix, impl: str = "auto", block_size: int = 128, **kw):
     feat_dim = kw.pop("feat_dim", None)
     tune_with = kw.pop("tune_with", None)
     repack_to = kw.pop("repack_to", None)
+    operand_layout = kw.pop("operand_layout", "row")
+    if operand_layout not in ("row", "col"):
+        raise ValueError(
+            f"operand_layout must be 'row' or 'col', got {operand_layout!r}"
+        )
+    if operand_layout == "col":
+        # column-major feature entry (the reference's transB=1 axis,
+        # test_bsrmm.cu): plan takes B^T (F, K), the transpose is fused
+        # into the jitted program. At F<=128 this entry is measurably
+        # FASTER than row-major (see ops/plan.transb_plan docstring).
+        from spmm_denseblock_tpu.ops.plan import transb_plan
+
+        inner = spmm_plan(
+            matrix, impl=impl, block_size=block_size,
+            feat_dim=feat_dim, tune_with=tune_with, repack_to=repack_to,
+            **kw,
+        )
+        return transb_plan(inner)
     if repack_to is not None and isinstance(matrix, BSR):
         from spmm_denseblock_tpu.convert.pack import repack_bsr
 

@@ -113,3 +113,27 @@ def grad_plan(fwd_plan: Plan, bwd_plan: Plan) -> Plan:
     """Differentiable plan: dC/dB flows as A^T @ g through bwd_plan
     (the same kernel family on the transposed layout)."""
     return Plan((fwd_plan, bwd_plan), _grad_apply)
+
+
+def _transb_apply(statics, plans, dense_t):
+    (inner,) = plans
+    return inner(jnp.asarray(dense_t).T)
+
+
+def transb_plan(inner: Plan) -> Plan:
+    """Column-major operand entry: the returned plan takes B^T of shape
+    (F, K) and computes the same C = A @ B, with the transpose fused
+    into the jitted program (never materialized on the host).
+
+    This is the reference's transB axis (test_bsrmm.cu sweeps
+    transB in {0,1} with cusparse op(B)) as a first-class entry point.
+    Measured on v5e (benchmarks/tpu_v5e_bsrmm_transb.jsonl +
+    int8_group_ab_r3.jsonl narrow_probe): at F=512 the fused transpose
+    costs +5-8% (the honest price of the row-major layout standard);
+    at F<=128 it is 21% FASTER than row-major entry — XLA hands the
+    transpose output a layout that feeds the kernel's gather DMAs
+    better. Row-major callers cannot buy that layout (transpose +
+    barrier + transpose measures flat), so col-major callers get the
+    narrow-operand fast path for free. Autodiff flows through (the
+    cotangent of B^T is the transposed cotangent of B)."""
+    return Plan((inner,), _transb_apply)

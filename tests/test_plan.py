@@ -256,3 +256,53 @@ def test_ell_banded_matches_oracle(rng):
     mod = importlib.import_module("spmm_denseblock_tpu.ops.csr_spmm_ell")
     layout = mod._ell_layout_banded(csr, 32, "quarter")[3]
     assert layout and all(start >= 0 for _, _, _, start, _ in layout)
+
+
+def test_transb_plan_col_major_entry(rng):
+    """operand_layout='col' (the reference's transB=1 axis,
+    test_bsrmm.cu): the plan takes B^T and matches the row-major plan
+    bit-for-bit, across tiers, through the Plan pytree machinery and
+    through autodiff."""
+    from spmm_denseblock_tpu.ops import transb_plan
+
+    bsr = random_bsr(0.05, 12, 12, block_size=8, seed=7)
+    csr = random_csr(0.08, 96, 96, seed=8)
+    x = rng.standard_normal((96, 24)).astype(np.float32)
+    for mat, impl in ((bsr, "bsr_pallas"), (bsr, "bsr_xla"),
+                      (csr, "csr_ell"), (csr, "csr_xla")):
+        row = spmm_plan(mat, impl=impl)
+        col = spmm_plan(mat, impl=impl, operand_layout="col")
+        assert isinstance(col, Plan)
+        np.testing.assert_array_equal(
+            np.asarray(row(x)), np.asarray(col(x.T))
+        )
+    # pytree round-trip + jit-as-argument (the no-constants property)
+    col = spmm_plan(bsr, impl="bsr_pallas", operand_layout="col")
+    leaves, treedef = jax.tree.flatten(col)
+    rebuilt = jax.tree.unflatten(treedef, leaves)
+    np.testing.assert_array_equal(
+        np.asarray(col(x.T)), np.asarray(rebuilt(x.T))
+    )
+
+    @jax.jit
+    def run(p, xt):
+        return p(xt)
+
+    np.testing.assert_array_equal(
+        np.asarray(col(x.T)), np.asarray(run(col, x.T))
+    )
+    # autodiff: d/dB^T of sum(C) == (d/dB of sum(C))^T
+    row = spmm_plan(bsr, impl="bsr_pallas")
+    g_row = jax.grad(lambda b: row(b).sum())(jnp.asarray(x))
+    g_col = jax.grad(lambda bt: col(bt).sum())(jnp.asarray(x.T))
+    assert_allclose(np.asarray(g_col), np.asarray(g_row).T)
+    # explicit wrapper round-trip on a hand-built plan
+    wrapped = transb_plan(row)
+    np.testing.assert_array_equal(
+        np.asarray(wrapped(x.T)), np.asarray(row(x))
+    )
+    # bad layout rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        spmm_plan(bsr, operand_layout="diag")
