@@ -201,6 +201,84 @@ def bucket_by_col_chunk(sh: ShardedBSR) -> Tuple[np.ndarray, np.ndarray, np.ndar
     return lr, cc, bv
 
 
+def pack_buckets_pallas(lr, cc, bv, n_block_rows, group="auto"):
+    """Convert bucketed block lists into the flat-Pallas grouped layout.
+
+    lr/cc/bv: (..., mb) / (..., mb) / (..., mb, b, b) bucketed block
+    lists (the bucketers above; padding entries are zero blocks). Per
+    bucket: zero blocks are stripped, every local block-row in
+    [0, n_block_rows) is re-covered with one zero block (the flat
+    kernel zero-initializes an output tile when the grid first reaches
+    its row, so every tile must be reached — ops/bsr_spmm_pallas.py),
+    rows are re-sorted, and blocks are group-packed (_pack_groups,
+    including its pad-DMA-skip col fill). Buckets are then padded to
+    one uniform step count T (shard_map traces a single program, so
+    grid shapes must agree across devices) with steps that repeat the
+    previous row and per-buffer cols: no tile re-zero, zero MXU
+    contribution, and Mosaic skips the repeated B-tile DMA.
+
+    Returns (step_rows (..., T), slot_cols (..., T*G),
+    blocks (..., T*G, b, b), G).
+    """
+    from spmm_denseblock_tpu.ops.bsr_spmm_pallas import (
+        _auto_group,
+        _pack_groups,
+    )
+
+    lr, cc, bv = np.asarray(lr), np.asarray(cc), np.asarray(bv)
+    lead = lr.shape[:-1]
+    b = bv.shape[-1]
+    lrf = lr.reshape(-1, lr.shape[-1])
+    ccf = cc.reshape(-1, cc.shape[-1])
+    bvf = bv.reshape(-1, bv.shape[-3], b, b)
+    n_lists = lrf.shape[0]
+
+    covered = []
+    total_real = 0
+    total_rows = 0
+    for i in range(n_lists):
+        nz = np.abs(bvf[i]).sum(axis=(-1, -2)) != 0
+        rows_i = lrf[i, nz].astype(np.int64)
+        cols_i = ccf[i, nz].astype(np.int64)
+        blks_i = bvf[i, nz]
+        total_real += int(rows_i.size)
+        total_rows += int(np.unique(rows_i).size)
+        present = np.zeros(n_block_rows, dtype=bool)
+        present[rows_i] = True
+        missing = np.nonzero(~present)[0]
+        if missing.size:
+            rows_i = np.concatenate([rows_i, missing])
+            cols_i = np.concatenate([cols_i, np.zeros(missing.size, np.int64)])
+            blks_i = np.concatenate(
+                [blks_i, np.zeros((missing.size, b, b), bvf.dtype)]
+            )
+        order = np.argsort(rows_i, kind="stable")
+        covered.append((rows_i[order], cols_i[order], blks_i[order]))
+
+    if group == "auto":
+        group = _auto_group(total_real, max(total_rows, 1))
+    group = int(group)
+    packed = [_pack_groups(r, c, v, group) for r, c, v in covered]
+    t_max = max(p[0].shape[0] for p in packed)
+    sr = np.zeros((n_lists, t_max), np.int32)
+    sc = np.zeros((n_lists, t_max * group), np.int32)
+    bp = np.zeros((n_lists, t_max * group, b, b), bvf.dtype)
+    for i, (r, c, v) in enumerate(packed):
+        t = r.shape[0]
+        sr[i, :t] = r
+        sc[i, : t * group] = c
+        bp[i, : t * group] = v
+        if t < t_max:
+            sr[i, t:] = r[-1]
+            sc[i, t * group :] = np.tile(c[-group:], t_max - t)
+    return (
+        sr.reshape(lead + (t_max,)),
+        sc.reshape(lead + (t_max * group,)),
+        bp.reshape(lead + (t_max * group, b, b)),
+        group,
+    )
+
+
 def shard_stats(sh: ShardedBSR) -> dict:
     """Per-shard load-balance diagnostics (nnzb-weighted)."""
     per = np.asarray(sh.nnzb_per_shard)

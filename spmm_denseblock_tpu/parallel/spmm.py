@@ -40,9 +40,18 @@ from spmm_denseblock_tpu.parallel.shard import (
     balanced_contiguous_boundaries,
     bucket_by_col_chunk,
     bucket_halo,
+    pack_buckets_pallas,
     shard_bsr,
     shard_csr,
 )
+
+
+def _pallas_f_geometry(f_orig: int, tp: int):
+    """(f_tile, f_padded) for the flat Pallas kernel under a feature-
+    axis shard of size tp: the per-device F slice must be a whole
+    number of f_tile tiles, so F is padded to a multiple of tp*f_tile."""
+    ft = min(512, -(-f_orig // 128) * 128)
+    return ft, -(-f_orig // (ft * tp)) * (ft * tp)
 
 
 def _local_bsr_spmm(local_rows, cols, blocks, b_blocked, n_seg, scales=None):
@@ -101,7 +110,7 @@ def _quantize_operand(dense, cs):
 @functools.partial(jax.jit, static_argnames="statics")
 def _ag_run(statics, lr, bc, bv, sc, cs, dense):
     (mesh, axis, feature_axis, local_impl, interpret, rows_per, cpc, n, b,
-     n_rows, k_padded, dtype_key) = statics
+     n_rows, k_padded, dtype_key, group, precision_name) = statics
     b_spec = P(axis, feature_axis)
     int8_mode = dtype_key == "int8"
     col_scale = None
@@ -109,9 +118,9 @@ def _ag_run(statics, lr, bc, bv, sc, cs, dense):
         dense, col_scale = _quantize_operand(dense, cs)
     f_orig = dense.shape[1]
     if local_impl == "pallas":
-        # the flat Pallas kernel wants F in whole tiles
-        ft = min(512, -(-f_orig // 128) * 128)
-        f_padded = -(-f_orig // ft) * ft
+        # the flat Pallas kernel wants F in whole tiles per device
+        tp = int(mesh.shape[feature_axis]) if feature_axis else 1
+        ft, f_padded = _pallas_f_geometry(f_orig, tp)
     else:
         ft, f_padded = 0, f_orig
     dense = jnp.pad(
@@ -123,14 +132,16 @@ def _ag_run(statics, lr, bc, bv, sc, cs, dense):
         # (1, m) locals -> (m,); B local stripe (k_padded/n, F)
         b_full = jax.lax.all_gather(b_local, axis, tiled=True)
         if local_impl == "pallas":
-            # per-stripe flat Pallas kernel (shards are covered +
-            # row-sorted by shard_bsr, so every tile is written)
+            # per-stripe flat Pallas kernel (stripes are covered,
+            # row-sorted and group-packed by pack_buckets_pallas, so
+            # every output tile is written)
             from spmm_denseblock_tpu.ops.bsr_spmm_pallas import _pallas_spmm
 
             return _pallas_spmm(
                 lr[0], bc[0], bv[0], b_full,
                 rows_per, rows_per * b, ft,
-                group=1, interpret=interpret,
+                group=group, interpret=interpret,
+                precision_name=precision_name,
             )
         b_blocked = b_full.reshape(n * cpc, b, b_full.shape[1])
         out = _local_bsr_spmm(
@@ -156,18 +167,50 @@ def _ag_run(statics, lr, bc, bv, sc, cs, dense):
 @functools.partial(jax.jit, static_argnames="statics")
 def _ring_run(statics, lr, cc, bv, sc, cs, dense):
     (mesh, axis, feature_axis, rows_per, cpc, n, b, n_rows,
-     k_padded, dtype_key) = statics
+     k_padded, dtype_key, local_impl, interpret, group,
+     precision_name) = statics
     b_spec = P(axis, feature_axis)
     perm = [(i, (i + 1) % n) for i in range(n)]
     int8_mode = dtype_key == "int8"
     col_scale = None
     if int8_mode:
         dense, col_scale = _quantize_operand(dense, cs)
+    f_orig = dense.shape[1]
+    if local_impl == "pallas":
+        tp = int(mesh.shape[feature_axis]) if feature_axis else 1
+        ft, f_padded = _pallas_f_geometry(f_orig, tp)
+    else:
+        ft, f_padded = 0, f_orig
 
     def stripe_fn(lr, cc, bv, sc, b_local):
         lr, cc, bv, sc = lr[0], cc[0], bv[0], sc[0]  # (n, mb[, b, b])
         me = jax.lax.axis_index(axis)
         f_dim = b_local.shape[1]
+        if local_impl == "pallas":
+            # per-chunk flat kernel: each chunk's layout is covered +
+            # group-packed (pack_buckets_pallas), so every output tile
+            # is written each step; the f32 carry accumulates chunks.
+            from spmm_denseblock_tpu.ops.bsr_spmm_pallas import _pallas_spmm
+
+            acc0 = jnp.zeros((rows_per * b, f_dim), jnp.float32)
+
+            def step(s, carry):
+                b_chunk, acc = carry
+                c = jax.lax.rem(me - s + n, n)  # chunk currently held
+                acc = acc + _pallas_spmm(
+                    jnp.take(lr, c, axis=0),
+                    jnp.take(cc, c, axis=0),
+                    jnp.take(bv, c, axis=0),
+                    b_chunk,
+                    rows_per, rows_per * b, ft,
+                    group=group, interpret=interpret,
+                    precision_name=precision_name,
+                )
+                b_chunk = jax.lax.ppermute(b_chunk, axis, perm)
+                return b_chunk, acc
+
+            _, acc = jax.lax.fori_loop(0, n, step, (b_local, acc0))
+            return acc
         acc0 = jnp.zeros((rows_per, b, f_dim), jnp.float32)
         # mark the carry as device-varying so the fori_loop carry type
         # matches its (axis_index-dependent) output (shard_map vma rule);
@@ -197,28 +240,47 @@ def _ring_run(statics, lr, cc, bv, sc, cs, dense):
         stripe_fn, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), b_spec),
         out_specs=b_spec,
+        check_vma=(local_impl != "pallas"),
     )
-    dense = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
+    dense = jnp.pad(
+        dense, ((0, k_padded - dense.shape[0]), (0, f_padded - f_orig))
+    )
     dense = jax.lax.with_sharding_constraint(dense, NamedSharding(mesh, b_spec))
     out = fn(lr, cc, bv, sc, dense)[:n_rows].astype(jnp.float32)
+    if f_padded != f_orig:
+        out = out[:, :f_orig]
     return out * col_scale[None, :] if int8_mode else out
 
 
 @functools.partial(jax.jit, static_argnames="statics")
 def _halo_run(statics, lr, cc, bv, sc, cs, bp_idx, out_idx, dense):
     (mesh, axis, feature_axis, rows_per, cpc, n, b, n_rows, k_padded,
-     halo, dtype_key) = statics
+     halo, dtype_key, local_impl, interpret, group,
+     precision_name) = statics
     b_spec = P(axis, feature_axis)
     width = 2 * halo + 1
     int8_mode = dtype_key == "int8"
     col_scale = None
     if int8_mode:
         dense, col_scale = _quantize_operand(dense, cs)
+    f_orig = dense.shape[1]
+    if local_impl == "pallas":
+        tp = int(mesh.shape[feature_axis]) if feature_axis else 1
+        ft, f_padded = _pallas_f_geometry(f_orig, tp)
+        dense = jnp.pad(dense, ((0, 0), (0, f_padded - f_orig)))
+    else:
+        ft, f_padded = 0, f_orig
 
     def stripe_fn(lr, cc, bv, sc, b_local):
         lr, cc, bv, sc = lr[0], cc[0], bv[0], sc[0]
         f_dim = b_local.shape[1]
-        out = jnp.zeros((rows_per, b, f_dim), jnp.float32)
+        if local_impl == "pallas":
+            from spmm_denseblock_tpu.ops.bsr_spmm_pallas import _pallas_spmm
+        out = (
+            jnp.zeros((rows_per * b, f_dim), jnp.float32)
+            if local_impl == "pallas"
+            else jnp.zeros((rows_per, b, f_dim), jnp.float32)
+        )
         for h in range(width):
             off = h - halo
             if off == 0:
@@ -226,16 +288,29 @@ def _halo_run(statics, lr, cc, bv, sc, cs, bp_idx, out_idx, dense):
             else:
                 perm_h = [(src, (src - off) % n) for src in range(n)]
                 chunk = jax.lax.ppermute(b_local, axis, perm_h)
-            out = out + _local_bsr_spmm(
-                lr[h], cc[h], bv[h],
-                chunk.reshape(cpc, b, f_dim), rows_per, scales=sc[h],
-            )
+            if local_impl == "pallas":
+                # per-offset covered + group-packed layout: every
+                # output tile written per call (pack_buckets_pallas)
+                out = out + _pallas_spmm(
+                    lr[h], cc[h], bv[h], chunk,
+                    rows_per, rows_per * b, ft,
+                    group=group, interpret=interpret,
+                    precision_name=precision_name,
+                )
+            else:
+                out = out + _local_bsr_spmm(
+                    lr[h], cc[h], bv[h],
+                    chunk.reshape(cpc, b, f_dim), rows_per, scales=sc[h],
+                )
+        if local_impl == "pallas":
+            return out
         return out.reshape(rows_per * b, f_dim)
 
     fn = jax.shard_map(
         stripe_fn, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), b_spec),
         out_specs=b_spec,
+        check_vma=(local_impl != "pallas"),
     )
     if bp_idx is not None:
         # variable contiguous stripes (balanced_contiguous_boundaries):
@@ -251,6 +326,8 @@ def _halo_run(statics, lr, cc, bv, sc, cs, bp_idx, out_idx, dense):
     out = fn(lr, cc, bv, sc, dense).astype(jnp.float32)
     # caller-order rows: variable stripes need the index unpad
     out = out[:n_rows] if out_idx is None else jnp.take(out, out_idx, axis=0)
+    if f_padded != f_orig:
+        out = out[:, :f_orig]
     return out * col_scale[None, :] if int8_mode else out
 
 
@@ -282,12 +359,21 @@ def dist_bsr_spmm_plan(
     halo: int = 1,
     balance="auto",
     calibration=None,
+    group="auto",
+    precision=None,
 ):
     """Host shard prep once -> jitted C = f(B) over the mesh.
 
     local_impl: per-stripe compute — "xla" (batched matmul + segment-sum)
-    or "pallas" (the flat MXU kernel; allgather strategy only), the
+    or "pallas" (the flat grouped MXU kernel, every strategy), the
     multi-chip deployment of the measured-fastest single-chip kernel.
+    For ring/halo each chunk/offset bucket gets its own covered +
+    group-packed flat layout (pack_buckets_pallas) and the per-step
+    kernel outputs accumulate in f32 — the TPU shape of the reference's
+    per-wavefront k-loop, distributed. group ("auto" or int) and
+    precision (e.g. "high" = the bf16x3 three-pass mode) are the same
+    knobs as the single-chip plan (ops/bsr_spmm_pallas.py) and apply to
+    the pallas path only.
 
     dtype=int8 (inference only): blocks quantized per block at plan
     time, the operand quantized ONCE globally per call with per-column
@@ -374,7 +460,7 @@ def dist_bsr_spmm_plan(
                 permuted, mesh=mesh, axis=axis, strategy=strategy,
                 dtype=dtype, feature_axis=feature_axis,
                 local_impl=local_impl, halo=halo, balance=False,
-                calibration=calibration,
+                calibration=calibration, group=group, precision=precision,
             )
             rows = np.arange(bsr.shape[0], dtype=np.int64)
             undo = jnp.asarray(
@@ -397,6 +483,8 @@ def dist_bsr_spmm_plan(
     int8_mode = dtype_key == "int8"
     if int8_mode and local_impl != "xla":
         raise ValueError("dtype=int8 requires local_impl='xla'")
+    if precision is not None and local_impl != "pallas":
+        raise ValueError("precision= applies to local_impl='pallas' only")
     if calibration is not None and not int8_mode:
         raise ValueError(
             "calibration= only applies to dtype=int8 serving plans; "
@@ -439,25 +527,35 @@ def dist_bsr_spmm_plan(
         )
         return jax.device_put(cast(jnp.asarray(bv_h)), stripe), sc
 
+    interpret = jax.default_backend() != "tpu"
+    grp = 1  # xla path ignores it
+
     if strategy == "allgather":
-        lr = jax.device_put(sh.local_rows, stripe)
-        bc = jax.device_put(sh.block_cols, stripe)
-        bv, sc = put_blocks(sh.blocks)
-        interpret = jax.default_backend() != "tpu"
+        lr_h, bc_h, bv_h = sh.local_rows, sh.block_cols, sh.blocks
+        if local_impl == "pallas":
+            lr_h, bc_h, bv_h, grp = pack_buckets_pallas(
+                lr_h, bc_h, bv_h, rows_per, group=group
+            )
+        lr = jax.device_put(lr_h, stripe)
+        bc = jax.device_put(bc_h, stripe)
+        bv, sc = put_blocks(bv_h)
         inner = (mesh, axis, feature_axis, local_impl, interpret,
-                 rows_per, cpc, n, b, n_rows, k_padded, dtype_key)
+                 rows_per, cpc, n, b, n_rows, k_padded, dtype_key,
+                 grp, precision)
         return Plan((lr, bc, bv, sc, cs), _dist_bsr_apply,
                     ("allgather", inner, dtype_key))
 
     if strategy == "ring":
-        if local_impl != "xla":
-            raise ValueError("local_impl='pallas' requires strategy='allgather'")
         lr_b, cc_b, bv_b = bucket_by_col_chunk(sh)  # (n, n, mb, ...)
+        if local_impl == "pallas":
+            lr_b, cc_b, bv_b, grp = pack_buckets_pallas(
+                lr_b, cc_b, bv_b, rows_per, group=group
+            )
         lr = jax.device_put(lr_b, stripe)
         cc = jax.device_put(cc_b, stripe)
         bv, sc = put_blocks(bv_b)
         inner = (mesh, axis, feature_axis, rows_per, cpc, n, b, n_rows,
-                 k_padded, dtype_key)
+                 k_padded, dtype_key, local_impl, interpret, grp, precision)
         return Plan((lr, cc, bv, sc, cs), _dist_bsr_apply,
                     ("ring", inner, dtype_key))
 
@@ -471,9 +569,13 @@ def dist_bsr_spmm_plan(
             return dist_bsr_spmm_plan(
                 bsr, mesh=mesh, axis=axis, strategy="allgather",
                 dtype=dtype, feature_axis=feature_axis, local_impl=local_impl,
-                calibration=calibration,
+                calibration=calibration, group=group, precision=precision,
             )  # matrix not banded within the requested halo
         lr_b, cc_b, bv_b = buckets  # (n, 2h+1, mb, ...)
+        if local_impl == "pallas":
+            lr_b, cc_b, bv_b, grp = pack_buckets_pallas(
+                lr_b, cc_b, bv_b, rows_per, group=group
+            )
         lr = jax.device_put(lr_b, stripe)
         cc = jax.device_put(cc_b, stripe)
         bv, sc = put_blocks(bv_b)
@@ -495,7 +597,8 @@ def dist_bsr_spmm_plan(
             )
             oi_d = jnp.asarray(oi.astype(np.int32))
         inner = (mesh, axis, feature_axis, rows_per, cpc, n, b, n_rows,
-                 k_padded, halo, dtype_key)
+                 k_padded, halo, dtype_key, local_impl, interpret, grp,
+                 precision)
         return Plan((lr, cc, bv, sc, cs, bp_d, oi_d), _dist_bsr_apply,
                     ("halo", inner, dtype_key))
 

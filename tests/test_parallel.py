@@ -179,6 +179,56 @@ def test_dist_bsr_spmm_pallas_local(mesh, rng):
     assert_allclose(np.asarray(run2(dense2)), bsr2.to_dense() @ dense2)
 
 
+def test_dist_bsr_spmm_pallas_ring(mesh, rng):
+    """Ring strategy with the grouped flat Pallas kernel per chunk:
+    every col-chunk bucket gets its own covered + group-packed layout
+    (pack_buckets_pallas) and the per-step kernel outputs accumulate
+    in the f32 ring carry (interpret mode on the CPU mesh)."""
+    bsr, dense, want = _random_case(rng)
+    run = dist_bsr_spmm_plan(
+        bsr, mesh=mesh, strategy="ring", local_impl="pallas"
+    )
+    assert_allclose(np.asarray(run(dense)), want)
+
+    # forced group > 1 exercises the grouped slot layout + pad fills;
+    # ragged block grid exercises covering of rows past the real height
+    bsr2 = random_bsr(0.08, 13, 11, block_size=8, seed=3)
+    dense2 = rng.standard_normal((bsr2.shape[1], 10)).astype(np.float32)
+    run2 = dist_bsr_spmm_plan(
+        bsr2, mesh=mesh, strategy="ring", local_impl="pallas", group=4
+    )
+    assert_allclose(np.asarray(run2(dense2)), bsr2.to_dense() @ dense2)
+
+
+def test_dist_bsr_spmm_pallas_halo(mesh, rng):
+    """Halo strategy with the flat Pallas kernel per neighbor offset
+    (banded matrix, genuinely halo-eligible — no allgather fallback)."""
+    from spmm_denseblock_tpu.formats.csr import CSR
+    from spmm_denseblock_tpu.convert.csr2bsr import csr_to_bsr
+
+    n = 32 * 8
+    rows = np.repeat(np.arange(n), 5)
+    cols = (rows + np.tile(np.arange(-2 * 8, -2 * 8 + 5), n)) % n
+    banded = CSR.from_coo(rows, cols, None, (n, n))
+    bsr = csr_to_bsr(banded, 8)
+    dense = rng.standard_normal((n, 12)).astype(np.float32)
+    want = spmm_scipy(banded, dense)
+    run = dist_bsr_spmm_plan(
+        bsr, mesh=mesh, strategy="halo", local_impl="pallas"
+    )
+    assert_allclose(np.asarray(run(dense)), want)
+
+
+def test_dist_bsr_spmm_pallas_grouped_allgather(mesh, rng):
+    """Allgather + pallas now runs the GROUPED kernel layout (was
+    hard-coded group=1)."""
+    bsr, dense, want = _random_case(rng)
+    run = dist_bsr_spmm_plan(
+        bsr, mesh=mesh, strategy="allgather", local_impl="pallas", group=4
+    )
+    assert_allclose(np.asarray(run(dense)), want)
+
+
 def test_dist_windowed_spmm_matches_oracle(mesh, rng):
     from spmm_denseblock_tpu.formats.windowed import divide_windowed
     from spmm_denseblock_tpu.parallel import dist_windowed_spmm_plan
