@@ -135,6 +135,20 @@ def _ag_run(statics, lr, bc, bv, sc, cs, dense):
             # per-stripe flat Pallas kernel (stripes are covered,
             # row-sorted and group-packed by pack_buckets_pallas, so
             # every output tile is written)
+            if int8_mode:
+                # grouped int8 kernel: int8 x int8 -> int32 MXU with
+                # per-slot scales; the global per-column operand scale
+                # is applied once by the caller epilogue
+                from spmm_denseblock_tpu.ops.bsr_spmm_pallas_int8 import (
+                    _pallas_int8_spmm,
+                )
+
+                return _pallas_int8_spmm(
+                    lr[0], bc[0], bv[0], sc[0], b_full,
+                    jnp.ones((b_full.shape[1],), jnp.float32),
+                    rows_per, rows_per * b, ft,
+                    group=group, interpret=interpret,
+                )
             from spmm_denseblock_tpu.ops.bsr_spmm_pallas import _pallas_spmm
 
             return _pallas_spmm(
@@ -191,21 +205,37 @@ def _ring_run(statics, lr, cc, bv, sc, cs, dense):
             # group-packed (pack_buckets_pallas), so every output tile
             # is written each step; the f32 carry accumulates chunks.
             from spmm_denseblock_tpu.ops.bsr_spmm_pallas import _pallas_spmm
+            from spmm_denseblock_tpu.ops.bsr_spmm_pallas_int8 import (
+                _pallas_int8_spmm,
+            )
 
             acc0 = jnp.zeros((rows_per * b, f_dim), jnp.float32)
 
             def step(s, carry):
                 b_chunk, acc = carry
                 c = jax.lax.rem(me - s + n, n)  # chunk currently held
-                acc = acc + _pallas_spmm(
-                    jnp.take(lr, c, axis=0),
-                    jnp.take(cc, c, axis=0),
-                    jnp.take(bv, c, axis=0),
-                    b_chunk,
-                    rows_per, rows_per * b, ft,
-                    group=group, interpret=interpret,
-                    precision_name=precision_name,
-                )
+                if int8_mode:
+                    out = _pallas_int8_spmm(
+                        jnp.take(lr, c, axis=0),
+                        jnp.take(cc, c, axis=0),
+                        jnp.take(bv, c, axis=0),
+                        jnp.take(sc, c, axis=0),
+                        b_chunk,
+                        jnp.ones((f_dim,), jnp.float32),
+                        rows_per, rows_per * b, ft,
+                        group=group, interpret=interpret,
+                    )
+                else:
+                    out = _pallas_spmm(
+                        jnp.take(lr, c, axis=0),
+                        jnp.take(cc, c, axis=0),
+                        jnp.take(bv, c, axis=0),
+                        b_chunk,
+                        rows_per, rows_per * b, ft,
+                        group=group, interpret=interpret,
+                        precision_name=precision_name,
+                    )
+                acc = acc + out
                 b_chunk = jax.lax.ppermute(b_chunk, axis, perm)
                 return b_chunk, acc
 
@@ -291,12 +321,24 @@ def _halo_run(statics, lr, cc, bv, sc, cs, bp_idx, out_idx, dense):
             if local_impl == "pallas":
                 # per-offset covered + group-packed layout: every
                 # output tile written per call (pack_buckets_pallas)
-                out = out + _pallas_spmm(
-                    lr[h], cc[h], bv[h], chunk,
-                    rows_per, rows_per * b, ft,
-                    group=group, interpret=interpret,
-                    precision_name=precision_name,
-                )
+                if int8_mode:
+                    from spmm_denseblock_tpu.ops.bsr_spmm_pallas_int8 import (
+                        _pallas_int8_spmm,
+                    )
+
+                    out = out + _pallas_int8_spmm(
+                        lr[h], cc[h], bv[h], sc[h], chunk,
+                        jnp.ones((f_dim,), jnp.float32),
+                        rows_per, rows_per * b, ft,
+                        group=group, interpret=interpret,
+                    )
+                else:
+                    out = out + _pallas_spmm(
+                        lr[h], cc[h], bv[h], chunk,
+                        rows_per, rows_per * b, ft,
+                        group=group, interpret=interpret,
+                        precision_name=precision_name,
+                    )
             else:
                 out = out + _local_bsr_spmm(
                     lr[h], cc[h], bv[h],
@@ -481,10 +523,10 @@ def dist_bsr_spmm_plan(
     stripe = NamedSharding(mesh, P(axis))
     dtype_key = None if dtype is None else jnp.dtype(dtype).name
     int8_mode = dtype_key == "int8"
-    if int8_mode and local_impl != "xla":
-        raise ValueError("dtype=int8 requires local_impl='xla'")
-    if precision is not None and local_impl != "pallas":
-        raise ValueError("precision= applies to local_impl='pallas' only")
+    if precision is not None and (local_impl != "pallas" or int8_mode):
+        raise ValueError(
+            "precision= applies to float local_impl='pallas' plans only"
+        )
     if calibration is not None and not int8_mode:
         raise ValueError(
             "calibration= only applies to dtype=int8 serving plans; "

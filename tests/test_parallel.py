@@ -629,6 +629,45 @@ def test_dist_bsr_spmm_int8_halo(mesh, rng):
     assert 0 < rel < 3e-2, rel
 
 
+@pytest.mark.parametrize("strategy", ["allgather", "ring"])
+def test_dist_bsr_spmm_int8_pallas(mesh, rng, strategy):
+    """int8 + local_impl='pallas': the grouped int8 MXU kernel per
+    stripe/chunk (per-slot scales quantized AFTER packing so pad slots
+    are exact zeros; global per-column operand scale on the epilogue)."""
+    import jax.numpy as jnp
+
+    bsr, dense, want = _random_case(rng, b=8, nbr=16, nbc=16, f=16)
+    cal = rng.standard_normal((400, 16)).astype(np.float32)
+    for calib in (None, cal):
+        run = dist_bsr_spmm_plan(
+            bsr, mesh=mesh, strategy=strategy, dtype=jnp.int8,
+            local_impl="pallas", calibration=calib, group=2,
+        )
+        got = np.asarray(run(dense))
+        rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+        assert 0 < rel < 3e-2, (strategy, calib is None, rel)
+
+
+def test_dist_bsr_spmm_int8_pallas_halo(mesh, rng):
+    import jax.numpy as jnp
+
+    from spmm_denseblock_tpu.formats.csr import CSR
+    from spmm_denseblock_tpu.convert.csr2bsr import csr_to_bsr
+
+    n = 32 * 8
+    rows = np.repeat(np.arange(n), 5)
+    cols = (rows + np.tile(np.arange(-2 * 8, -2 * 8 + 5), n)) % n
+    banded = CSR.from_coo(rows, cols, None, (n, n))
+    bsr = csr_to_bsr(banded, 8)
+    dense = rng.standard_normal((n, 12)).astype(np.float32)
+    want = spmm_scipy(banded, dense)
+    run = dist_bsr_spmm_plan(bsr, mesh=mesh, strategy="halo",
+                             dtype=jnp.int8, local_impl="pallas")
+    got = np.asarray(run(dense))
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert 0 < rel < 3e-2, rel
+
+
 def test_dist_windowed_int8(mesh, rng):
     """int8 dist windowed: per-(tile,slot) quantized tiles, one global
     operand quantization, int8 all_gather; the int8 remainder rides the
