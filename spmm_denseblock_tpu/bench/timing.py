@@ -35,7 +35,13 @@ _mix = jax.jit(lambda x, y: x + jnp.float32(1e-12) * jnp.sum(y))
 
 def time_chained_square(fn: Callable, x0, iters: int = 10, k: int = 6) -> float:
     """Per-call seconds for fn: (N, F) -> (N, F) (output feeds input)."""
-    float(_sum(_scale(fn(x0))))  # warm every op
+    # warm every op INCLUDING the chained call: a sharded fn (dist
+    # plans) commits its output to the mesh sharding, so fn(chained)
+    # jit-caches under a different input sharding than fn(x0) — warming
+    # only fn(x0) left one retrace inside the first timed chain, which
+    # made t(n) >= t(kn) and the marginal cost clamp to the 1e-9 floor
+    # (observed on the round-3 dist-Pallas probe).
+    float(_sum(_scale(fn(_scale(fn(x0))))))
 
     def chain(n):
         x = x0
@@ -52,7 +58,9 @@ def time_chained_square(fn: Callable, x0, iters: int = 10, k: int = 6) -> float:
 def time_chained(fn: Callable, x0, iters: int = 10, k: int = 6) -> float:
     """Per-call seconds for fn with any output shape: the next input is
     x0 + eps*sum(prev_output), a true data dependency."""
-    float(_sum(_mix(x0, fn(x0))))  # warm every op
+    # warm the chained call too (see time_chained_square: sharded fns
+    # retrace under the chained input's committed sharding)
+    float(_sum(_mix(x0, fn(_mix(x0, fn(x0))))))
 
     def chain(n):
         x = x0

@@ -271,6 +271,22 @@ def pack_buckets_pallas(lr, cc, bv, n_block_rows, group="auto"):
         if t < t_max:
             sr[i, t:] = r[-1]
             sc[i, t * group :] = np.tile(c[-group:], t_max - t)
+        # zero-slot DMA skip, extended to COVERING blocks (not just
+        # _pack_groups' group pads): any all-zero slot contributes
+        # nothing regardless of its col, so point it at the same
+        # buffer's most recent REAL col — Mosaic only issues the
+        # B-tile DMA on index change. Ring/halo buckets are mostly
+        # covering steps on sparse stripes, so this skips most of
+        # their gather traffic. Leading zero slots (no earlier real
+        # col in the buffer) keep their col.
+        c2 = sc[i].reshape(t_max, group)
+        z2 = np.abs(bp[i]).sum(axis=(-1, -2)) == 0
+        step_idx = np.where(
+            ~z2.reshape(t_max, group), np.arange(t_max)[:, None], -1
+        )
+        src = np.maximum.accumulate(step_idx, axis=0)
+        filled = np.take_along_axis(c2, np.maximum(src, 0), axis=0)
+        sc[i] = np.where(src >= 0, filled, c2).reshape(-1)
     return (
         sr.reshape(lead + (t_max,)),
         sc.reshape(lead + (t_max * group,)),

@@ -179,6 +179,51 @@ def test_dist_bsr_spmm_pallas_local(mesh, rng):
     assert_allclose(np.asarray(run2(dense2)), bsr2.to_dense() @ dense2)
 
 
+def test_pack_buckets_pallas_layout(rng):
+    """Layout invariants of the dist-Pallas bucket packer: every local
+    block-row covered (kernel zero-init reaches every output tile),
+    uniform step count across buckets, row-sorted steps, pad slots
+    repeating the same buffer's previous col (DMA skip), and exact
+    value reconstruction."""
+    from spmm_denseblock_tpu.parallel.shard import pack_buckets_pallas
+
+    rows_per, b, G = 7, 4, 2
+    # two buckets: one dense-ish, one EMPTY (all padding) — the empty
+    # chunk case a ring schedule hits on sparse stripes
+    lr = np.array([[0, 0, 2, 5, 6, 6], [6, 6, 6, 6, 6, 6]], np.int32)
+    cc = np.array([[3, 1, 0, 2, 1, 0], [0, 0, 0, 0, 0, 0]], np.int32)
+    bv = rng.standard_normal((2, 6, b, b)).astype(np.float32)
+    bv[1] = 0.0  # bucket 1 holds only zero padding entries
+    sr, sc, bp, g = pack_buckets_pallas(lr, cc, bv, rows_per, group=G)
+    assert g == G
+    t = sr.shape[1]
+    assert sc.shape == (2, t * G) and bp.shape == (2, t * G, b, b)
+    for i in range(2):
+        # covered: every block-row appears among the steps
+        assert set(range(rows_per)) <= set(sr[i].tolist())
+        # row-sorted steps
+        assert (np.diff(sr[i]) >= 0).all()
+        # reconstruction: sum of slot blocks at (row, col) == input sum
+        want = np.zeros((rows_per * b, rows_per * b), np.float32)
+        for j in range(lr.shape[1]):
+            r0, c0 = lr[i, j] * b, cc[i, j] * b
+            want[r0 : r0 + b, c0 : c0 + b] += bv[i, j]
+        got = np.zeros_like(want)
+        rows_slot = np.repeat(sr[i], G)
+        for s in range(t * G):
+            r0, c0 = rows_slot[s] * b, sc[i, s] * b
+            got[r0 : r0 + b, c0 : c0 + b] += bp[i, s]
+        np.testing.assert_allclose(got, want, atol=1e-6)
+        # pad slots (zero blocks) repeat the SAME buffer's previous-step
+        # col whenever one exists -> Mosaic skips the B-tile DMA
+        c2 = sc[i].reshape(t, G)
+        z2 = np.abs(bp[i]).sum(axis=(-1, -2)).reshape(t, G) == 0
+        for step in range(1, t):
+            for buf in range(G):
+                if z2[step, buf]:
+                    assert c2[step, buf] == c2[step - 1, buf]
+
+
 def test_dist_bsr_spmm_pallas_ring(mesh, rng):
     """Ring strategy with the grouped flat Pallas kernel per chunk:
     every col-chunk bucket gets its own covered + group-packed layout
