@@ -432,7 +432,16 @@ def bsr_spmm_pallas_plan(
     return Plan(arrays, _pallas_apply, statics)
 
 
+@functools.partial(jax.jit, static_argnames="statics")
 def _pallas_apply(statics, arrays, dense):
+    # One fused program per (statics, shapes): the eager pre-ops this
+    # apply used to dispatch separately (pad, astype) each cost ~1.3 ms
+    # of relay round-trip at the headline shape — the round-3 dist
+    # probe found the shard_map-wrapped path (everything in one jit)
+    # beating this plan by exactly that margin on the int8 tier
+    # (benchmarks/int8_dist_anomaly_r3.jsonl). arrays stay runtime
+    # parameters (jit ARGS, not closure constants — the ops/plan.py
+    # HLO-constant rule).
     (n_block_rows, n_rows, n_cols, k_needed,
      f_tile, group, fuse_dot, interpret, dtype_key, precision,
      lookahead) = statics

@@ -226,7 +226,13 @@ def bsr_spmm_pallas_int8_plan(
     return Plan(arrays, _int8_pallas_apply, statics)
 
 
+@functools.partial(jax.jit, static_argnames="statics")
 def _int8_pallas_apply(statics, arrays, dense):
+    # Fused into ONE program (see _pallas_apply): the separate
+    # quantize-then-kernel dispatches cost a relay round-trip each —
+    # the dist-wrapped path (single jit) measured 22% faster than this
+    # plan at the headline shape before this fuse
+    # (benchmarks/dist_pallas_probe_r3.jsonl).
     (n_block_rows, n_rows, n_cols, k_needed,
      f_tile, group, interpret, static_scale) = statics
     br, bc, qb, sc = arrays

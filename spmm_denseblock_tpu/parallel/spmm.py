@@ -116,6 +116,8 @@ def _ag_run(statics, lr, bc, bv, sc, cs, dense):
     col_scale = None
     if int8_mode:
         dense, col_scale = _quantize_operand(dense, cs)
+    elif dtype_key is not None:
+        dense = dense.astype(dtype_key)
     f_orig = dense.shape[1]
     if local_impl == "pallas":
         # the flat Pallas kernel wants F in whole tiles per device
@@ -376,8 +378,9 @@ def _halo_run(statics, lr, cc, bv, sc, cs, bp_idx, out_idx, dense):
 def _dist_bsr_apply(statics, arrays, dense):
     run, inner_statics, dtype_key = statics
     dense = jnp.asarray(dense)
-    if dtype_key is not None and dtype_key != "int8":
-        dense = dense.astype(dtype_key)
+    # the cast happens INSIDE the jitted run fn (one fused dispatch —
+    # an eager astype here costs a ~1.3 ms relay round-trip per call,
+    # benchmarks/int8_dist_anomaly_r3.jsonl)
     return {"allgather": _ag_run, "ring": _ring_run, "halo": _halo_run}[run](
         inner_statics, *arrays, dense
     )
