@@ -74,6 +74,31 @@ def time_chained(fn: Callable, x0, iters: int = 10, k: int = 6) -> float:
     return max((t2 - t1) / ((k - 1) * iters), 1e-9)
 
 
+def time_repeats(
+    fn: Callable, x0, repeats: int = 3, iters: int = 10, k: int = 6,
+    square: bool = False,
+) -> dict:
+    """Repeated marginal-cost measurement with spread — the round-3
+    variance control (relay-day cross-run variance is ~10%; single-run
+    records let close calls hide inside the noise band) promoted to the
+    first-class timing API. Runs the full chained measurement `repeats`
+    times back-to-back (everything stays compiled after the first) and
+    returns {"secs": median, "secs_min", "secs_max", "repeats"} so every
+    record carries its own interval. Conclusions at margins inside
+    [secs_min, secs_max] are not conclusions."""
+    timer = time_chained_square if square else time_chained
+    vals = sorted(timer(fn, x0, iters=iters, k=k) for _ in range(repeats))
+    mid = vals[len(vals) // 2] if repeats % 2 else (
+        0.5 * (vals[len(vals) // 2 - 1] + vals[len(vals) // 2])
+    )
+    return {
+        "secs": mid,
+        "secs_min": vals[0],
+        "secs_max": vals[-1],
+        "repeats": repeats,
+    }
+
+
 def time_synced(fn: Callable, x0, iters: int = 8) -> float:
     """Fully-synchronous chained timing: readback barrier after EVERY
     call. Slower and includes per-call sync overhead, but never builds a

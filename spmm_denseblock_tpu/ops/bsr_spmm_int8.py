@@ -135,7 +135,10 @@ def bsr_spmm_int8_plan(bsr: BSR, calibration=None, **_ignored):
     return Plan(arrays, _int8_xla_apply, statics)
 
 
+@functools.partial(jax.jit, static_argnames="statics")
 def _int8_xla_apply(statics, arrays, dense):
+    # one fused program: astype + pad + quantize + kernel (fuse-pass
+    # rule — eager pre-ops cost ~1.3 ms relay round-trip each)
     n_block_rows, n_rows, n_cols, k_needed = statics
     br, bc, qb, sc, cs = arrays
     dense = jnp.asarray(dense, dtype=jnp.float32)

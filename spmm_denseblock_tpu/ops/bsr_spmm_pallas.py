@@ -265,6 +265,24 @@ def _pallas_spmm(
     return out[:n_rows]
 
 
+def per_buffer_col_fill(cols2d, real_mask, fallback=None):
+    """Per-(step, buffer) pad-slot col fill, shared by _pack_groups and
+    parallel/shard.pack_buckets_pallas (so the two packers cannot
+    drift): a pad slot at (step j, buffer g) repeats buffer g's most
+    recent REAL col — Mosaic only issues a BlockSpec buffer's B-tile
+    DMA when its block index changes between consecutive grid steps, so
+    the repeated index skips the copy entirely. What counts as "real"
+    is the caller's mask (group pads for _pack_groups; any all-zero
+    slot, including covering blocks, for pack_buckets_pallas). Leading
+    pads (no earlier real col in the buffer) take `fallback` when
+    given, else keep their col. cols2d: (T, G); real_mask: (T, G) bool."""
+    step_idx = np.where(real_mask, np.arange(cols2d.shape[0])[:, None], -1)
+    src = np.maximum.accumulate(step_idx, axis=0)
+    filled = np.take_along_axis(cols2d, np.maximum(src, 0), axis=0)
+    lead = cols2d if fallback is None else fallback
+    return np.where(src >= 0, filled, lead)
+
+
 def _pack_groups(rows, cols, blocks, group: int):
     """Group-pad a row-sorted flat block list: every block-row's blocks
     are padded to a multiple of `group` with zero blocks.
@@ -303,13 +321,10 @@ def _pack_groups(rows, cols, blocks, group: int):
     flat_fill = cols_pad[ffill]
     if group > 1:
         # per-buffer fill: pad at (step j, buffer g) repeats this
-        # buffer's previous-step col -> Mosaic skips the DMA
+        # buffer's most recent real col -> Mosaic skips the DMA
         c2 = cols_pad.reshape(n_steps, group)
-        step_idx = np.where(c2 >= 0, np.arange(n_steps)[:, None], -1)
-        src = np.maximum.accumulate(step_idx, axis=0)
-        per_buf = np.take_along_axis(c2, np.maximum(src, 0), axis=0)
-        cols_pad = np.where(
-            src >= 0, per_buf, flat_fill.reshape(n_steps, group)
+        cols_pad = per_buffer_col_fill(
+            c2, c2 >= 0, flat_fill.reshape(n_steps, group)
         ).reshape(-1)
     else:
         cols_pad = flat_fill

@@ -62,7 +62,10 @@ def bsr_spmm_xla_plan(bsr: BSR, dtype=None, **_ignored):
     return Plan(arrays, _bsr_xla_apply, statics)
 
 
+@functools.partial(jax.jit, static_argnames="statics")
 def _bsr_xla_apply(statics, arrays, dense):
+    # one fused program: pad + astype + kernel (eager pre-ops each cost
+    # a ~1.3 ms relay round-trip — the _pallas_apply fuse-pass rule)
     n_block_rows, n_rows, n_cols, k_needed, dtype_key = statics
     block_rows, block_cols, blocks = arrays
     dense = jnp.asarray(dense)

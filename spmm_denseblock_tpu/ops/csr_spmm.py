@@ -77,6 +77,7 @@ def csr_spmm_plan(csr: CSR, chunk_nnz=None):
     return sum_plan(parts)
 
 
+@functools.partial(jax.jit, static_argnames="statics")
 def _csr_xla_apply(statics, arrays, dense):
     (n_rows,) = statics
     row_ids, col_ids, vals = arrays

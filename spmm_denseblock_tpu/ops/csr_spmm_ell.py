@@ -562,7 +562,10 @@ def csr_spmm_ell_banded_plan(
     return Plan(arrays, _banded_apply, statics)
 
 
+@functools.partial(jax.jit, static_argnames="statics")
 def _banded_apply(statics, arrays, dense):
+    # one fused program incl. the dtype cast (fuse-pass rule: every
+    # eager pre-op dispatch costs ~1.3 ms of relay round-trip)
     (n_rows, n_cols), layout_in, layout_ovf, dtype_key, band_rows = statics
     idx_chunks, val_chunks, pos_in, pos_ovf = arrays
     dense = jnp.asarray(dense)
@@ -636,7 +639,9 @@ def csr_spmm_ell_plan(csr: CSR, grad: bool = True, dtype=None,
     return Plan(arrays, _ell_apply, statics)
 
 
+@functools.partial(jax.jit, static_argnames="statics")
 def _ell_apply(statics, arrays, dense):
+    # one fused program incl. the dtype cast (see _banded_apply note)
     (n_rows, n_cols), layout, has_vals, dtype_key = statics
     idx_chunks, val_chunks, positions = arrays
     dense = jnp.asarray(dense)
@@ -726,7 +731,9 @@ def csr_spmm_ell_int8_plan(
     return Plan(arrays, _ell_int8_apply, statics)
 
 
+@functools.partial(jax.jit, static_argnames="statics")
 def _ell_int8_apply(statics, arrays, dense):
+    # one fused program incl. the f32 normalize (see _banded_apply note)
     (n_rows, n_cols), layout, has_vals = statics
     idx_chunks, val_chunks, positions, col_scale = arrays
     dense = jnp.asarray(dense)

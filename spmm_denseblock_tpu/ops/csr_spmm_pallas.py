@@ -206,7 +206,9 @@ def csr_spmm_pallas_plan(
     return Plan(arrays, _csr_pallas_apply, statics)
 
 
+@functools.partial(jax.jit, static_argnames="statics")
 def _csr_pallas_apply(statics, arrays, dense):
+    # one fused program: pad + cast + gather + kernel (fuse-pass rule)
     n_rows, n_cols, n_bands, R, f_tile, precision, interpret = statics
     cols_pad, lrows, vals, band = arrays
     dense = jnp.asarray(dense)

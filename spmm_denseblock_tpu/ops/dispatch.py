@@ -22,8 +22,10 @@ spmm_tune measures candidates on the caller's operand.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Dict
 
+import jax
 import jax.numpy as jnp
 
 from spmm_denseblock_tpu.formats.csr import CSR
@@ -54,6 +56,7 @@ from spmm_denseblock_tpu.ops.hybrid_spmm import (
 from spmm_denseblock_tpu.ops.reference import spmm_dense_jnp
 
 
+@functools.partial(jax.jit, static_argnames="statics")
 def _dense_apply(statics, arrays, dense):
     (a,) = arrays
     return spmm_dense_jnp(a, dense)

@@ -59,8 +59,19 @@ class Plan:
         return f"Plan({name}, statics={self.statics!r})"
 
 
+@functools.partial(jax.jit, static_argnames="statics")
 def _sum_apply(statics, plans, dense):
-    """Sum of sub-plan outputs (chunked executors: partial row sums add)."""
+    """Sum of sub-plan outputs (chunked executors: partial row sums add).
+
+    Jitted at THIS level (round-4 fuse pass): the eager form paid one
+    dispatch per sub-plan plus eager adds — each eager dispatch costs
+    ~1.3 ms of relay round-trip (benchmarks/int8_dist_anomaly_r3.jsonl),
+    so an N-part hybrid/chunked plan paid N-1 avoidable round-trips.
+    One program also lets XLA's buffer assignment reuse the partial
+    temporaries (the _ell_banded_device lesson: sum-of-two-subplans kept
+    four (n, F) buffers alive across program boundaries). The plans
+    tuple is a jit ARGUMENT (Plan is a pytree), so sub-plan arrays stay
+    runtime parameters, never HLO constants."""
     dense = jnp.asarray(dense)
     out = plans[0](dense)
     for p in plans[1:]:
@@ -104,6 +115,7 @@ def _vjp_bwd(statics, res, g):
 _vjp_apply.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+@functools.partial(jax.jit, static_argnames="statics")
 def _grad_apply(statics, plans, dense):
     fwd_plan, bwd_plan = plans
     return _vjp_apply((), fwd_plan, bwd_plan, dense)
@@ -115,6 +127,7 @@ def grad_plan(fwd_plan: Plan, bwd_plan: Plan) -> Plan:
     return Plan((fwd_plan, bwd_plan), _grad_apply)
 
 
+@functools.partial(jax.jit, static_argnames="statics")
 def _transb_apply(statics, plans, dense_t):
     (inner,) = plans
     return inner(jnp.asarray(dense_t).T)

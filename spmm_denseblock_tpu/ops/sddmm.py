@@ -66,6 +66,18 @@ def _sddmm_block(block_rows, block_cols, x_blocked, y_blocked):
     )  # (nnzb, b, b)
 
 
+@functools.partial(jax.jit, static_argnames=("b", "r_pad", "c_pad"))
+def _sddmm_block_run(br, bc, x, y, b, r_pad, c_pad):
+    # one fused program: pads + gathers + batched matmul (the eager pads
+    # each cost a dispatch round-trip — the plan-family fuse-pass rule);
+    # br/bc are jit ARGS, never HLO constants (ops/plan.py rule)
+    x = jnp.pad(x, ((0, r_pad - x.shape[0]), (0, 0)))
+    y = jnp.pad(y, ((0, c_pad - y.shape[0]), (0, 0)))
+    xb = x.reshape(r_pad // b, b, x.shape[1])
+    yb = y.reshape(c_pad // b, b, y.shape[1])
+    return _sddmm_block(br, bc, xb, yb)
+
+
 def sddmm_block_plan(block_rows, block_cols, block_size: int, n_rows: int, n_cols: int):
     """Block tier: returns f(x, y) -> (nnzb, b, b) score blocks for the
     given block coordinate lists (e.g. a BSR sparsity pattern). x: (n_rows,
@@ -77,12 +89,8 @@ def sddmm_block_plan(block_rows, block_cols, block_size: int, n_rows: int, n_col
     c_pad = -(-n_cols // b) * b
 
     def run(x, y):
-        x = jnp.asarray(x)
-        y = jnp.asarray(y)
-        x = jnp.pad(x, ((0, r_pad - x.shape[0]), (0, 0)))
-        y = jnp.pad(y, ((0, c_pad - y.shape[0]), (0, 0)))
-        xb = x.reshape(r_pad // b, b, x.shape[1])
-        yb = y.reshape(c_pad // b, b, y.shape[1])
-        return _sddmm_block(br, bc, xb, yb)
+        return _sddmm_block_run(
+            br, bc, jnp.asarray(x), jnp.asarray(y), b, r_pad, c_pad
+        )
 
     return run

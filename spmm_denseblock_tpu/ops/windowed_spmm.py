@@ -45,7 +45,10 @@ def _windowed_matmul(tiles, win_idx, dense_blocked, n_rows: int):
     return out[:n_rows]
 
 
+@functools.partial(jax.jit, static_argnames="statics")
 def _windowed_apply(statics, arrays, dense):
+    # one fused program: pad + cast + blocked matmul (fuse-pass rule —
+    # eager pre-ops cost ~1.3 ms relay round-trip each)
     n_rows, n_cols, k_padded, W, dtype_key = statics
     tiles, win_idx = arrays
     dense = jnp.asarray(dense)
@@ -121,36 +124,40 @@ def windowed_spmm_int8_plan(wt: Windowed, calibration=None, **_ignored):
         if wt.remainder.nnz else None
     )
 
-    @jax.jit
-    def run_impl(q_tiles, sc, win_idx, cs, dense):
-        from spmm_denseblock_tpu.ops.bsr_spmm_int8 import (
-            quantize_per_column,
-        )
-
-        d = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
-        qd, col_scale = quantize_per_column(d, cs)
-        blocked = qd.reshape(k_padded // W, W, qd.shape[1])
-        wins = jnp.take(blocked, win_idx, axis=0)  # (T, K, W, F) int8
-        prod = jax.lax.dot_general(
-            q_tiles,
-            wins,
-            dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
-            preferred_element_type=jnp.int32,
-        )  # (T, K, R, F) int32
-        scaled = prod.astype(jnp.float32) * sc[:, :, None, None]
-        out = jnp.sum(scaled, axis=1).reshape(-1, qd.shape[1])[:n_rows]
-        return out * col_scale[None, :]
-
-    def _int8_apply(statics, arrays, dense):
-        q_tiles, sc, win_idx, cs = arrays
-        dense = jnp.asarray(dense, jnp.float32)
-        assert dense.shape[0] == n_cols, (dense.shape, n_cols)
-        return run_impl(q_tiles, sc, win_idx, cs, dense)
-
-    win_plan = Plan((q_tiles, sc, win_idx, cs), _int8_apply)
+    win_plan = Plan(
+        (q_tiles, sc, win_idx, cs),
+        _windowed_int8_apply,
+        (n_rows, n_cols, k_padded, W),
+    )
     if rem_plan is None:
         return win_plan
     return sum_plan((win_plan, rem_plan))
+
+
+@functools.partial(jax.jit, static_argnames="statics")
+def _windowed_int8_apply(statics, arrays, dense):
+    # module-level fused apply (was a per-plan closure: retraces were
+    # not shared across plans of the family, and the eager f32 cast
+    # dispatched separately — the fuse-pass rule)
+    from spmm_denseblock_tpu.ops.bsr_spmm_int8 import quantize_per_column
+
+    n_rows, n_cols, k_padded, W = statics
+    q_tiles, sc, win_idx, cs = arrays
+    dense = jnp.asarray(dense, jnp.float32)
+    assert dense.shape[0] == n_cols, (dense.shape, n_cols)
+    d = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
+    qd, col_scale = quantize_per_column(d, cs)
+    blocked = qd.reshape(k_padded // W, W, qd.shape[1])
+    wins = jnp.take(blocked, win_idx, axis=0)  # (T, K, W, F) int8
+    prod = jax.lax.dot_general(
+        q_tiles,
+        wins,
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.int32,
+    )  # (T, K, R, F) int32
+    scaled = prod.astype(jnp.float32) * sc[:, :, None, None]
+    out = jnp.sum(scaled, axis=1).reshape(-1, qd.shape[1])[:n_rows]
+    return out * col_scale[None, :]
 
 
 def tiered_spmm_plan(

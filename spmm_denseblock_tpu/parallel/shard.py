@@ -278,15 +278,15 @@ def pack_buckets_pallas(lr, cc, bv, n_block_rows, group="auto"):
         # B-tile DMA on index change. Ring/halo buckets are mostly
         # covering steps on sparse stripes, so this skips most of
         # their gather traffic. Leading zero slots (no earlier real
-        # col in the buffer) keep their col.
-        c2 = sc[i].reshape(t_max, group)
-        z2 = np.abs(bp[i]).sum(axis=(-1, -2)) == 0
-        step_idx = np.where(
-            ~z2.reshape(t_max, group), np.arange(t_max)[:, None], -1
+        # col in the buffer) keep their col. Shared fill helper with
+        # _pack_groups (ops/bsr_spmm_pallas.per_buffer_col_fill).
+        from spmm_denseblock_tpu.ops.bsr_spmm_pallas import (
+            per_buffer_col_fill,
         )
-        src = np.maximum.accumulate(step_idx, axis=0)
-        filled = np.take_along_axis(c2, np.maximum(src, 0), axis=0)
-        sc[i] = np.where(src >= 0, filled, c2).reshape(-1)
+
+        c2 = sc[i].reshape(t_max, group)
+        real = (np.abs(bp[i]).sum(axis=(-1, -2)) != 0).reshape(t_max, group)
+        sc[i] = per_buffer_col_fill(c2, real).reshape(-1)
     return (
         sr.reshape(lead + (t_max,)),
         sc.reshape(lead + (t_max * group,)),

@@ -49,8 +49,12 @@ from spmm_denseblock_tpu.parallel.shard import (
 def _pallas_f_geometry(f_orig: int, tp: int):
     """(f_tile, f_padded) for the flat Pallas kernel under a feature-
     axis shard of size tp: the per-device F slice must be a whole
-    number of f_tile tiles, so F is padded to a multiple of tp*f_tile."""
-    ft = min(512, -(-f_orig // 128) * 128)
+    number of f_tile tiles, so F is padded to a multiple of tp*f_tile.
+    The tile is sized from the PER-DEVICE slice, not the full F —
+    sizing from full F over-padded up to tp-fold (F=512, tp=4 gave
+    ft=512/f_padded=2048 where ft=128/f_padded=512 suffices)."""
+    per_dev = -(-f_orig // tp)
+    ft = min(512, -(-per_dev // 128) * 128)
     return ft, -(-f_orig // (ft * tp)) * (ft * tp)
 
 
@@ -191,6 +195,11 @@ def _ring_run(statics, lr, cc, bv, sc, cs, dense):
     col_scale = None
     if int8_mode:
         dense, col_scale = _quantize_operand(dense, cs)
+    elif dtype_key is not None:
+        # same cast as _ag_run: without it the ring ppermute moves f32
+        # (2x the documented ICI bytes) and the local kernels run mixed
+        # bf16-blocks x f32-operand instead of the bf16 path
+        dense = dense.astype(dtype_key)
     f_orig = dense.shape[1]
     if local_impl == "pallas":
         tp = int(mesh.shape[feature_axis]) if feature_axis else 1
@@ -295,6 +304,10 @@ def _halo_run(statics, lr, cc, bv, sc, cs, bp_idx, out_idx, dense):
     col_scale = None
     if int8_mode:
         dense, col_scale = _quantize_operand(dense, cs)
+    elif dtype_key is not None:
+        # same cast as _ag_run (halo ppermutes and local kernels must
+        # see the documented dtype, not mixed bf16-blocks x f32-operand)
+        dense = dense.astype(dtype_key)
     f_orig = dense.shape[1]
     if local_impl == "pallas":
         tp = int(mesh.shape[feature_axis]) if feature_axis else 1
@@ -386,6 +399,7 @@ def _dist_bsr_apply(statics, arrays, dense):
     )
 
 
+@functools.partial(jax.jit, static_argnames="statics")
 def _undo_apply(statics, arrays, dense):
     """LPT-balance wrapper: inner plan on the permuted matrix, then gather
     output rows back to caller order — all inside the same program."""
