@@ -64,7 +64,8 @@ DATASETS = [
 ]
 
 
-def run(dataset, strategy, dtype=jnp.bfloat16, label="auto"):
+def run(dataset, strategy, dtype=jnp.bfloat16, label="auto", impl="auto",
+        **impl_kw):
     t0 = time.time()
     csr = load_dataset(dataset, scale=1.0)
     if strategy == "original":
@@ -77,7 +78,8 @@ def run(dataset, strategy, dtype=jnp.bfloat16, label="auto"):
     if dtype is not None:
         kw["dtype"] = dtype
     t_plan0 = time.time()
-    plan = spmm_plan(rcsr, impl="auto", block_size=B, feat_dim=DIM, **kw)
+    plan = spmm_plan(rcsr, impl=impl, block_size=B, feat_dim=DIM, **kw,
+                     **impl_kw)
     plan_s = time.time() - t_plan0
     x = _dense_operand(rcsr.n_cols, DIM)
     # per-dtype conformance on a column slice (full-width oracle at
@@ -154,5 +156,18 @@ if __name__ == "__main__":
             run(ds, "rabbit", dtype="int8", label="auto(int8)")
         except Exception as e:
             print(f"[matrix4] {ds} int8 FAILED: {type(e).__name__}: {e}",
+                  flush=True)
+    # manual comparator on EVERY dataset (VERDICT r3 weak #7: auto's
+    # within-10% acceptance had no manual run on record for 4 of 7
+    # datasets): the strongest general manual route, quarter-ELL bf16
+    # with two-level compaction
+    for ds in DATASETS:
+        if only and ds != only:
+            continue
+        try:
+            run(ds, "rabbit", label="manual(csr_ell)", impl="csr_ell",
+                compact="auto")
+        except Exception as e:
+            print(f"[matrix4] {ds} manual FAILED: {type(e).__name__}: {e}",
                   flush=True)
     print(f"[matrix4] done in {time.time()-t_start:.0f}s", flush=True)

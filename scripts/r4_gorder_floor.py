@@ -1,0 +1,116 @@
+"""Round-4 Gorder default decision (VERDICT r3 #5, third clause).
+
+Round 3 shipped SDB_GORDER_FLOOR=64 as default (full products 168.7 s)
+with a measured floor=48 alternative (110.7 s, capture score −9.8%) —
+"documented but not default", decision deferred for data. The missing
+datum: does the −9.8% capture loss show up where it matters, in
+SERVING speed on the ordering the floor produced? (The r3 gorder-vs-
+rabbit result already showed ordering-quality differences larger than
+9.8% capture produce <6% serving deltas, inside relay variance.)
+
+This driver, per floor in {64, 48} on full synthetic ogbn-products:
+  1. times the native Gorder run (host);
+  2. records block metrics (density/utilization at b=128) of the
+     resulting ordering — the quality measure the reference itself uses
+     (reorder_graph.cc:18-22);
+  3. times the bf16 quarter-ELL serving plan on the chip, 3 repeats.
+
+Decision rule, recorded in the artifact: if floor=48 serving is within
+the measured spread of floor=64, 48 becomes the default (169 s → 111 s
+preprocessing for free); otherwise 64 stays and the artifact records
+the serving cost that justifies it.
+
+Appends benchmarks/gorder_floor_r4.jsonl.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/sdb_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+OUT = "/root/repo/benchmarks/gorder_floor_r4.jsonl"
+
+
+def main():
+    from spmm_denseblock_tpu.analyze.metrics import block_metrics
+    from spmm_denseblock_tpu.bench.timing import time_repeats
+    from spmm_denseblock_tpu.io.datasets import load_dataset
+    from spmm_denseblock_tpu.ops import spmm_plan
+    from spmm_denseblock_tpu.reorder import permutate
+    from spmm_denseblock_tpu.reorder.gorder import gorder
+
+    csr = load_dataset("ogbn-products", scale=1.0)
+    rng = np.random.default_rng(1234)
+    x = rng.standard_normal((csr.n_cols, 128)).astype(np.float32)
+    results = {}
+    for floor in (64, 48):
+        os.environ["SDB_GORDER_FLOOR"] = str(floor)
+        t0 = time.time()
+        perm = gorder(csr)
+        t_gorder = time.time() - t0
+        rcsr = permutate(perm, csr)
+        m = block_metrics(rcsr, [128])[128]
+        t_plan0 = time.time()
+        plan = spmm_plan(rcsr, impl="csr_ell", dtype=jnp.bfloat16,
+                         grad=False, compact="auto", feat_dim=128)
+        plan_s = time.time() - t_plan0
+        t = time_repeats(plan, jax.device_put(x), repeats=3)
+        rec = {
+            "kind": "gorder_floor", "floor": floor,
+            "dataset": "ogbn-products", "n": csr.n_rows, "nnz": csr.nnz,
+            "gorder_s": round(t_gorder, 1), "plan_s": round(plan_s, 1),
+            "block_density_b128": m["density"],
+            "block_utilization_b128": m["utilization"],
+            "serve_ms": t["secs"] * 1e3,
+            "serve_ms_min": t["secs_min"] * 1e3,
+            "serve_ms_max": t["secs_max"] * 1e3, "repeats": 3,
+            "ts": time.time(),
+        }
+        results[floor] = rec
+        with open(OUT, "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+        print(f"[gorder-floor] floor={floor}: gorder {t_gorder:.0f}s, "
+              f"serve {rec['serve_ms']:.1f} ms "
+              f"[{rec['serve_ms_min']:.1f},{rec['serve_ms_max']:.1f}], "
+              f"util {m['utilization']:.4f}", flush=True)
+        del plan
+    os.environ.pop("SDB_GORDER_FLOOR", None)
+
+    r64, r48 = results[64], results[48]
+    overlap = r48["serve_ms_min"] <= r64["serve_ms_max"] * 1.02
+    decision = {
+        "kind": "gorder_floor_decision",
+        "serve_ms_64": r64["serve_ms"], "serve_ms_48": r48["serve_ms"],
+        "within_spread": overlap,
+        "decision": "default_floor_48" if overlap else "keep_floor_64",
+        "rationale": (
+            "floor=48 serving within floor=64's spread: take the 111 s "
+            "preprocessing (vs 169 s) for free" if overlap else
+            "floor=48 serving measurably slower: the capture loss is "
+            "real at serving time; 64 stays default"),
+        "ts": time.time(),
+    }
+    with open(OUT, "a") as fh:
+        fh.write(json.dumps(decision) + "\n")
+    print(f"[gorder-floor] DECISION: {decision['decision']}", flush=True)
+
+
+if __name__ == "__main__":
+    import traceback
+
+    try:
+        main()
+    except Exception:
+        print(f"[gorder-floor] FAILED: {traceback.format_exc(limit=5)}",
+              flush=True)
+        sys.exit(1)
