@@ -36,13 +36,25 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/sdb_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-from spmm_denseblock_tpu.bench.timing import time_chained_square
+from spmm_denseblock_tpu.bench.timing import time_chained_square, time_repeats
+
+_SPREADS = {}
 
 
-def _time_fn(fn, x0, iters=10):
+def _time_fn(fn, x0, iters=10, label=None):
     """Chained marginal-cost timing with readback barriers — shared with
-    the sweep harness (spmm_denseblock_tpu/bench/timing.py)."""
-    return time_chained_square(fn, x0, iters=iters)
+    the sweep harness (spmm_denseblock_tpu/bench/timing.py). On TPU,
+    median of 3 repeats (round-4 variance discipline: relay-day
+    cross-run variance is ~10%; the round-3 int8 headline 81.4 TF/s was
+    a favorable single run, reconciled to 75.4 median); the spread is
+    recorded per tier in the output line."""
+    if iters < 10:  # CPU smoke path: keep it quick
+        return time_chained_square(fn, x0, iters=iters)
+    t = time_repeats(fn, x0, repeats=3, iters=iters, square=True)
+    if label:
+        _SPREADS[label] = [round(t["secs_min"] * 1e3, 3),
+                           round(t["secs_max"] * 1e3, 3)]
+    return t["secs"]
 
 
 V5E_BF16_PEAK_GFLOPS = 197.4e3  # one consistent MFU denominator
@@ -79,10 +91,10 @@ def main():
     iters = 10 if on_tpu else 2
 
     xla = bsr_spmm_xla_plan(bsr)
-    t_xla = _time_fn(xla, dense_dev, iters=iters)
+    t_xla = _time_fn(xla, dense_dev, iters=iters, label="xla")
 
     pallas = bsr_spmm_pallas_plan(bsr, grad=False)
-    t_f32 = _time_fn(pallas, dense_dev, iters=iters)
+    t_f32 = _time_fn(pallas, dense_dev, iters=iters, label="f32_highest")
     t_best, dtype_label = t_f32, "f32"
 
     tiers = {"f32_highest": round(flops / t_f32 / 1e9, 1)}
@@ -97,7 +109,7 @@ def main():
         err = float(
             np.max(np.abs(got - want)) / max(1e-30, float(np.max(np.abs(want))))
         )
-        t_high = _time_fn(high, dense_dev, iters=iters)
+        t_high = _time_fn(high, dense_dev, iters=iters, label="f32_bf16x3")
         tiers["f32_bf16x3"] = round(flops / t_high / 1e9, 1)
         tiers["bf16x3_rel_err"] = err
         if err < 1e-4 and t_high < t_best:
@@ -108,7 +120,7 @@ def main():
         # discipline). int8: grouped kernel + static calibration (the
         # serving deployment shape), ~1e-2 rel err.
         bf16 = bsr_spmm_pallas_plan(bsr, grad=False, dtype="bfloat16")
-        t_bf16 = _time_fn(bf16, dense_dev, iters=iters)
+        t_bf16 = _time_fn(bf16, dense_dev, iters=iters, label="bf16")
         tiers["bf16"] = round(flops / t_bf16 / 1e9, 1)
 
         from spmm_denseblock_tpu.ops.bsr_spmm_pallas_int8 import (
@@ -116,7 +128,7 @@ def main():
         )
 
         i8 = bsr_spmm_pallas_int8_plan(bsr, calibration=dense[:4096])
-        t_i8 = _time_fn(i8, dense_dev, iters=iters)
+        t_i8 = _time_fn(i8, dense_dev, iters=iters, label="int8_calibrated")
         tiers["int8_calibrated"] = round(flops / t_i8 / 1e9, 1)
 
     gflops = flops / t_best / 1e9
@@ -136,6 +148,8 @@ def main():
                 "mfu_vs_bf16_peak": round(gflops / V5E_BF16_PEAK_GFLOPS, 4),
                 "achieved_gbps": round(bytes_moved / t_best / 1e9, 1),
                 "tiers_gflops": tiers,
+                "tier_ms_spread": _SPREADS,
+                "repeats": 3 if _SPREADS else 1,
             }
         )
     )
