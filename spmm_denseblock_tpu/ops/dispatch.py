@@ -68,6 +68,26 @@ def _dense_plan(mat, **kw):
     return Plan((jnp.asarray(mat.to_dense()),), _dense_apply)
 
 
+def _prefer_repack128(bsr) -> bool:
+    """Small-b BSR routing score (benchmarks/smallb_grid_r4.jsonl fit,
+    24/24 measured cells): compare the direct path's dominant cost
+    (2x the materialized (nnzb, b, F) gather at the measured
+    min(230, 30*b) GB/s small-b rate) against the repacked path's
+    (one 128-wide B tile per occupied supertile at the measured
+    ~420 GB/s flat-kernel rate). F cancels, so the rule is F-free."""
+    import numpy as np
+
+    b = bsr.block_size
+    nnzb = bsr.nnzb
+    g = 128 // b
+    srow = np.asarray(bsr.block_rows[:nnzb], np.int64) // g
+    scol = np.asarray(bsr.block_cols[:nnzb], np.int64) // g
+    n_sup = np.unique(srow * (-(-bsr.n_block_cols // g)) + scol).size
+    direct_cost = nnzb * b * 2 / min(230.0, 30.0 * b)
+    repack_cost = n_sup * 128 / 420.0
+    return repack_cost < direct_cost
+
+
 def _as_csr(m):
     if isinstance(m, CSR):
         return m
@@ -193,6 +213,21 @@ def spmm_plan(matrix, impl: str = "auto", block_size: int = 128, **kw):
         elif isinstance(matrix, Hybrid):
             impl = "hybrid"
         else:
+            if isinstance(matrix, BSR) and matrix.block_size < 32:
+                # small-b crossover (the reference's blockDim {2..16}
+                # axis, rocsparse_bsrmm_impl.h:14-313): repack to
+                # 128-supertiles when the supertile path's bytes beat
+                # the direct small-b path's. Two measured v5e rates
+                # (benchmarks/smallb_grid_r4.jsonl, reproduces the
+                # winner on all 24 grid cells):
+                #   direct bsr_xla moves ~2x its (nnzb, b, F) gather at
+                #   min(230, 30*b) GB/s (small-b batched matmuls
+                #   underfeed the MXU);
+                #   repacked supertiles stream B tiles at ~420 GB/s.
+                if _prefer_repack128(matrix):
+                    from spmm_denseblock_tpu.convert.pack import repack_bsr
+
+                    matrix = repack_bsr(matrix, 128)
             # measured v5e crossovers: Pallas flat wins wide operands at
             # MXU-scale blocks; small blocks (b<64) and narrow operands
             # favor the XLA formulation (benchmarks/tpu_v5e_sweep.jsonl,

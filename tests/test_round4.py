@@ -155,3 +155,26 @@ def test_conformance_fields_per_dtype():
     assert bf["tol"] == 5e-3 and f32["tol"] == 1e-4
     i8 = conformance_fields(ref * 1.03, ref, "int8")
     assert i8["gate_ok"] and i8["tol"] == 5e-2
+
+
+def test_auto_small_b_repack_routing():
+    """auto must repack small-b BSR to 128-supertiles exactly when the
+    measured two-rate score says so (smallb_grid_r4.jsonl, 24/24)."""
+    from spmm_denseblock_tpu.ops import spmm_plan
+    from spmm_denseblock_tpu.ops.dispatch import _prefer_repack128
+    from spmm_denseblock_tpu.ops.reference import spmm_scipy
+
+    # dense small-b grid (the b=2, p=2e-2 regime): repack must win
+    dense_case = random_bsr(0.02, 512, block_size=2, seed=3)
+    assert _prefer_repack128(dense_case)
+    # ultra-sparse small-b grid (b=2, p=2e-4 regime): direct must win
+    sparse_case = random_bsr(0.0002, 2048, block_size=2, seed=3)
+    assert not _prefer_repack128(sparse_case)
+    # end-to-end: auto on the dense case stays oracle-exact
+    x = np.random.default_rng(0).standard_normal(
+        (dense_case.shape[1], 32)).astype(np.float32)
+    plan = spmm_plan(dense_case, impl="auto", feat_dim=32, grad=False)
+    got = np.asarray(plan(x))
+    ref = spmm_scipy(dense_case, x)
+    err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-30)
+    assert err < 1e-4, err
