@@ -129,6 +129,138 @@ def _kernel(rows_ref, cols_ref, blocks_ref, *rest, precision, group, fuse_dot):
     out_ref[:] += acc
 
 
+def _resident_kernel(rows_ref, cols_ref, blocks_ref, dense_ref, out_ref,
+                     *, precision, group):
+    """Resident-dense variant: dense is ONE (nbc, b, f_tile) VMEM block
+    (single-buffered, index constant across steps -> one HBM read per f
+    pass) and each slot dynamically indexes its (b, f_tile) slice on the
+    UNTILED leading dim. Kills the gather amplification of the flat
+    kernel (each unique block-col tile was DMA'd once PER SLOT: 20x
+    re-fetch = 1.99 ms of the 6.95 ms bf16 headline,
+    benchmarks/bf16_gap_r4.jsonl) at the cost of re-reading the block
+    list once per f pass.
+
+    Formulation note: indexing the untiled leading dim is load-bearing.
+    The 2D layout ((K, f_tile) block + pl.ds on the tiled sublane dim)
+    sent the remote compiler into a ~28-minute spin ending in transport
+    failure at K=131072; this 3D form compiles in ~0.5 s at every K
+    (benchmarks/resident_compile_ladder_r4.jsonl)."""
+    j = pl.program_id(1)
+    prev_row = rows_ref[jnp.maximum(j - 1, 0)]
+
+    @pl.when(jnp.logical_or(j == 0, rows_ref[j] != prev_row))
+    def _zero():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    def mxu_dot(lhs, rhs):
+        if precision == "bf16x3":
+            return _dot3(lhs, rhs)
+        return jnp.dot(
+            lhs, rhs, preferred_element_type=jnp.float32, precision=precision
+        )
+
+    acc = mxu_dot(blocks_ref[0], dense_ref[cols_ref[j * group]])
+    for g in range(1, group):
+        acc += mxu_dot(blocks_ref[g], dense_ref[cols_ref[j * group + g]])
+    out_ref[:] += acc
+
+
+# VMEM budget for the resident dense slice. v5e VMEM is 128 MiB; leave
+# room for the double-buffered block groups, the out tile, and Mosaic's
+# own scratch. The apply picks the largest f_tile whose slice fits.
+RESIDENT_SLICE_BYTES = 80 * 1024 * 1024
+
+
+def _resident_f_tile(nbc: int, b: int, f_padded: int, itemsize: int):
+    """Largest f_tile (multiple of 128, divides f_padded) whose
+    (nbc, b, f_tile) dense slice fits the resident VMEM budget; None if
+    even 128 doesn't fit (fall back to the gather kernel)."""
+    ft = (f_padded // 128) * 128
+    while ft >= 128:
+        if f_padded % ft == 0 and nbc * b * ft * itemsize <= RESIDENT_SLICE_BYTES:
+            return ft
+        ft -= 128
+    return None
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_block_rows", "n_rows", "f_tile", "group", "interpret",
+        "precision_name",
+    ),
+)
+def _pallas_spmm_resident(
+    step_rows,
+    slot_cols,
+    blocks,
+    dense,
+    n_block_rows: int,
+    n_rows: int,
+    f_tile: int,
+    group: int = 1,
+    interpret: bool = False,
+    precision_name: str = None,
+):
+    """dense: (nbc, b, f_padded) — the operand reshaped to blocks on the
+    leading dim. See _resident_kernel for the schedule."""
+    n_slots, b, _ = blocks.shape
+    n_steps = n_slots // group
+    nbc, b2, f_padded = dense.shape
+    assert b2 == b and f_padded % f_tile == 0
+    grid = (f_padded // f_tile, n_steps)
+
+    if precision_name == "high":
+        precision = "bf16x3"
+    elif precision_name is not None:
+        precision = getattr(jax.lax.Precision, precision_name.upper())
+    elif blocks.dtype == jnp.float32:
+        precision = jax.lax.Precision.HIGHEST
+    else:
+        precision = jax.lax.Precision.DEFAULT
+
+    n_f = f_padded // f_tile
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((group, b, b), lambda f, j, rows, cols: (j, 0, 0)),
+            pl.BlockSpec(
+                (nbc, b, f_tile),
+                lambda f, j, rows, cols: (0, 0, f),
+                # single-buffered: the slice only changes at f-pass
+                # boundaries, and two slices would not fit VMEM
+                pipeline_mode=(
+                    pl.Buffered(buffer_count=1) if not interpret else None
+                ),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (b, f_tile), lambda f, j, rows, cols: (rows[j], f)
+        ),
+    )
+    out = pl.pallas_call(
+        functools.partial(_resident_kernel, precision=precision, group=group),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_block_rows * b, f_padded), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_slots * b * b * f_padded,
+            bytes_accessed=int(
+                blocks.size * blocks.dtype.itemsize * n_f
+                + dense.size * dense.dtype.itemsize
+                + n_block_rows * b * f_padded * 4
+            ),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=112 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(step_rows, slot_cols, blocks, dense)
+    return out[:n_rows]
+
+
 def _ensure_covering(bsr: BSR) -> BSR:
     """Insert an explicit zero block in every empty block-row so the kernel
     writes every output tile (Pallas outputs are uninitialized)."""
@@ -361,6 +493,7 @@ def bsr_spmm_pallas_plan(
     fuse_dot: bool = False,
     precision: Optional[str] = None,
     lookahead: int = 0,
+    resident: Optional[bool] = None,
 ):
     """Host layout prep once -> jitted C = f(B).
 
@@ -386,6 +519,13 @@ def bsr_spmm_pallas_plan(
     compute ceiling) with near-f32 error — opt-in for f32 serving where
     the kernel is compute-bound (the measured dense-regime state at
     group >= 4).
+
+    resident: None (auto) routes each apply shape to the resident-dense
+    kernel (_pallas_spmm_resident) when the full (nbc, b, f_tile) dense
+    slice fits the VMEM budget — eliminating per-slot gather DMAs (20x
+    re-fetch at the headline shape). True forces it (raises if the
+    slice cannot fit); False keeps the flat gather kernel. fuse_dot /
+    lookahead are gather-kernel-only knobs and disable auto-residency.
     """
     from spmm_denseblock_tpu.ops.bsr_spmm_int8 import reject_int8_cast
 
@@ -396,13 +536,13 @@ def bsr_spmm_pallas_plan(
         return _chunked_plan(
             bsr, dtype=dtype, f_tile=f_tile, interpret=interpret,
             grad=grad, chunk_nnzb=chunk_nnzb, group=group, fuse_dot=fuse_dot,
-            precision=precision, lookahead=lookahead,
+            precision=precision, lookahead=lookahead, resident=resident,
         )
     if grad:
         fwd = bsr_spmm_pallas_plan(
             bsr, dtype=dtype, f_tile=f_tile, interpret=interpret,
             grad=False, group=group, fuse_dot=fuse_dot, precision=precision,
-            lookahead=lookahead,
+            lookahead=lookahead, resident=resident,
         )
         bwd = bsr_spmm_pallas_plan(
             bsr.transpose(),
@@ -414,6 +554,7 @@ def bsr_spmm_pallas_plan(
             fuse_dot=fuse_dot,
             precision=precision,
             lookahead=lookahead,
+            resident=resident,
         )
         return grad_plan(fwd, bwd)
 
@@ -443,6 +584,7 @@ def bsr_spmm_pallas_plan(
     statics = (
         covered.n_block_rows, n_rows, n_cols, k_needed,
         f_tile, group, fuse_dot, interpret, dtype_key, precision, lookahead,
+        resident,
     )
     return Plan(arrays, _pallas_apply, statics)
 
@@ -459,32 +601,74 @@ def _pallas_apply(statics, arrays, dense):
     # HLO-constant rule).
     (n_block_rows, n_rows, n_cols, k_needed,
      f_tile, group, fuse_dot, interpret, dtype_key, precision,
-     lookahead) = statics
+     lookahead, resident) = statics
     step_rows, slot_cols, blocks_dev = arrays
     dense = jnp.asarray(dense)
     assert dense.shape[0] == n_cols, (dense.shape, n_cols)
-    ft = f_tile or min(512, round_up(dense.shape[1], 128))
-    f_padded = round_up(dense.shape[1], ft)
+    b = blocks_dev.shape[1]
+    nbc = k_needed // b
+    itemsize = jnp.dtype(dtype_key or dense.dtype).itemsize
+
+    # resident routing is a per-apply-shape decision (shapes are static
+    # at trace time): largest f_tile whose (nbc, b, f_tile) slice fits
+    # the VMEM budget, honoring an explicit f_tile if given.
+    rft = None
+    if resident is not False and not fuse_dot and not lookahead:
+        f_padded128 = round_up(dense.shape[1], 128)
+        rft = _resident_f_tile(nbc, b, f_padded128, itemsize)
+        if f_tile is not None:
+            rft = f_tile if (
+                rft is not None and f_padded128 % f_tile == 0
+                and nbc * b * f_tile * itemsize <= RESIDENT_SLICE_BYTES
+            ) else None
+    if resident is True and rft is None:
+        raise ValueError(
+            f"resident=True but no f_tile fits the VMEM budget: "
+            f"nbc={nbc} b={b} itemsize={itemsize} "
+            f"(slice at f_tile=128 is {nbc * b * 128 * itemsize} bytes, "
+            f"budget {RESIDENT_SLICE_BYTES})"
+        )
+
+    if rft is not None:
+        f_padded = round_up(dense.shape[1], 128)
+        ft = rft
+    else:
+        ft = f_tile or min(512, round_up(dense.shape[1], 128))
+        f_padded = round_up(dense.shape[1], ft)
     pad_r = k_needed - dense.shape[0]
     pad_c = f_padded - dense.shape[1]
     if pad_r or pad_c:
         dense = jnp.pad(dense, ((0, pad_r), (0, pad_c)))
     if dtype_key is not None:
         dense = dense.astype(dtype_key)
-    out = _pallas_spmm(
-        step_rows,
-        slot_cols,
-        blocks_dev,
-        dense,
-        n_block_rows,
-        n_rows,
-        ft,
-        group,
-        fuse_dot,
-        interpret,
-        precision,
-        lookahead,
-    )
+    if rft is not None:
+        out = _pallas_spmm_resident(
+            step_rows,
+            slot_cols,
+            blocks_dev,
+            dense.reshape(nbc, b, f_padded),
+            n_block_rows,
+            n_rows,
+            ft,
+            group,
+            interpret,
+            precision,
+        )
+    else:
+        out = _pallas_spmm(
+            step_rows,
+            slot_cols,
+            blocks_dev,
+            dense,
+            n_block_rows,
+            n_rows,
+            ft,
+            group,
+            fuse_dot,
+            interpret,
+            precision,
+            lookahead,
+        )
     return out[:, : out.shape[1] - pad_c] if pad_c else out
 
 
@@ -493,7 +677,7 @@ def bsr_spmm_pallas(bsr: BSR, dense, **kw) -> jnp.ndarray:
 
 
 def _chunked_plan(bsr, dtype, f_tile, interpret, grad, chunk_nnzb, group=None,
-                  fuse_dot=False, precision=None, lookahead=0):
+                  fuse_dot=False, precision=None, lookahead=0, resident=None):
     """Sum of per-chunk kernel launches for nnzb beyond the SMEM prefetch
     capacity. Blocks are row-sorted, so chunks are contiguous row bands
     (a row split across two chunks just contributes partial sums)."""
@@ -514,7 +698,7 @@ def _chunked_plan(bsr, dtype, f_tile, interpret, grad, chunk_nnzb, group=None,
                 frag, dtype=dtype, f_tile=f_tile, interpret=interpret,
                 grad=grad, chunk_nnzb=bsr.nnzb + 1,  # no recursion
                 group=group, fuse_dot=fuse_dot, precision=precision,
-                lookahead=lookahead,
+                lookahead=lookahead, resident=resident,
             )
         )
     return sum_plan(plans)

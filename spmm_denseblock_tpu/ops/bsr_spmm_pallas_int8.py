@@ -34,9 +34,11 @@ from jax.experimental.pallas import tpu as pltpu
 from spmm_denseblock_tpu.convert.pack import round_up
 from spmm_denseblock_tpu.formats.bsr import BSR
 from spmm_denseblock_tpu.ops.bsr_spmm_pallas import (
+    RESIDENT_SLICE_BYTES,
     _auto_group,
     _ensure_covering,
     _pack_groups,
+    _resident_f_tile,
 )
 from spmm_denseblock_tpu.ops.bsr_spmm_int8 import quantize_blocks
 
@@ -61,6 +63,95 @@ def _kernel(rows_ref, cols_ref, scales_ref, blocks_ref, *rest, group):
             blocks_ref[g], dense_refs[g][:], preferred_element_type=jnp.int32
         ).astype(jnp.float32)
     out_ref[:] += acc
+
+
+def _resident_int8_kernel(rows_ref, cols_ref, scales_ref, blocks_ref,
+                          dense_ref, out_ref, *, group):
+    """Resident-dense int8 kernel: dense is ONE (nbc, b, f_tile) int8
+    VMEM block, slots index the untiled leading dim. See the f32/bf16
+    twin (_resident_kernel in bsr_spmm_pallas.py) for why this layout
+    and why not a 2D pl.ds form. int8 benefits most: the full-F=512
+    slice at the headline shape is 67 MB, so residency costs ZERO extra
+    f passes and the kernel drops from 52% of its bandwidth SoL to the
+    step floor."""
+    j = pl.program_id(1)
+    prev_row = rows_ref[jnp.maximum(j - 1, 0)]
+
+    @pl.when(jnp.logical_or(j == 0, rows_ref[j] != prev_row))
+    def _zero():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    acc = scales_ref[j * group] * jnp.dot(
+        blocks_ref[0], dense_ref[cols_ref[j * group]],
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    for g in range(1, group):
+        acc += scales_ref[j * group + g] * jnp.dot(
+            blocks_ref[g], dense_ref[cols_ref[j * group + g]],
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+    out_ref[:] += acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_block_rows", "n_rows", "f_tile", "group", "interpret"),
+)
+def _pallas_int8_spmm_resident(
+    step_rows,
+    slot_cols,
+    scales,
+    qblocks,
+    qdense,
+    col_scale,
+    n_block_rows: int,
+    n_rows: int,
+    f_tile: int,
+    group: int = 1,
+    interpret: bool = False,
+):
+    n_slots, b, _ = qblocks.shape
+    n_steps = n_slots // group
+    nbc, b2, f_padded = qdense.shape
+    assert b2 == b and f_padded % f_tile == 0
+    grid = (f_padded // f_tile, n_steps)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((group, b, b), lambda f, j, r, c, s: (j, 0, 0)),
+            pl.BlockSpec(
+                (nbc, b, f_tile),
+                lambda f, j, r, c, s: (0, 0, f),
+                pipeline_mode=(
+                    pl.Buffered(buffer_count=1) if not interpret else None
+                ),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (b, f_tile), lambda f, j, r, c, s: (r[j], f)
+        ),
+    )
+    n_f = f_padded // f_tile
+    out = pl.pallas_call(
+        functools.partial(_resident_int8_kernel, group=group),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_block_rows * b, f_padded), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_slots * b * b * f_padded,
+            bytes_accessed=int(
+                qblocks.size * n_f + qdense.size
+                + n_block_rows * b * f_padded * 4
+            ),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=112 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(step_rows, slot_cols, scales, qblocks, qdense)
+    return out[:n_rows] * col_scale[None, :]
 
 
 @functools.partial(
@@ -148,6 +239,7 @@ def bsr_spmm_pallas_int8_plan(
     chunk_nnzb: Optional[int] = None,
     calibration=None,
     group: Optional[int] = None,
+    resident: Optional[bool] = None,
     **_ignored,
 ):
     """Host quantization + layout prep once -> jitted C = f(B).
@@ -179,7 +271,7 @@ def bsr_spmm_pallas_int8_plan(
                 bsr_spmm_pallas_int8_plan(
                     frag, f_tile=f_tile, interpret=interpret,
                     chunk_nnzb=bsr.nnzb + 1, calibration=calibration,
-                    group=group,
+                    group=group, resident=resident,
                 )
             )
 
@@ -222,6 +314,7 @@ def bsr_spmm_pallas_int8_plan(
         covered.n_block_rows, n_rows, n_cols, k_needed, f_tile, group,
         interpret,
         None if static_scale is None else tuple(float(v) for v in static_scale),
+        resident,
     )
     return Plan(arrays, _int8_pallas_apply, statics)
 
@@ -234,12 +327,34 @@ def _int8_pallas_apply(statics, arrays, dense):
     # plan at the headline shape before this fuse
     # (benchmarks/dist_pallas_probe_r3.jsonl).
     (n_block_rows, n_rows, n_cols, k_needed,
-     f_tile, group, interpret, static_scale) = statics
+     f_tile, group, interpret, static_scale, resident) = statics
     br, bc, qb, sc = arrays
     dense = jnp.asarray(dense, jnp.float32)
     assert dense.shape[0] == n_cols, (dense.shape, n_cols)
-    ft = f_tile or min(512, round_up(dense.shape[1], 128))
-    f_padded = round_up(dense.shape[1], ft)
+    b = qb.shape[1]
+    nbc = k_needed // b
+
+    rft = None
+    if resident is not False:
+        f_padded128 = round_up(dense.shape[1], 128)
+        rft = _resident_f_tile(nbc, b, f_padded128, 1)
+        if f_tile is not None:
+            rft = f_tile if (
+                rft is not None and f_padded128 % f_tile == 0
+                and nbc * b * f_tile <= RESIDENT_SLICE_BYTES
+            ) else None
+    if resident is True and rft is None:
+        raise ValueError(
+            f"resident=True but no f_tile fits the VMEM budget "
+            f"(nbc={nbc} b={b})"
+        )
+
+    if rft is not None:
+        ft = rft
+        f_padded = round_up(dense.shape[1], 128)
+    else:
+        ft = f_tile or min(512, round_up(dense.shape[1], 128))
+        f_padded = round_up(dense.shape[1], ft)
     pad_r = k_needed - dense.shape[0]
     pad_c = f_padded - dense.shape[1]
     if pad_r or pad_c:
@@ -252,8 +367,14 @@ def _int8_pallas_apply(statics, arrays, dense):
         qdense, col_scale = _quantize_cols_static(dense, jnp.asarray(cs))
     else:
         qdense, col_scale = _quantize_cols(dense)
-    out = _pallas_int8_spmm(
-        br, bc, qb, sc, qdense, col_scale, n_block_rows, n_rows, ft, group,
-        interpret,
-    )
+    if rft is not None:
+        out = _pallas_int8_spmm_resident(
+            br, bc, sc, qb, qdense.reshape(nbc, b, f_padded), col_scale,
+            n_block_rows, n_rows, ft, group, interpret,
+        )
+    else:
+        out = _pallas_int8_spmm(
+            br, bc, qb, sc, qdense, col_scale, n_block_rows, n_rows, ft,
+            group, interpret,
+        )
     return out[:, : out.shape[1] - pad_c] if pad_c else out

@@ -1,0 +1,123 @@
+"""Resident-dense BSR kernel: correctness of both routing outcomes.
+
+The plan's apply routes per dense-shape: the (nbc, b, f_tile) slice
+either fits the VMEM budget (resident kernel — one dense HBM read per
+f pass, dynamic leading-dim indexing) or not (flat gather kernel).
+These tests pin: bit-level agreement between the two paths, the routing
+rule itself, explicit overrides, grad, chunking, and the int8 twin.
+On CPU both run in interpret mode (tests/conftest.py forces cpu).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spmm_denseblock_tpu.formats.bsr import random_bsr
+from spmm_denseblock_tpu.ops.bsr_spmm_pallas import (
+    RESIDENT_SLICE_BYTES,
+    _resident_f_tile,
+    bsr_spmm_pallas_plan,
+)
+from spmm_denseblock_tpu.ops.bsr_spmm_pallas_int8 import (
+    bsr_spmm_pallas_int8_plan,
+)
+from spmm_denseblock_tpu.ops.reference import spmm_scipy
+
+
+@pytest.fixture(scope="module")
+def case():
+    bsr = random_bsr(0.15, 12, 12, block_size=32, seed=3)
+    rng = np.random.default_rng(0)
+    dense = rng.standard_normal((bsr.shape[1], 96)).astype(np.float32)
+    want = spmm_scipy(bsr, dense)
+    return bsr, dense, want
+
+
+def _rel(got, want):
+    return np.abs(np.asarray(got) - want).max() / max(1e-30, np.abs(want).max())
+
+
+def test_resident_matches_gather_f32(case):
+    bsr, dense, want = case
+    out_res = bsr_spmm_pallas_plan(bsr, grad=False, resident=True)(dense)
+    out_gat = bsr_spmm_pallas_plan(bsr, grad=False, resident=False)(dense)
+    assert _rel(out_res, want) < 1e-4
+    assert _rel(out_gat, want) < 1e-4
+
+
+def test_resident_grouped(case):
+    bsr, dense, want = case
+    for g in (2, 4):
+        out = bsr_spmm_pallas_plan(bsr, grad=False, resident=True, group=g)(
+            dense
+        )
+        assert _rel(out, want) < 1e-4
+
+
+def test_resident_bf16(case):
+    bsr, dense, want = case
+    out = bsr_spmm_pallas_plan(
+        bsr, grad=False, resident=True, dtype=jnp.bfloat16
+    )(dense)
+    assert _rel(out, want) < 3e-2  # bf16 being bf16
+
+
+def test_resident_grad(case):
+    import jax
+
+    bsr, dense, want = case
+    plan = bsr_spmm_pallas_plan(bsr, grad=True, resident=True)
+    g = jax.grad(lambda x: jnp.sum(plan(x) ** 2))(jnp.asarray(dense))
+    # oracle: dL/dX = 2 A^T (A X)
+    a = bsr.to_scipy()
+    want_g = 2.0 * np.asarray(a.T @ (a @ dense))
+    assert _rel(g, want_g) < 1e-3
+
+
+def test_resident_chunked(case):
+    bsr, dense, want = case
+    out = bsr_spmm_pallas_plan(
+        bsr, grad=False, resident=True, chunk_nnzb=max(4, bsr.nnzb // 3)
+    )(dense)
+    assert _rel(out, want) < 1e-4
+
+
+def test_resident_int8(case):
+    bsr, dense, want = case
+    out = bsr_spmm_pallas_int8_plan(bsr, resident=True)(dense)
+    assert _rel(out, want) < 5e-2  # int8 quantization grade
+    out_g = bsr_spmm_pallas_int8_plan(bsr, resident=False)(dense)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(out_g), rtol=0, atol=1e-5
+    )
+
+
+def test_resident_f_tile_budget():
+    # slice fits at the full width
+    assert _resident_f_tile(16, 32, 512, 4) == 512
+    # budget forces a narrower tile that still divides f_padded
+    nbc = RESIDENT_SLICE_BYTES // (128 * 256 * 4) + 1
+    ft = _resident_f_tile(nbc, 128, 512, 4)
+    assert ft in (128, 256) or ft is None
+    if ft is not None:
+        assert 512 % ft == 0
+        assert nbc * 128 * ft * 4 <= RESIDENT_SLICE_BYTES
+    # impossible: even 128 blows the budget
+    assert _resident_f_tile(10**7, 128, 512, 4) is None
+
+
+def test_resident_force_impossible_raises():
+    bsr = random_bsr(0.15, 4, 4, block_size=32, seed=1)
+    dense = np.zeros((bsr.shape[1], 64), np.float32)
+    plan = bsr_spmm_pallas_plan(bsr, grad=False, resident=True)
+    import importlib
+
+    # the ops package re-exports a same-named FUNCTION; go via importlib
+    mod = importlib.import_module("spmm_denseblock_tpu.ops.bsr_spmm_pallas")
+    orig = mod.RESIDENT_SLICE_BYTES
+    mod.RESIDENT_SLICE_BYTES = 64  # nothing fits
+    try:
+        with pytest.raises(ValueError, match="resident=True"):
+            plan(dense)
+    finally:
+        mod.RESIDENT_SLICE_BYTES = orig
