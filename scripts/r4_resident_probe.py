@@ -349,19 +349,20 @@ def main():
                ms_max=t["secs_max"] * 1e3,
                tflops=flops / t["secs"] / 1e12, max_rel_err=err)
 
-    # --- resident variants ---
-    # bf16: dense slice 67 MB at ft=256 (2 f passes). G sweep.
-    for g in (8, 16, 32):
-        run_variant(f"resident_bf16_ft256_g{g}", "bf16", 256, g)
-    # bf16 at ft=128 (33 MB slice, 4 passes) — if 67 MB doesn't fit
-    run_variant("resident_bf16_ft128_g8", "bf16", 128, 8)
-    # int8: full-F residency (67 MB int8, single pass)
-    for g in (8, 16, 32):
+    # --- resident variants (trimmed: the relay backpressure episode
+    # showed each variant re-transfers its packed block list, so probe
+    # the decisive cells first; g32/ft128 axes can follow once the
+    # primary A/B lands) ---
+    # int8: full-F residency (67 MB int8, single pass) — biggest headroom
+    for g in (8, 16):
         run_variant(f"resident_int8_ft512_g{g}", "int8", 512, g)
-    # f32 HIGHEST: ft=128 slice 67 MB, 4 passes (MXU-bound expectation)
-    run_variant("resident_f32_ft128_g8", "f32", 128, 8)
-    # f32-grade bf16x3 on resident f32 slice
+    # bf16: dense slice 67 MB at ft=256 (2 f passes)
+    for g in (8, 16):
+        run_variant(f"resident_bf16_ft256_g{g}", "bf16", 256, g)
+    # f32-grade bf16x3 on resident f32 slice (ft=128: 4 passes)
     run_variant("resident_bf16x3_ft128_g8", "f32", 128, 8, "bf16x3")
+    # f32 HIGHEST (MXU-bound expectation — parity check)
+    run_variant("resident_f32_ft128_g8", "f32", 128, 8)
 
     print("\n=== summary ===")
     for r in rows:

@@ -1,0 +1,231 @@
+"""Relay-light resident-vs-gather A/B at the headline shape.
+
+The first resident probe (r4_resident_probe.py) ships ~5 GB of packed
+block lists host->device; during the round-4 relay-backpressure episode
+that path collapsed to ~50 kB/s and the probe could not finish. This
+version generates EVERYTHING on device (jax.random blocks + operand,
+device scatter into the group-packed layout, device quantization) and
+reads back only scalars: host->device traffic is ~100 kB of int32
+layout indices per variant. The pattern is worth keeping — it is the
+relay-robust way to benchmark synthetic shapes here.
+
+A/B discipline: the gather kernel (the shipped flat kernel,
+ops/bsr_spmm_pallas._pallas_spmm) is re-timed IN THE SAME PROCESS as
+each resident variant, same device inputs, same square timing chain.
+Correctness: resident output vs gather output on device (identical
+slot order and MXU ops -> agreement should be ~exact), plus a scalar
+magnitude sanity readback.
+
+Headline shape: 2^17 square, b=128 grid 1024x1024, p=2e-2 (structure
+from the same seeded generator as bench.py/random_bsr), F=512.
+JSONL -> benchmarks/resident_probe_r4.jsonl (labels *_lite).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/sdb_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from spmm_denseblock_tpu.bench.timing import time_repeats
+from spmm_denseblock_tpu.ops.bsr_spmm_pallas import (
+    _pack_groups,
+    _pallas_spmm,
+    _pallas_spmm_resident,
+)
+from spmm_denseblock_tpu.ops.bsr_spmm_pallas_int8 import (
+    _pallas_int8_spmm,
+    _pallas_int8_spmm_resident,
+)
+
+OUT = "benchmarks/resident_probe_r4.jsonl"
+
+
+def headline_structure(nb=1024, b=128, p=2e-2, seed=1234):
+    """Block (rows, cols) with the same generator discipline as
+    formats/bsr.random_bsr (seeded mt19937 Bernoulli over the block
+    grid) — values are NOT materialized host-side."""
+    rng = np.random.default_rng(seed)
+    mask = rng.random((nb, nb)) < p
+    # kernel contract: every block-row owns >= 1 slot (covering)
+    empty = ~mask.any(axis=1)
+    mask[empty, 0] = True
+    rows, cols = np.nonzero(mask)
+    return rows.astype(np.int32), cols.astype(np.int32), nb, b
+
+
+def pack_indices(rows, cols, group):
+    """_pack_groups on a value-free dummy: returns (step_rows,
+    slot_cols, dest) where dest[i] is block i's slot in the padded
+    list. Reuses the production packer (1-byte dummy blocks) so the
+    layout under test IS the shipped layout."""
+    dummy = np.zeros((rows.size, 1, 1), np.int8)
+    step_rows, slot_cols, dummy_pad = _pack_groups(rows, cols, dummy, group)
+    # recover dest exactly as _pack_groups computes it
+    nnzb = rows.size
+    uniq, first = np.unique(rows, return_index=True)
+    counts = np.diff(np.append(first, nnzb))
+    steps_per_row = -(-counts // group)
+    slot_base = np.concatenate([[0], np.cumsum(steps_per_row * group)[:-1]])
+    rank = np.arange(nnzb) - np.repeat(first, counts)
+    dest = (np.repeat(slot_base, counts) + rank).astype(np.int32)
+    return step_rows, slot_cols, dest
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default="int8_g8,int8_g16,bf16_g8,bf16_g16,"
+                    "bf16x3_g8,f32_g8")
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny shape, interpret off-TPU")
+    args = ap.parse_args()
+
+    interp = jax.default_backend() != "tpu"
+    if args.smoke:
+        rows, cols, nb, b = headline_structure(nb=8, b=32, p=0.2)
+    else:
+        rows, cols, nb, b = headline_structure()
+    nnzb = rows.size
+    F = 128 if args.smoke else 512
+    K = nb * b
+    flops = 2.0 * nnzb * b * b * F
+    print(f"nnzb={nnzb}", flush=True)
+
+    key = jax.random.PRNGKey(1234)
+    kb, kd = jax.random.split(key)
+
+    def record(**kw):
+        kw["ts"] = time.time()
+        if not args.smoke:  # smoke runs don't pollute the artifact
+            with open(OUT, "a") as f:
+                f.write(json.dumps(kw) + "\n")
+        print(json.dumps(kw), flush=True)
+
+    @jax.jit
+    def gen_dense():
+        return jax.random.normal(kd, (K, F), jnp.float32)
+
+    dense = gen_dense()
+    float(jnp.sum(dense))  # materialize
+
+    for variant in args.variants.split(","):
+        dt_name, g_name = variant.split("_")
+        group = int(g_name[1:])
+        t_plan0 = time.time()
+        step_rows_h, slot_cols_h, dest_h = pack_indices(rows, cols, group)
+        n_slots = slot_cols_h.size
+        sr = jnp.asarray(step_rows_h)
+        sc = jnp.asarray(slot_cols_h)
+        # pad mask computed HOST-side: a device .at[dest].set scatter of
+        # ~21k (b, b) slices lowered pathologically slowly on the TPU
+        # (stalled the whole RPC queue behind it); generating blocks
+        # directly in padded layout and zeroing pads by mask-multiply
+        # needs no scatter anywhere.
+        real_h = np.zeros((n_slots,), np.float32)
+        real_h[dest_h] = 1.0
+        real = jnp.asarray(real_h)
+        plan_s = time.time() - t_plan0
+
+        blocks_dt = {"int8": jnp.float32, "bf16": jnp.bfloat16,
+                     "bf16x3": jnp.float32, "f32": jnp.float32}[dt_name]
+
+        @jax.jit
+        def build_blocks(real):
+            pad = jax.random.normal(kb, (n_slots, b, b), jnp.float32)
+            pad = pad * real[:, None, None]
+            if dt_name == "int8":
+                absmax = jnp.max(jnp.abs(pad), axis=(1, 2))
+                scales = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+                q = jnp.clip(
+                    jnp.round(pad / scales[:, None, None]), -127, 127
+                ).astype(jnp.int8)
+                return q, scales.astype(jnp.float32)
+            return pad.astype(blocks_dt), jnp.ones((n_slots,), jnp.float32)
+
+        blocks_dev, scales_dev = build_blocks(real)
+        float(jnp.sum(scales_dev))
+
+        precision_name = "high" if dt_name == "bf16x3" else None
+        ft_resident = {"int8": 512, "bf16": 256, "bf16x3": 128,
+                       "f32": 128}[dt_name]
+        ft_gather = 512
+        if args.smoke:
+            ft_resident = ft_gather = F
+
+        if dt_name == "int8":
+            ones_cs = jnp.ones((F,), jnp.float32)
+
+            @jax.jit
+            def apply_gather(x):
+                q = jnp.clip(jnp.round(x), -127, 127).astype(jnp.int8)
+                return _pallas_int8_spmm(
+                    sr, sc, blocks_dev, scales_dev, q, ones_cs,
+                    nb, K, ft_gather, group, interp,
+                )
+
+            @jax.jit
+            def apply_resident(x):
+                q = jnp.clip(jnp.round(x), -127, 127).astype(jnp.int8)
+                return _pallas_int8_spmm_resident(
+                    sr, sc, scales_dev, blocks_dev,
+                    q.reshape(nb, b, F), ones_cs,
+                    nb, K, ft_resident, group, interp,
+                )
+
+        else:
+            cast = {"bf16": jnp.bfloat16}.get(dt_name)
+
+            @jax.jit
+            def apply_gather(x):
+                xc = x.astype(cast) if cast else x
+                return _pallas_spmm(
+                    sr, sc, blocks_dev, xc, nb, K, ft_gather, group,
+                    False, interp, precision_name, 0,
+                )
+
+            @jax.jit
+            def apply_resident(x):
+                xc = x.astype(cast) if cast else x
+                return _pallas_spmm_resident(
+                    sr, sc, blocks_dev, xc.reshape(nb, b, F), nb, K,
+                    ft_resident, group, interp, precision_name,
+                )
+
+        try:
+            out_g = apply_gather(dense)
+            out_r = apply_resident(dense)
+            mag = float(jnp.max(jnp.abs(out_g)))
+            diff = float(jnp.max(jnp.abs(out_r - out_g))) / max(1e-30, mag)
+            t_g = time_repeats(apply_gather, dense, repeats=args.repeats,
+                               iters=10, square=True)
+            t_r = time_repeats(apply_resident, dense, repeats=args.repeats,
+                               iters=10, square=True)
+            record(
+                kind="resident_lite", variant=variant, nnzb=int(nnzb),
+                group=group, f_tile_resident=ft_resident,
+                gather_ms=t_g["secs"] * 1e3,
+                gather_ms_spread=[t_g["secs_min"] * 1e3, t_g["secs_max"] * 1e3],
+                resident_ms=t_r["secs"] * 1e3,
+                resident_ms_spread=[t_r["secs_min"] * 1e3,
+                                    t_r["secs_max"] * 1e3],
+                gather_tflops=flops / t_g["secs"] / 1e12,
+                resident_tflops=flops / t_r["secs"] / 1e12,
+                speedup=t_g["secs"] / t_r["secs"],
+                resident_vs_gather_rel=diff, out_absmax=mag,
+                plan_s=round(plan_s, 3), repeats=args.repeats,
+            )
+        except Exception as e:
+            record(kind="resident_lite_fail", variant=variant,
+                   error=str(e)[:400])
+
+
+if __name__ == "__main__":
+    main()

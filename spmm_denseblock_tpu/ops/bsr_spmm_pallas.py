@@ -261,6 +261,34 @@ def _pallas_spmm_resident(
     return out[:n_rows]
 
 
+def route_pallas_spmm(
+    step_rows, slot_cols, blocks, dense, n_block_rows, n_rows, f_tile,
+    group=1, interpret=False, precision_name=None,
+):
+    """Gather/resident router on an already-packed layout + 2D local
+    dense (K_local, F_local) — the dist stripe functions' entry
+    (parallel/spmm.py). Shapes are static at trace time (shard_map /
+    fori_loop bodies trace once), so the branch resolves at compile
+    time per local geometry: resident when the (nbc, b, rft) slice fits
+    the VMEM budget (per-shard K is n-fold smaller, so dist hits
+    residency even more often than single-chip), else the flat gather
+    kernel."""
+    b = blocks.shape[1]
+    K, Fp = dense.shape
+    rft = None
+    if K % b == 0:
+        rft = _resident_f_tile(K // b, b, Fp, dense.dtype.itemsize)
+    if rft is not None:
+        return _pallas_spmm_resident(
+            step_rows, slot_cols, blocks, dense.reshape(K // b, b, Fp),
+            n_block_rows, n_rows, rft, group, interpret, precision_name,
+        )
+    return _pallas_spmm(
+        step_rows, slot_cols, blocks, dense, n_block_rows, n_rows, f_tile,
+        group, False, interpret, precision_name, 0,
+    )
+
+
 def _ensure_covering(bsr: BSR) -> BSR:
     """Insert an explicit zero block in every empty block-row so the kernel
     writes every output tile (Pallas outputs are uninitialized)."""

@@ -65,6 +65,30 @@ def _kernel(rows_ref, cols_ref, scales_ref, blocks_ref, *rest, group):
     out_ref[:] += acc
 
 
+def route_pallas_int8_spmm(
+    step_rows, slot_cols, qblocks, scales, qdense, col_scale,
+    n_block_rows, n_rows, f_tile, group=1, interpret=False,
+):
+    """int8 twin of ops.bsr_spmm_pallas.route_pallas_spmm — the dist
+    stripe functions' gather/resident router (trace-time branch on the
+    static local dense geometry)."""
+    b = qblocks.shape[1]
+    K, Fp = qdense.shape
+    rft = None
+    if K % b == 0:
+        rft = _resident_f_tile(K // b, b, Fp, 1)
+    if rft is not None:
+        return _pallas_int8_spmm_resident(
+            step_rows, slot_cols, scales, qblocks,
+            qdense.reshape(K // b, b, Fp), col_scale,
+            n_block_rows, n_rows, rft, group, interpret,
+        )
+    return _pallas_int8_spmm(
+        step_rows, slot_cols, qblocks, scales, qdense, col_scale,
+        n_block_rows, n_rows, f_tile, group, interpret,
+    )
+
+
 def _resident_int8_kernel(rows_ref, cols_ref, scales_ref, blocks_ref,
                           dense_ref, out_ref, *, group):
     """Resident-dense int8 kernel: dense is ONE (nbc, b, f_tile) int8

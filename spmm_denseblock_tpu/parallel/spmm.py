@@ -146,18 +146,20 @@ def _ag_run(statics, lr, bc, bv, sc, cs, dense):
                 # per-slot scales; the global per-column operand scale
                 # is applied once by the caller epilogue
                 from spmm_denseblock_tpu.ops.bsr_spmm_pallas_int8 import (
-                    _pallas_int8_spmm,
+                    route_pallas_int8_spmm,
                 )
 
-                return _pallas_int8_spmm(
+                return route_pallas_int8_spmm(
                     lr[0], bc[0], bv[0], sc[0], b_full,
                     jnp.ones((b_full.shape[1],), jnp.float32),
                     rows_per, rows_per * b, ft,
                     group=group, interpret=interpret,
                 )
-            from spmm_denseblock_tpu.ops.bsr_spmm_pallas import _pallas_spmm
+            from spmm_denseblock_tpu.ops.bsr_spmm_pallas import (
+                route_pallas_spmm,
+            )
 
-            return _pallas_spmm(
+            return route_pallas_spmm(
                 lr[0], bc[0], bv[0], b_full,
                 rows_per, rows_per * b, ft,
                 group=group, interpret=interpret,
@@ -215,9 +217,11 @@ def _ring_run(statics, lr, cc, bv, sc, cs, dense):
             # per-chunk flat kernel: each chunk's layout is covered +
             # group-packed (pack_buckets_pallas), so every output tile
             # is written each step; the f32 carry accumulates chunks.
-            from spmm_denseblock_tpu.ops.bsr_spmm_pallas import _pallas_spmm
+            from spmm_denseblock_tpu.ops.bsr_spmm_pallas import (
+                route_pallas_spmm,
+            )
             from spmm_denseblock_tpu.ops.bsr_spmm_pallas_int8 import (
-                _pallas_int8_spmm,
+                route_pallas_int8_spmm,
             )
 
             acc0 = jnp.zeros((rows_per * b, f_dim), jnp.float32)
@@ -226,7 +230,7 @@ def _ring_run(statics, lr, cc, bv, sc, cs, dense):
                 b_chunk, acc = carry
                 c = jax.lax.rem(me - s + n, n)  # chunk currently held
                 if int8_mode:
-                    out = _pallas_int8_spmm(
+                    out = route_pallas_int8_spmm(
                         jnp.take(lr, c, axis=0),
                         jnp.take(cc, c, axis=0),
                         jnp.take(bv, c, axis=0),
@@ -237,7 +241,7 @@ def _ring_run(statics, lr, cc, bv, sc, cs, dense):
                         group=group, interpret=interpret,
                     )
                 else:
-                    out = _pallas_spmm(
+                    out = route_pallas_spmm(
                         jnp.take(lr, c, axis=0),
                         jnp.take(cc, c, axis=0),
                         jnp.take(bv, c, axis=0),
@@ -320,7 +324,9 @@ def _halo_run(statics, lr, cc, bv, sc, cs, bp_idx, out_idx, dense):
         lr, cc, bv, sc = lr[0], cc[0], bv[0], sc[0]
         f_dim = b_local.shape[1]
         if local_impl == "pallas":
-            from spmm_denseblock_tpu.ops.bsr_spmm_pallas import _pallas_spmm
+            from spmm_denseblock_tpu.ops.bsr_spmm_pallas import (
+                route_pallas_spmm,
+            )
         out = (
             jnp.zeros((rows_per * b, f_dim), jnp.float32)
             if local_impl == "pallas"
@@ -338,17 +344,17 @@ def _halo_run(statics, lr, cc, bv, sc, cs, bp_idx, out_idx, dense):
                 # output tile written per call (pack_buckets_pallas)
                 if int8_mode:
                     from spmm_denseblock_tpu.ops.bsr_spmm_pallas_int8 import (
-                        _pallas_int8_spmm,
+                        route_pallas_int8_spmm,
                     )
 
-                    out = out + _pallas_int8_spmm(
+                    out = out + route_pallas_int8_spmm(
                         lr[h], cc[h], bv[h], sc[h], chunk,
                         jnp.ones((f_dim,), jnp.float32),
                         rows_per, rows_per * b, ft,
                         group=group, interpret=interpret,
                     )
                 else:
-                    out = out + _pallas_spmm(
+                    out = out + route_pallas_spmm(
                         lr[h], cc[h], bv[h], chunk,
                         rows_per, rows_per * b, ft,
                         group=group, interpret=interpret,
