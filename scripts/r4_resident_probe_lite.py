@@ -199,6 +199,17 @@ def main():
                     ft_resident, group, interp, precision_name,
                 )
 
+        # bandwidth SoL models (v5e HBM 819 GB/s). gather: blocks once +
+        # per-slot (b, F) tiles + out. resident: blocks x f-passes +
+        # dense once + out.
+        HBM = 819e9
+        itemsize = {"int8": 1, "bf16": 2, "bf16x3": 4, "f32": 4}[dt_name]
+        out_bytes = nb * b * F * 4
+        gather_bytes = (n_slots * b * b * itemsize
+                        + n_slots * b * F * itemsize + out_bytes)
+        n_f = F // ft_resident
+        resident_bytes = (n_slots * b * b * itemsize * n_f
+                          + K * F * itemsize + out_bytes)
         try:
             out_g = apply_gather(dense)
             out_r = apply_resident(dense)
@@ -209,6 +220,10 @@ def main():
             t_r = time_repeats(apply_resident, dense, repeats=args.repeats,
                                iters=10, square=True)
             record(
+                gather_sol_ms=gather_bytes / HBM * 1e3,
+                gather_sol_frac=(gather_bytes / HBM) / t_g["secs"],
+                resident_sol_ms=resident_bytes / HBM * 1e3,
+                resident_sol_frac=(resident_bytes / HBM) / t_r["secs"],
                 kind="resident_lite", variant=variant, nnzb=int(nnzb),
                 group=group, f_tile_resident=ft_resident,
                 gather_ms=t_g["secs"] * 1e3,
