@@ -24,7 +24,7 @@ s = float(jnp.sum(jax.jit(lambda a: a @ a)(x)))        # compile+exec
 back = np.asarray(x)                                    # 16 MB down
 dt = time.time() - t0
 print(f"[health] ok in {dt:.1f}s sum={s:.3e}", flush=True)
-raise SystemExit(0 if dt < 25 else 1)
+raise SystemExit(0 if dt < 15 else 1)
 EOF
   then
     echo "[health] PASS (try $tries) $(date +%T)" >>"$LOG"

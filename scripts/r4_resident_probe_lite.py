@@ -79,6 +79,43 @@ def pack_indices(rows, cols, group):
     return step_rows, slot_cols, dest
 
 
+def capacity_ladder():
+    """How big can the resident dense slice get? bf16 (b=128, ft=256)
+    nbc ladder with a minimal block population; each rung compiles +
+    runs once. Failure mode expected: Mosaic VMEM-exceeded at compile.
+    Calibrates ops.bsr_spmm_pallas.RESIDENT_SLICE_BYTES (80 MB as
+    shipped)."""
+    b, ft, group = 128, 256, 8
+    key = jax.random.PRNGKey(0)
+    for slice_mb in (64, 72, 80, 88, 96, 104):
+        nbc = slice_mb * 2**20 // (b * ft * 2)
+        K = nbc * b
+        rows = np.zeros((group,), np.int32)
+        cols = np.arange(group, dtype=np.int32) % nbc
+        sr = jnp.asarray(rows[:1])
+        sc = jnp.asarray(cols)
+        try:
+            t0 = time.time()
+            blocks = jax.random.normal(key, (group, b, b), jnp.bfloat16)
+            dense = jax.random.normal(key, (nbc, b, ft), jnp.bfloat16)
+            out = _pallas_spmm_resident(
+                sr, sc, blocks, dense, 1, b, ft, group, False, None,
+            )
+            mag = float(jnp.max(jnp.abs(out)))
+            rec = dict(kind="resident_capacity", slice_mb=slice_mb,
+                       nbc=int(nbc), ok=True, wall_s=round(time.time() - t0, 1),
+                       out_absmax=mag, ts=time.time())
+        except Exception as e:
+            rec = dict(kind="resident_capacity", slice_mb=slice_mb,
+                       nbc=int(nbc), ok=False, error=str(e)[:300],
+                       ts=time.time())
+        with open(OUT, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec)[:200], flush=True)
+        if not rec["ok"]:
+            break
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants", default="int8_g8,int8_g16,bf16_g8,bf16_g16,"
@@ -86,7 +123,15 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shape, interpret off-TPU")
+    ap.add_argument("--capacity", action="store_true",
+                    help="VMEM slice-size ladder: find where the resident "
+                         "compile/exec stops fitting (calibrates "
+                         "RESIDENT_SLICE_BYTES)")
     args = ap.parse_args()
+
+    if args.capacity:
+        capacity_ladder()
+        return
 
     interp = jax.default_backend() != "tpu"
     if args.smoke:
