@@ -132,14 +132,20 @@ def main():
     if args.capacity:
         capacity_ladder()
         return
+    run_ab(args.variants, args.repeats, smoke=args.smoke)
+
+
+def run_ab(variants: str, repeats: int = 3, smoke: bool = False):
+    """The A/B body, callable in-process (see r4_chip_session.py: the
+    chip lease is per-process, so chained chip work must share one)."""
 
     interp = jax.default_backend() != "tpu"
-    if args.smoke:
+    if smoke:
         rows, cols, nb, b = headline_structure(nb=8, b=32, p=0.2)
     else:
         rows, cols, nb, b = headline_structure()
     nnzb = rows.size
-    F = 128 if args.smoke else 512
+    F = 128 if smoke else 512
     K = nb * b
     flops = 2.0 * nnzb * b * b * F
     print(f"nnzb={nnzb}", flush=True)
@@ -149,7 +155,7 @@ def main():
 
     def record(**kw):
         kw["ts"] = time.time()
-        if not args.smoke:  # smoke runs don't pollute the artifact
+        if not smoke:  # smoke runs don't pollute the artifact
             with open(OUT, "a") as f:
                 f.write(json.dumps(kw) + "\n")
         print(json.dumps(kw), flush=True)
@@ -161,7 +167,7 @@ def main():
     dense = gen_dense()
     float(jnp.sum(dense))  # materialize
 
-    for variant in args.variants.split(","):
+    for variant in variants.split(","):
         dt_name, g_name = variant.split("_")
         group = int(g_name[1:])
         t_plan0 = time.time()
@@ -202,7 +208,7 @@ def main():
         ft_resident = {"int8": 512, "bf16": 256, "bf16x3": 128,
                        "f32": 128}[dt_name]
         ft_gather = 512
-        if args.smoke:
+        if smoke:
             ft_resident = ft_gather = F
 
         if dt_name == "int8":
@@ -260,9 +266,9 @@ def main():
             out_r = apply_resident(dense)
             mag = float(jnp.max(jnp.abs(out_g)))
             diff = float(jnp.max(jnp.abs(out_r - out_g))) / max(1e-30, mag)
-            t_g = time_repeats(apply_gather, dense, repeats=args.repeats,
+            t_g = time_repeats(apply_gather, dense, repeats=repeats,
                                iters=10, square=True)
-            t_r = time_repeats(apply_resident, dense, repeats=args.repeats,
+            t_r = time_repeats(apply_resident, dense, repeats=repeats,
                                iters=10, square=True)
             record(
                 gather_sol_ms=gather_bytes / HBM * 1e3,
@@ -280,7 +286,7 @@ def main():
                 resident_tflops=flops / t_r["secs"] / 1e12,
                 speedup=t_g["secs"] / t_r["secs"],
                 resident_vs_gather_rel=diff, out_absmax=mag,
-                plan_s=round(plan_s, 3), repeats=args.repeats,
+                plan_s=round(plan_s, 3), repeats=repeats,
             )
         except Exception as e:
             record(kind="resident_lite_fail", variant=variant,
