@@ -168,7 +168,13 @@ def _resident_kernel(rows_ref, cols_ref, blocks_ref, dense_ref, out_ref,
 # VMEM budget for the resident dense slice. v5e VMEM is 128 MiB; leave
 # room for the double-buffered block groups, the out tile, and Mosaic's
 # own scratch. The apply picks the largest f_tile whose slice fits.
-RESIDENT_SLICE_BYTES = 80 * 1024 * 1024
+# Override: SDB_RESIDENT_BUDGET_MB (same env-knob convention as
+# SDB_GORDER_FLOOR / SDB_RABBIT_CAP).
+import os as _os
+
+RESIDENT_SLICE_BYTES = (
+    int(_os.environ.get("SDB_RESIDENT_BUDGET_MB", "80")) * 1024 * 1024
+)
 
 
 def _resident_f_tile(nbc: int, b: int, f_padded: int, itemsize: int):

@@ -106,6 +106,44 @@ def test_resident_f_tile_budget():
     assert _resident_f_tile(10**7, 128, 512, 4) is None
 
 
+def test_auto_routes_to_resident_when_fitting(monkeypatch):
+    """The None (auto) default must actually pick the resident kernel
+    when the slice fits — pin it by counting kernel entries. Uses
+    shapes no other test touches: _pallas_apply's jit cache is keyed on
+    (statics, shapes), and a cache hit would bypass the spies."""
+    import importlib
+
+    mod = importlib.import_module("spmm_denseblock_tpu.ops.bsr_spmm_pallas")
+    bsr = random_bsr(0.2, 10, 10, block_size=32, seed=11)
+    rng = np.random.default_rng(5)
+    dense = rng.standard_normal((bsr.shape[1], 80)).astype(np.float32)
+    want = spmm_scipy(bsr, dense)
+    calls = {"resident": 0, "gather": 0}
+    orig_res, orig_gat = mod._pallas_spmm_resident, mod._pallas_spmm
+
+    def spy_res(*a, **k):
+        calls["resident"] += 1
+        return orig_res(*a, **k)
+
+    def spy_gat(*a, **k):
+        calls["gather"] += 1
+        return orig_gat(*a, **k)
+
+    monkeypatch.setattr(mod, "_pallas_spmm_resident", spy_res)
+    monkeypatch.setattr(mod, "_pallas_spmm", spy_gat)
+    out = bsr_spmm_pallas_plan(bsr, grad=False)(dense)  # resident=None
+    assert _rel(out, want) < 1e-4
+    assert calls["resident"] == 1 and calls["gather"] == 0
+
+    # and the other way around when nothing fits the budget
+    calls["resident"] = 0
+    monkeypatch.setattr(mod, "RESIDENT_SLICE_BYTES", 64)
+    narrow = np.ascontiguousarray(dense[:, :48])  # new shape -> fresh trace
+    out = bsr_spmm_pallas_plan(bsr, grad=False)(narrow)
+    assert _rel(out, spmm_scipy(bsr, narrow)) < 1e-4
+    assert calls["resident"] == 0 and calls["gather"] == 1
+
+
 def test_resident_force_impossible_raises():
     bsr = random_bsr(0.15, 4, 4, block_size=32, seed=1)
     dense = np.zeros((bsr.shape[1], 64), np.float32)
