@@ -24,6 +24,7 @@ JSONL -> benchmarks/resident_probe_r4.jsonl (labels *_lite).
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import time
 
@@ -211,22 +212,29 @@ def run_ab(variants: str, repeats: int = 3, smoke: bool = False):
         if smoke:
             ft_resident = ft_gather = F
 
+        # CRITICAL: the device arrays (sr/sc/blocks/scales) must be jit
+        # ARGUMENTS bound via functools.partial, NOT closure captures —
+        # a closed-over concrete array becomes an HLO CONSTANT and the
+        # whole 350-680 MB block list streams through the relay inside
+        # the compile payload (this, not relay weather, was every
+        # "throughput collapse" this session — the ops/plan.py
+        # HLO-constant rule applied to benchmarks).
         if dt_name == "int8":
             ones_cs = jnp.ones((F,), jnp.float32)
 
             @jax.jit
-            def apply_gather(x):
+            def _gat(sr_, sc_, blocks_, scales_, x):
                 q = jnp.clip(jnp.round(x), -127, 127).astype(jnp.int8)
                 return _pallas_int8_spmm(
-                    sr, sc, blocks_dev, scales_dev, q, ones_cs,
+                    sr_, sc_, blocks_, scales_, q, ones_cs,
                     nb, K, ft_gather, group, interp,
                 )
 
             @jax.jit
-            def apply_resident(x):
+            def _res(sr_, sc_, blocks_, scales_, x):
                 q = jnp.clip(jnp.round(x), -127, 127).astype(jnp.int8)
                 return _pallas_int8_spmm_resident(
-                    sr, sc, scales_dev, blocks_dev,
+                    sr_, sc_, scales_, blocks_,
                     q.reshape(nb, b, F), ones_cs,
                     nb, K, ft_resident, group, interp,
                 )
@@ -235,20 +243,23 @@ def run_ab(variants: str, repeats: int = 3, smoke: bool = False):
             cast = {"bf16": jnp.bfloat16}.get(dt_name)
 
             @jax.jit
-            def apply_gather(x):
+            def _gat(sr_, sc_, blocks_, scales_, x):
                 xc = x.astype(cast) if cast else x
                 return _pallas_spmm(
-                    sr, sc, blocks_dev, xc, nb, K, ft_gather, group,
+                    sr_, sc_, blocks_, xc, nb, K, ft_gather, group,
                     False, interp, precision_name, 0,
                 )
 
             @jax.jit
-            def apply_resident(x):
+            def _res(sr_, sc_, blocks_, scales_, x):
                 xc = x.astype(cast) if cast else x
                 return _pallas_spmm_resident(
-                    sr, sc, blocks_dev, xc.reshape(nb, b, F), nb, K,
+                    sr_, sc_, blocks_, xc.reshape(nb, b, F), nb, K,
                     ft_resident, group, interp, precision_name,
                 )
+
+        apply_gather = functools.partial(_gat, sr, sc, blocks_dev, scales_dev)
+        apply_resident = functools.partial(_res, sr, sc, blocks_dev, scales_dev)
 
         # bandwidth SoL models (v5e HBM 819 GB/s). gather: blocks once +
         # per-slot (b, F) tiles + out. resident: blocks x f-passes +
