@@ -282,7 +282,9 @@ def route_pallas_spmm(
     b = blocks.shape[1]
     K, Fp = dense.shape
     rft = None
-    if K % b == 0:
+    # same auto policy as _pallas_apply: residency only pays for 2-byte
+    # operands (measured, resident_probe_r4.jsonl)
+    if K % b == 0 and dense.dtype.itemsize == 2 and precision_name is None:
         rft = _resident_f_tile(K // b, b, Fp, dense.dtype.itemsize)
     if rft is not None:
         return _pallas_spmm_resident(
@@ -516,6 +518,22 @@ def _auto_group(nnzb: int, n_rows_with_blocks: int) -> int:
     return 8
 
 
+def _auto_group_pow2(nnzb: int, n_rows_with_blocks: int, cap: int = 32) -> int:
+    """Group rule for the paths that LIKE deep groups — resident bf16
+    and gather int8, both measured monotone-better up to G=32 at the
+    headline avg ~20 blocks/row (resident bf16 6.05/5.83/5.61 ms and
+    gather int8 3.47/3.31/3.20 ms at g8/16/32,
+    benchmarks/resident_probe_r4.jsonl) while gather bf16 prefers G=8
+    (7.01 vs 7.45/7.18). Smallest power of two >= the average row
+    occupancy, capped: pad waste stays < 50% of a row's last step and
+    the step count reaches ~1 per row as density allows."""
+    avg = nnzb / max(1, n_rows_with_blocks)
+    g = 1
+    while g < avg and g < cap:
+        g *= 2
+    return g
+
+
 def bsr_spmm_pallas_plan(
     bsr: BSR,
     dtype=None,
@@ -603,7 +621,19 @@ def bsr_spmm_pallas_plan(
     cols_h = np.asarray(covered.block_cols[: covered.nnzb])
     blocks_h = np.asarray(covered.blocks[: covered.nnzb])
     if group is None:
-        group = _auto_group(covered.nnzb, np.unique(rows_h).size)
+        # bf16 plans whose K fits residency at ft=128 will route the
+        # resident kernel, which likes deep groups; everything else
+        # keeps the gather rule (G=8 cap)
+        resident_likely = (
+            resident is not False
+            and dtype is not None and jnp.dtype(dtype).itemsize == 2
+            and precision is None
+            and _resident_f_tile(covered.n_block_cols, b, 128, 2) is not None
+        )
+        if resident_likely:
+            group = _auto_group_pow2(covered.nnzb, np.unique(rows_h).size)
+        else:
+            group = _auto_group(covered.nnzb, np.unique(rows_h).size)
     step_rows_h, slot_cols_h, blocks_pad_h = _pack_groups(
         rows_h, cols_h, blocks_h, group
     )
@@ -646,8 +676,21 @@ def _pallas_apply(statics, arrays, dense):
     # resident routing is a per-apply-shape decision (shapes are static
     # at trace time): largest f_tile whose (nbc, b, f_tile) slice fits
     # the VMEM budget, honoring an explicit f_tile if given.
+    #
+    # Auto (None) policy from the headline-shape A/B
+    # (benchmarks/resident_probe_r4.jsonl): residency wins ONLY for
+    # 2-byte operands (bf16: 7.01 -> 6.05/5.83/5.61 ms at g8/16/32 —
+    # the gather path is bandwidth-bound there). f32-HIGHEST (0.90x)
+    # and bf16x3 (0.88x) LOSE: their 4-byte slices force f_tile=128 =
+    # 4 f-passes, and the 4x block-list re-read outweighs the gather
+    # savings. int8 loses too (see bsr_spmm_pallas_int8). resident=True
+    # still forces any dtype (and raises if nothing fits).
     rft = None
-    if resident is not False and not fuse_dot and not lookahead:
+    want_resident = (
+        resident is True
+        or (resident is None and itemsize == 2 and precision is None)
+    )
+    if want_resident and not fuse_dot and not lookahead:
         f_padded128 = round_up(dense.shape[1], 128)
         rft = _resident_f_tile(nbc, b, f_padded128, itemsize)
         if f_tile is not None:

@@ -36,6 +36,7 @@ from spmm_denseblock_tpu.formats.bsr import BSR
 from spmm_denseblock_tpu.ops.bsr_spmm_pallas import (
     RESIDENT_SLICE_BYTES,
     _auto_group,
+    _auto_group_pow2,
     _ensure_covering,
     _pack_groups,
     _resident_f_tile,
@@ -43,7 +44,7 @@ from spmm_denseblock_tpu.ops.bsr_spmm_pallas import (
 from spmm_denseblock_tpu.ops.bsr_spmm_int8 import quantize_blocks
 
 
-def _kernel(rows_ref, cols_ref, scales_ref, blocks_ref, *rest, group):
+def _kernel(rows_ref, cols_ref, scales_ref, blocks_ref, cs_ref, *rest, group):
     dense_refs, out_ref = rest[:-1], rest[-1]
     j = pl.program_id(1)
     prev_row = rows_ref[jnp.maximum(j - 1, 0)]
@@ -62,7 +63,11 @@ def _kernel(rows_ref, cols_ref, scales_ref, blocks_ref, *rest, group):
         acc += scales_ref[j * group + g] * jnp.dot(
             blocks_ref[g], dense_refs[g][:], preferred_element_type=jnp.int32
         ).astype(jnp.float32)
-    out_ref[:] += acc
+    # per-column operand scale fused into the accumulate (distributes
+    # over the row sum): the old separate epilogue multiply re-read and
+    # re-wrote the ENTIRE output from HBM — ~0.65 ms at the headline
+    # shape (268 MB out), ~15% of the int8 call (round-4 session 2).
+    out_ref[:] += acc * cs_ref[0, :]
 
 
 def route_pallas_int8_spmm(
@@ -70,19 +75,16 @@ def route_pallas_int8_spmm(
     n_block_rows, n_rows, f_tile, group=1, interpret=False,
 ):
     """int8 twin of ops.bsr_spmm_pallas.route_pallas_spmm — the dist
-    stripe functions' gather/resident router (trace-time branch on the
-    static local dense geometry)."""
-    b = qblocks.shape[1]
-    K, Fp = qdense.shape
-    rft = None
-    if K % b == 0:
-        rft = _resident_f_tile(K // b, b, Fp, 1)
-    if rft is not None:
-        return _pallas_int8_spmm_resident(
-            step_rows, slot_cols, scales, qblocks,
-            qdense.reshape(K // b, b, Fp), col_scale,
-            n_block_rows, n_rows, rft, group, interpret,
-        )
+    stripe functions' kernel entry.
+
+    Measured negative (benchmarks/resident_probe_r4.jsonl, headline
+    shape): int8 RESIDENT is 3-5% SLOWER than the gather kernel at
+    every group (g8 3.63 vs 3.47 ms, g16 3.48 vs 3.31, g32 3.30 vs
+    3.20) — the int8 kernel runs at only ~25-32% of bandwidth SoL, so
+    its gather DMAs are already fully hidden and residency only adds
+    dynamic-index addressing. This router therefore always takes the
+    gather kernel; the resident twin stays available via the plan's
+    resident=True override."""
     return _pallas_int8_spmm(
         step_rows, slot_cols, qblocks, scales, qdense, col_scale,
         n_block_rows, n_rows, f_tile, group, interpret,
@@ -90,7 +92,7 @@ def route_pallas_int8_spmm(
 
 
 def _resident_int8_kernel(rows_ref, cols_ref, scales_ref, blocks_ref,
-                          dense_ref, out_ref, *, group):
+                          cs_ref, dense_ref, out_ref, *, group):
     """Resident-dense int8 kernel: dense is ONE (nbc, b, f_tile) int8
     VMEM block, slots index the untiled leading dim. See the f32/bf16
     twin (_resident_kernel in bsr_spmm_pallas.py) for why this layout
@@ -114,7 +116,8 @@ def _resident_int8_kernel(rows_ref, cols_ref, scales_ref, blocks_ref,
             blocks_ref[g], dense_ref[cols_ref[j * group + g]],
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)
-    out_ref[:] += acc
+    # fused per-column scale (see _kernel)
+    out_ref[:] += acc * cs_ref[0, :]
 
 
 @functools.partial(
@@ -144,6 +147,7 @@ def _pallas_int8_spmm_resident(
         grid=grid,
         in_specs=[
             pl.BlockSpec((group, b, b), lambda f, j, r, c, s: (j, 0, 0)),
+            pl.BlockSpec((1, f_tile), lambda f, j, r, c, s: (0, f)),
             pl.BlockSpec(
                 (nbc, b, f_tile),
                 lambda f, j, r, c, s: (0, 0, f),
@@ -174,8 +178,9 @@ def _pallas_int8_spmm_resident(
             vmem_limit_bytes=112 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(step_rows, slot_cols, scales, qblocks, qdense)
-    return out[:n_rows] * col_scale[None, :]
+    )(step_rows, slot_cols, scales, qblocks,
+      col_scale.reshape(1, -1).astype(jnp.float32), qdense)
+    return out[:n_rows]
 
 
 @functools.partial(
@@ -214,6 +219,7 @@ def _pallas_int8_spmm(
         grid=grid,
         in_specs=[
             pl.BlockSpec((group, b, b), lambda f, j, rows, cols, sc: (j, 0, 0)),
+            pl.BlockSpec((1, f_tile), lambda f, j, rows, cols, sc: (0, f)),
             *[_b_spec(g) for g in range(group)],
         ],
         out_specs=pl.BlockSpec(
@@ -235,9 +241,10 @@ def _pallas_int8_spmm(
             dimension_semantics=("parallel", "arbitrary")
         ),
         interpret=interpret,
-    )(step_rows, slot_cols, scales, qblocks, *([qdense] * group))
-    # per-column operand scale applied once on the epilogue
-    return out[:n_rows] * col_scale[None, :]
+    )(step_rows, slot_cols, scales, qblocks,
+      col_scale.reshape(1, -1).astype(jnp.float32), *([qdense] * group))
+    # per-column operand scale is fused into the kernel accumulate
+    return out[:n_rows]
 
 
 @jax.jit
@@ -310,7 +317,10 @@ def bsr_spmm_pallas_int8_plan(
     cols_h = np.asarray(covered.block_cols[: covered.nnzb])
     blocks_h = np.asarray(covered.blocks[: covered.nnzb], dtype=np.float32)
     if group is None:
-        group = _auto_group(covered.nnzb, np.unique(rows_h).size)
+        # gather int8 measured monotone-better up to G=32 at the
+        # headline occupancy (3.47/3.31/3.20 ms at g8/16/32 —
+        # resident_probe_r4.jsonl): use the pow2 rule
+        group = _auto_group_pow2(covered.nnzb, np.unique(rows_h).size)
     # pack f32 blocks, THEN quantize the packed list: pad slots are
     # zero blocks -> q = 0 regardless of scale, so pads contribute
     # exactly nothing and the per-slot scales array lines up with slots
@@ -358,8 +368,13 @@ def _int8_pallas_apply(statics, arrays, dense):
     b = qb.shape[1]
     nbc = k_needed // b
 
+    # int8 residency is a measured NEGATIVE at the headline shape (the
+    # kernel is step-bound at ~25-32% of bandwidth SoL, so the gather
+    # DMAs it would remove are already hidden — resident_probe_r4.jsonl)
+    # -> auto (None) routes GATHER; only an explicit resident=True
+    # forces the resident twin.
     rft = None
-    if resident is not False:
+    if resident is True:
         f_padded128 = round_up(dense.shape[1], 128)
         rft = _resident_f_tile(nbc, b, f_padded128, 1)
         if f_tile is not None:
@@ -367,11 +382,11 @@ def _int8_pallas_apply(statics, arrays, dense):
                 rft is not None and f_padded128 % f_tile == 0
                 and nbc * b * f_tile <= RESIDENT_SLICE_BYTES
             ) else None
-    if resident is True and rft is None:
-        raise ValueError(
-            f"resident=True but no f_tile fits the VMEM budget "
-            f"(nbc={nbc} b={b})"
-        )
+        if rft is None:
+            raise ValueError(
+                f"resident=True but no f_tile fits the VMEM budget "
+                f"(nbc={nbc} b={b})"
+            )
 
     if rft is not None:
         ft = rft
