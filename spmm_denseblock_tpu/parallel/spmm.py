@@ -134,7 +134,22 @@ def _ag_run(statics, lr, bc, bv, sc, cs, dense):
     )
     dense = jax.lax.with_sharding_constraint(dense, NamedSharding(mesh, b_spec))
 
-    def stripe_fn(lr, bc, bv, sc, b_local):
+    # int8 + pallas: the per-column operand scale rides INTO the kernel
+    # (fused into the accumulate — the separate epilogue multiply was a
+    # full output read+write pass, ~15% of the single-chip int8 call);
+    # pad cols get scale 1. Sharded over the feature axis like B.
+    fuse_cs = int8_mode and local_impl == "pallas"
+    cs_args, cs_specs = (), ()
+    if fuse_cs:
+        cs_padded = jnp.pad(
+            col_scale, (0, f_padded - f_orig), constant_values=1.0
+        )
+        cs_args = (jax.lax.with_sharding_constraint(
+            cs_padded, NamedSharding(mesh, P(feature_axis))
+        ),)
+        cs_specs = (P(feature_axis),)
+
+    def stripe_fn(lr, bc, bv, sc, b_local, *maybe_cs):
         # (1, m) locals -> (m,); B local stripe (k_padded/n, F)
         b_full = jax.lax.all_gather(b_local, axis, tiled=True)
         if local_impl == "pallas":
@@ -143,15 +158,13 @@ def _ag_run(statics, lr, bc, bv, sc, cs, dense):
             # every output tile is written)
             if int8_mode:
                 # grouped int8 kernel: int8 x int8 -> int32 MXU with
-                # per-slot scales; the global per-column operand scale
-                # is applied once by the caller epilogue
+                # per-slot scales; per-column operand scale fused in
                 from spmm_denseblock_tpu.ops.bsr_spmm_pallas_int8 import (
                     route_pallas_int8_spmm,
                 )
 
                 return route_pallas_int8_spmm(
-                    lr[0], bc[0], bv[0], sc[0], b_full,
-                    jnp.ones((b_full.shape[1],), jnp.float32),
+                    lr[0], bc[0], bv[0], sc[0], b_full, maybe_cs[0],
                     rows_per, rows_per * b, ft,
                     group=group, interpret=interpret,
                 )
@@ -174,16 +187,16 @@ def _ag_run(statics, lr, bc, bv, sc, cs, dense):
     fn = jax.shard_map(
         stripe_fn,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), b_spec),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), b_spec) + cs_specs,
         out_specs=b_spec,
         # pallas_call's out_shape carries no vma annotation; skip
         # the varying-axes check for the hand-written kernel path
         check_vma=(local_impl != "pallas"),
     )
-    out = fn(lr, bc, bv, sc, dense)[:n_rows].astype(jnp.float32)
+    out = fn(lr, bc, bv, sc, dense, *cs_args)[:n_rows].astype(jnp.float32)
     if f_padded != f_orig:
         out = out[:, :f_orig]
-    return out * col_scale[None, :] if int8_mode else out
+    return out * col_scale[None, :] if int8_mode and not fuse_cs else out
 
 
 @functools.partial(jax.jit, static_argnames="statics")
@@ -209,7 +222,20 @@ def _ring_run(statics, lr, cc, bv, sc, cs, dense):
     else:
         ft, f_padded = 0, f_orig
 
-    def stripe_fn(lr, cc, bv, sc, b_local):
+    # same fused per-column scale as _ag_run (chunk accumulation
+    # distributes over the multiply)
+    fuse_cs = int8_mode and local_impl == "pallas"
+    cs_args, cs_specs = (), ()
+    if fuse_cs:
+        cs_padded = jnp.pad(
+            col_scale, (0, f_padded - f_orig), constant_values=1.0
+        )
+        cs_args = (jax.lax.with_sharding_constraint(
+            cs_padded, NamedSharding(mesh, P(feature_axis))
+        ),)
+        cs_specs = (P(feature_axis),)
+
+    def stripe_fn(lr, cc, bv, sc, b_local, *maybe_cs):
         lr, cc, bv, sc = lr[0], cc[0], bv[0], sc[0]  # (n, mb[, b, b])
         me = jax.lax.axis_index(axis)
         f_dim = b_local.shape[1]
@@ -236,7 +262,7 @@ def _ring_run(statics, lr, cc, bv, sc, cs, dense):
                         jnp.take(bv, c, axis=0),
                         jnp.take(sc, c, axis=0),
                         b_chunk,
-                        jnp.ones((f_dim,), jnp.float32),
+                        maybe_cs[0],
                         rows_per, rows_per * b, ft,
                         group=group, interpret=interpret,
                     )
@@ -283,7 +309,7 @@ def _ring_run(statics, lr, cc, bv, sc, cs, dense):
 
     fn = jax.shard_map(
         stripe_fn, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), b_spec),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), b_spec) + cs_specs,
         out_specs=b_spec,
         check_vma=(local_impl != "pallas"),
     )
@@ -291,10 +317,10 @@ def _ring_run(statics, lr, cc, bv, sc, cs, dense):
         dense, ((0, k_padded - dense.shape[0]), (0, f_padded - f_orig))
     )
     dense = jax.lax.with_sharding_constraint(dense, NamedSharding(mesh, b_spec))
-    out = fn(lr, cc, bv, sc, dense)[:n_rows].astype(jnp.float32)
+    out = fn(lr, cc, bv, sc, dense, *cs_args)[:n_rows].astype(jnp.float32)
     if f_padded != f_orig:
         out = out[:, :f_orig]
-    return out * col_scale[None, :] if int8_mode else out
+    return out * col_scale[None, :] if int8_mode and not fuse_cs else out
 
 
 @functools.partial(jax.jit, static_argnames="statics")
@@ -320,7 +346,20 @@ def _halo_run(statics, lr, cc, bv, sc, cs, bp_idx, out_idx, dense):
     else:
         ft, f_padded = 0, f_orig
 
-    def stripe_fn(lr, cc, bv, sc, b_local):
+    # same fused per-column scale as _ag_run (offset accumulation
+    # distributes over the multiply)
+    fuse_cs = int8_mode and local_impl == "pallas"
+    cs_args, cs_specs = (), ()
+    if fuse_cs:
+        cs_padded = jnp.pad(
+            col_scale, (0, f_padded - f_orig), constant_values=1.0
+        )
+        cs_args = (jax.lax.with_sharding_constraint(
+            cs_padded, NamedSharding(mesh, P(feature_axis))
+        ),)
+        cs_specs = (P(feature_axis),)
+
+    def stripe_fn(lr, cc, bv, sc, b_local, *maybe_cs):
         lr, cc, bv, sc = lr[0], cc[0], bv[0], sc[0]
         f_dim = b_local.shape[1]
         if local_impl == "pallas":
@@ -349,7 +388,7 @@ def _halo_run(statics, lr, cc, bv, sc, cs, bp_idx, out_idx, dense):
 
                     out = out + route_pallas_int8_spmm(
                         lr[h], cc[h], bv[h], sc[h], chunk,
-                        jnp.ones((f_dim,), jnp.float32),
+                        maybe_cs[0],
                         rows_per, rows_per * b, ft,
                         group=group, interpret=interpret,
                     )
@@ -371,7 +410,7 @@ def _halo_run(statics, lr, cc, bv, sc, cs, bp_idx, out_idx, dense):
 
     fn = jax.shard_map(
         stripe_fn, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), b_spec),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), b_spec) + cs_specs,
         out_specs=b_spec,
         check_vma=(local_impl != "pallas"),
     )
@@ -386,12 +425,12 @@ def _halo_run(statics, lr, cc, bv, sc, cs, bp_idx, out_idx, dense):
     else:
         dense = jnp.pad(dense, ((0, k_padded - dense.shape[0]), (0, 0)))
     dense = jax.lax.with_sharding_constraint(dense, NamedSharding(mesh, b_spec))
-    out = fn(lr, cc, bv, sc, dense).astype(jnp.float32)
+    out = fn(lr, cc, bv, sc, dense, *cs_args).astype(jnp.float32)
     # caller-order rows: variable stripes need the index unpad
     out = out[:n_rows] if out_idx is None else jnp.take(out, out_idx, axis=0)
     if f_padded != f_orig:
         out = out[:, :f_orig]
-    return out * col_scale[None, :] if int8_mode else out
+    return out * col_scale[None, :] if int8_mode and not fuse_cs else out
 
 
 def _dist_bsr_apply(statics, arrays, dense):
