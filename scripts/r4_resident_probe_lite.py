@@ -31,6 +31,8 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/sdb_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -78,6 +80,90 @@ def pack_indices(rows, cols, group):
     rank = np.arange(nnzb) - np.repeat(first, counts)
     dest = (np.repeat(slot_base, counts) + rank).astype(np.int32)
     return step_rows, slot_cols, dest
+
+
+def _scratch_kernel(rows_ref, cols_ref, blocks_ref, dense_hbm, out_ref,
+                    scratch, sem, *, group, ft, precision):
+    """Scratch-resident variant: the dense f-slice is DMA'd ONCE per f
+    pass into persistent VMEM scratch (grid steps share scratch on
+    TPU), so the BlockSpec pipeline contains only the double-buffered
+    block groups — testing whether the single-buffered dense operand in
+    _pallas_spmm_resident is what serializes blocks-DMA against MXU
+    (measured per-step 2.74 us ~= MXU 1.36 + blocks-DMA 1.28 ADDED)."""
+    f = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _load():
+        cp = pltpu.make_async_copy(
+            dense_hbm.at[:, :, pl.ds(f * ft, ft)], scratch, sem
+        )
+        cp.start()
+        cp.wait()
+
+    prev = rows_ref[jnp.maximum(j - 1, 0)]
+
+    @pl.when(jnp.logical_or(j == 0, rows_ref[j] != prev))
+    def _zero():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    def mxu_dot(lhs, rhs):
+        if lhs.dtype == jnp.int8:
+            return jnp.dot(
+                lhs, rhs, preferred_element_type=jnp.int32
+            ).astype(jnp.float32)
+        return jnp.dot(
+            lhs, rhs, preferred_element_type=jnp.float32, precision=precision
+        )
+
+    acc = mxu_dot(blocks_ref[0], scratch[cols_ref[j * group]])
+    for g in range(1, group):
+        acc += mxu_dot(blocks_ref[g], scratch[cols_ref[j * group + g]])
+    out_ref[:] += acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_block_rows", "n_rows", "f_tile", "group", "interpret"),
+)
+def _scratch_spmm(step_rows, slot_cols, blocks, dense3, n_block_rows,
+                  n_rows, f_tile, group, interpret=False):
+    n_slots, b, _ = blocks.shape
+    n_steps = n_slots // group
+    nbc, b2, f_padded = dense3.shape
+    grid = (f_padded // f_tile, n_steps)
+    precision = (
+        jax.lax.Precision.HIGHEST if blocks.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((group, b, b), lambda f, j, r, c: (j, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # dense stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (b, f_tile), lambda f, j, r, c: (r[j], f)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nbc, b, f_tile), dense3.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _scratch_kernel, group=group, ft=f_tile, precision=precision
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_block_rows * b, f_padded),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=112 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(step_rows, slot_cols, blocks, dense3)[:n_rows]
 
 
 def capacity_ladder():
@@ -169,7 +255,9 @@ def run_ab(variants: str, repeats: int = 3, smoke: bool = False):
     float(jnp.sum(dense))  # materialize
 
     for variant in variants.split(","):
-        dt_name, g_name = variant.split("_")
+        parts = variant.split("_")
+        dt_name, g_name = parts[0], parts[1]
+        scratch_mode = len(parts) > 2 and parts[2] == "s"
         group = int(g_name[1:])
         t_plan0 = time.time()
         step_rows_h, slot_cols_h, dest_h = pack_indices(rows, cols, group)
@@ -250,13 +338,22 @@ def run_ab(variants: str, repeats: int = 3, smoke: bool = False):
                     False, interp, precision_name, 0,
                 )
 
-            @jax.jit
-            def _res(sr_, sc_, blocks_, scales_, x):
-                xc = x.astype(cast) if cast else x
-                return _pallas_spmm_resident(
-                    sr_, sc_, blocks_, xc.reshape(nb, b, F), nb, K,
-                    ft_resident, group, interp, precision_name,
-                )
+            if scratch_mode:
+                @jax.jit
+                def _res(sr_, sc_, blocks_, scales_, x):
+                    xc = x.astype(cast) if cast else x
+                    return _scratch_spmm(
+                        sr_, sc_, blocks_, xc.reshape(nb, b, F), nb, K,
+                        ft_resident, group, interp,
+                    )
+            else:
+                @jax.jit
+                def _res(sr_, sc_, blocks_, scales_, x):
+                    xc = x.astype(cast) if cast else x
+                    return _pallas_spmm_resident(
+                        sr_, sc_, blocks_, xc.reshape(nb, b, F), nb, K,
+                        ft_resident, group, interp, precision_name,
+                    )
 
         apply_gather = functools.partial(_gat, sr, sc, blocks_dev, scales_dev)
         apply_resident = functools.partial(_res, sr, sc, blocks_dev, scales_dev)
