@@ -4,8 +4,9 @@
 #
 # Background: the relay's upstream channel intermittently collapses to
 # ~50 kB/s (observed during the round-4 resident probe: a 677 MB block
-# transfer stuck with 4 MB in Send-Q). A 16 MB round-trip in <25 s is
-# the "healthy" gate — at the degraded rate it cannot pass.
+# transfer stuck with 4 MB in Send-Q). A 16 MB round-trip in <15 s is
+# the "healthy" gate — at the degraded rate it cannot pass. (Timing
+# quality needs dispatch << kernel time, hence the tight bound.)
 #
 # Usage: scripts/chip_health_then.sh <logfile> <cmd...>
 set -u
@@ -29,8 +30,9 @@ EOF
   then
     echo "[health] PASS (try $tries) $(date +%T)" >>"$LOG"
     "$@" >>"$LOG" 2>&1
-    echo "[health] command exit=$? $(date +%T)" >>"$LOG"
-    exit 0
+    rc=$?
+    echo "[health] command exit=$rc $(date +%T)" >>"$LOG"
+    exit $rc
   fi
   echo "[health] degraded (try $tries) $(date +%T)" >>"$LOG"
   sleep 240

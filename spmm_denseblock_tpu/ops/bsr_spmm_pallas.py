@@ -176,14 +176,26 @@ RESIDENT_SLICE_BYTES = (
     int(_os.environ.get("SDB_RESIDENT_BUDGET_MB", "80")) * 1024 * 1024
 )
 
+# Mosaic VMEM ceiling passed to the resident pallas_calls. The ladder
+# measured slices fine through 104 MB (resident_probe_r4.jsonl); the
+# effective budget below is clamped under this so an oversized
+# SDB_RESIDENT_BUDGET_MB can never turn auto-routing into a compile
+# failure — it just stops raising the budget.
+_RESIDENT_VMEM_LIMIT = 112 * 1024 * 1024
+
+
+def _resident_budget() -> int:
+    return min(RESIDENT_SLICE_BYTES, _RESIDENT_VMEM_LIMIT - 8 * 1024 * 1024)
+
 
 def _resident_f_tile(nbc: int, b: int, f_padded: int, itemsize: int):
     """Largest f_tile (multiple of 128, divides f_padded) whose
     (nbc, b, f_tile) dense slice fits the resident VMEM budget; None if
     even 128 doesn't fit (fall back to the gather kernel)."""
+    budget = _resident_budget()
     ft = (f_padded // 128) * 128
     while ft >= 128:
-        if f_padded % ft == 0 and nbc * b * ft * itemsize <= RESIDENT_SLICE_BYTES:
+        if f_padded % ft == 0 and nbc * b * ft * itemsize <= budget:
             return ft
         ft -= 128
     return None
@@ -260,7 +272,7 @@ def _pallas_spmm_resident(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=112 * 1024 * 1024,
+            vmem_limit_bytes=_RESIDENT_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(step_rows, slot_cols, blocks, dense)
@@ -623,9 +635,11 @@ def bsr_spmm_pallas_plan(
     if group is None:
         # bf16 plans whose K fits residency at ft=128 will route the
         # resident kernel, which likes deep groups; everything else
-        # keeps the gather rule (G=8 cap)
+        # keeps the gather rule (G=8 cap). fuse_dot/lookahead are
+        # gather-only knobs, so they must keep the gather group rule.
         resident_likely = (
             resident is not False
+            and not fuse_dot and not lookahead
             and dtype is not None and jnp.dtype(dtype).itemsize == 2
             and precision is None
             and _resident_f_tile(covered.n_block_cols, b, 128, 2) is not None
@@ -685,6 +699,11 @@ def _pallas_apply(statics, arrays, dense):
     # 4 f-passes, and the 4x block-list re-read outweighs the gather
     # savings. int8 loses too (see bsr_spmm_pallas_int8). resident=True
     # still forces any dtype (and raises if nothing fits).
+    if resident is True and (fuse_dot or lookahead):
+        raise ValueError(
+            "resident=True is incompatible with fuse_dot/lookahead "
+            "(gather-kernel-only knobs)"
+        )
     rft = None
     want_resident = (
         resident is True
@@ -696,14 +715,14 @@ def _pallas_apply(statics, arrays, dense):
         if f_tile is not None:
             rft = f_tile if (
                 rft is not None and f_padded128 % f_tile == 0
-                and nbc * b * f_tile * itemsize <= RESIDENT_SLICE_BYTES
+                and nbc * b * f_tile * itemsize <= _resident_budget()
             ) else None
     if resident is True and rft is None:
         raise ValueError(
             f"resident=True but no f_tile fits the VMEM budget: "
             f"nbc={nbc} b={b} itemsize={itemsize} "
             f"(slice at f_tile=128 is {nbc * b * 128 * itemsize} bytes, "
-            f"budget {RESIDENT_SLICE_BYTES})"
+            f"budget {_resident_budget()})"
         )
 
     if rft is not None:

@@ -34,7 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 from spmm_denseblock_tpu.convert.pack import round_up
 from spmm_denseblock_tpu.formats.bsr import BSR
 from spmm_denseblock_tpu.ops.bsr_spmm_pallas import (
-    RESIDENT_SLICE_BYTES,
+    _RESIDENT_VMEM_LIMIT,
+    _resident_budget,
     _auto_group,
     _auto_group_pow2,
     _ensure_covering,
@@ -175,7 +176,7 @@ def _pallas_int8_spmm_resident(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=112 * 1024 * 1024,
+            vmem_limit_bytes=_RESIDENT_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(step_rows, slot_cols, scales, qblocks,
@@ -380,7 +381,7 @@ def _int8_pallas_apply(statics, arrays, dense):
         if f_tile is not None:
             rft = f_tile if (
                 rft is not None and f_padded128 % f_tile == 0
-                and nbc * b * f_tile <= RESIDENT_SLICE_BYTES
+                and nbc * b * f_tile <= _resident_budget()
             ) else None
         if rft is None:
             raise ValueError(

@@ -201,7 +201,7 @@ def bucket_by_col_chunk(sh: ShardedBSR) -> Tuple[np.ndarray, np.ndarray, np.ndar
     return lr, cc, bv
 
 
-def pack_buckets_pallas(lr, cc, bv, n_block_rows, group="auto"):
+def pack_buckets_pallas(lr, cc, bv, n_block_rows, group="auto", deep=False):
     """Convert bucketed block lists into the flat-Pallas grouped layout.
 
     lr/cc/bv: (..., mb) / (..., mb) / (..., mb, b, b) bucketed block
@@ -219,9 +219,15 @@ def pack_buckets_pallas(lr, cc, bv, n_block_rows, group="auto"):
 
     Returns (step_rows (..., T), slot_cols (..., T*G),
     blocks (..., T*G, b, b), G).
+
+    deep=True selects the pow2 group rule (up to G=32) for the paths
+    measured monotone-better at deep groups — the resident bf16 local
+    kernel and the gather int8 kernel (resident_probe_r4.jsonl); the
+    default keeps the gather rule (G=8 cap).
     """
     from spmm_denseblock_tpu.ops.bsr_spmm_pallas import (
         _auto_group,
+        _auto_group_pow2,
         _pack_groups,
     )
 
@@ -256,7 +262,8 @@ def pack_buckets_pallas(lr, cc, bv, n_block_rows, group="auto"):
         covered.append((rows_i[order], cols_i[order], blks_i[order]))
 
     if group == "auto":
-        group = _auto_group(total_real, max(total_rows, 1))
+        rule = _auto_group_pow2 if deep else _auto_group
+        group = rule(total_real, max(total_rows, 1))
     group = int(group)
     packed = [_pack_groups(r, c, v, group) for r, c, v in covered]
     t_max = max(p[0].shape[0] for p in packed)

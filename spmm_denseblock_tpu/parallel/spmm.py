@@ -111,6 +111,26 @@ def _quantize_operand(dense, cs):
     return quantize_per_column(dense.astype(jnp.float32), cs)
 
 
+def _fused_cs(mesh, feature_axis, int8_mode, local_impl, col_scale,
+              f_padded, f_orig):
+    """(cs_args, cs_specs, fuse_cs) for the int8+pallas stripe paths:
+    the per-column operand scale rides INTO the kernel (fused into the
+    accumulate — the separate epilogue multiply was a full output
+    read+write pass, ~15% of the single-chip int8 call); pad cols get
+    scale 1. Sharded over the feature axis like B. One helper so the
+    three strategies cannot drift."""
+    fuse_cs = int8_mode and local_impl == "pallas"
+    if not fuse_cs:
+        return (), (), False
+    cs_padded = jnp.pad(
+        col_scale, (0, f_padded - f_orig), constant_values=1.0
+    )
+    cs_args = (jax.lax.with_sharding_constraint(
+        cs_padded, NamedSharding(mesh, P(feature_axis))
+    ),)
+    return cs_args, (P(feature_axis),), True
+
+
 @functools.partial(jax.jit, static_argnames="statics")
 def _ag_run(statics, lr, bc, bv, sc, cs, dense):
     (mesh, axis, feature_axis, local_impl, interpret, rows_per, cpc, n, b,
@@ -134,20 +154,10 @@ def _ag_run(statics, lr, bc, bv, sc, cs, dense):
     )
     dense = jax.lax.with_sharding_constraint(dense, NamedSharding(mesh, b_spec))
 
-    # int8 + pallas: the per-column operand scale rides INTO the kernel
-    # (fused into the accumulate — the separate epilogue multiply was a
-    # full output read+write pass, ~15% of the single-chip int8 call);
-    # pad cols get scale 1. Sharded over the feature axis like B.
-    fuse_cs = int8_mode and local_impl == "pallas"
-    cs_args, cs_specs = (), ()
-    if fuse_cs:
-        cs_padded = jnp.pad(
-            col_scale, (0, f_padded - f_orig), constant_values=1.0
-        )
-        cs_args = (jax.lax.with_sharding_constraint(
-            cs_padded, NamedSharding(mesh, P(feature_axis))
-        ),)
-        cs_specs = (P(feature_axis),)
+    cs_args, cs_specs, fuse_cs = _fused_cs(
+        mesh, feature_axis, int8_mode, local_impl, col_scale,
+        f_padded, f_orig,
+    )
 
     def stripe_fn(lr, bc, bv, sc, b_local, *maybe_cs):
         # (1, m) locals -> (m,); B local stripe (k_padded/n, F)
@@ -222,18 +232,12 @@ def _ring_run(statics, lr, cc, bv, sc, cs, dense):
     else:
         ft, f_padded = 0, f_orig
 
-    # same fused per-column scale as _ag_run (chunk accumulation
+    # same fused per-column scale as _ag_run (chunk/offset accumulation
     # distributes over the multiply)
-    fuse_cs = int8_mode and local_impl == "pallas"
-    cs_args, cs_specs = (), ()
-    if fuse_cs:
-        cs_padded = jnp.pad(
-            col_scale, (0, f_padded - f_orig), constant_values=1.0
-        )
-        cs_args = (jax.lax.with_sharding_constraint(
-            cs_padded, NamedSharding(mesh, P(feature_axis))
-        ),)
-        cs_specs = (P(feature_axis),)
+    cs_args, cs_specs, fuse_cs = _fused_cs(
+        mesh, feature_axis, int8_mode, local_impl, col_scale,
+        f_padded, f_orig,
+    )
 
     def stripe_fn(lr, cc, bv, sc, b_local, *maybe_cs):
         lr, cc, bv, sc = lr[0], cc[0], bv[0], sc[0]  # (n, mb[, b, b])
@@ -346,18 +350,12 @@ def _halo_run(statics, lr, cc, bv, sc, cs, bp_idx, out_idx, dense):
     else:
         ft, f_padded = 0, f_orig
 
-    # same fused per-column scale as _ag_run (offset accumulation
+    # same fused per-column scale as _ag_run (chunk/offset accumulation
     # distributes over the multiply)
-    fuse_cs = int8_mode and local_impl == "pallas"
-    cs_args, cs_specs = (), ()
-    if fuse_cs:
-        cs_padded = jnp.pad(
-            col_scale, (0, f_padded - f_orig), constant_values=1.0
-        )
-        cs_args = (jax.lax.with_sharding_constraint(
-            cs_padded, NamedSharding(mesh, P(feature_axis))
-        ),)
-        cs_specs = (P(feature_axis),)
+    cs_args, cs_specs, fuse_cs = _fused_cs(
+        mesh, feature_axis, int8_mode, local_impl, col_scale,
+        f_padded, f_orig,
+    )
 
     def stripe_fn(lr, cc, bv, sc, b_local, *maybe_cs):
         lr, cc, bv, sc = lr[0], cc[0], bv[0], sc[0]
@@ -638,7 +636,8 @@ def dist_bsr_spmm_plan(
         lr_h, bc_h, bv_h = sh.local_rows, sh.block_cols, sh.blocks
         if local_impl == "pallas":
             lr_h, bc_h, bv_h, grp = pack_buckets_pallas(
-                lr_h, bc_h, bv_h, rows_per, group=group
+                lr_h, bc_h, bv_h, rows_per, group=group,
+                deep=dtype_key in ("int8", "bfloat16"),
             )
         lr = jax.device_put(lr_h, stripe)
         bc = jax.device_put(bc_h, stripe)
@@ -653,7 +652,8 @@ def dist_bsr_spmm_plan(
         lr_b, cc_b, bv_b = bucket_by_col_chunk(sh)  # (n, n, mb, ...)
         if local_impl == "pallas":
             lr_b, cc_b, bv_b, grp = pack_buckets_pallas(
-                lr_b, cc_b, bv_b, rows_per, group=group
+                lr_b, cc_b, bv_b, rows_per, group=group,
+                deep=dtype_key in ("int8", "bfloat16"),
             )
         lr = jax.device_put(lr_b, stripe)
         cc = jax.device_put(cc_b, stripe)
@@ -678,7 +678,8 @@ def dist_bsr_spmm_plan(
         lr_b, cc_b, bv_b = buckets  # (n, 2h+1, mb, ...)
         if local_impl == "pallas":
             lr_b, cc_b, bv_b, grp = pack_buckets_pallas(
-                lr_b, cc_b, bv_b, rows_per, group=group
+                lr_b, cc_b, bv_b, rows_per, group=group,
+                deep=dtype_key in ("int8", "bfloat16"),
             )
         lr = jax.device_put(lr_b, stripe)
         cc = jax.device_put(cc_b, stripe)
