@@ -82,6 +82,195 @@ def pack_indices(rows, cols, group):
     return step_rows, slot_cols, dest
 
 
+def pack_rowgroups(rows, cols, group_half, R=2):
+    """Row-GROUP packing: R adjacent covered block-rows share each grid
+    step; slots [i*Gh, (i+1)*Gh) belong to the group's i-th row (static
+    split — no in-kernel selects). Steps per group = max over its rows
+    of ceil(count/Gh), so total steps shrink ~R-fold vs one-row-per-step
+    at the same per-row group. Returns (step_groups (T,), slot_cols
+    (T*G,), dest (nnzb,), n_groups) with G = R*Gh and per-buffer pad
+    col fill (DMA-skip discipline of _pack_groups)."""
+    from spmm_denseblock_tpu.ops.bsr_spmm_pallas import per_buffer_col_fill
+
+    order = np.argsort(rows, kind="stable")
+    rows_s = rows[order]
+    uniq, first = np.unique(rows_s, return_index=True)
+    counts = np.diff(np.append(first, rows_s.size))
+    n_rows_cov = uniq.size
+    pad_rows = (-n_rows_cov) % R  # phantom empty rows to fill the last group
+    counts_p = np.append(counts, np.zeros(pad_rows, counts.dtype))
+    groups = (n_rows_cov + pad_rows) // R
+    per_row_steps = -(-counts_p // group_half)
+    steps_per_group = np.maximum(
+        per_row_steps.reshape(groups, R).max(axis=1), 1
+    )
+    T = int(steps_per_group.sum())
+    G = R * group_half
+    step_base = np.concatenate([[0], np.cumsum(steps_per_group)[:-1]])
+    # dest for block of covered-rank k row: group k//R, lane k%R;
+    # slot = (step_base[grp] + rank//Gh)*G + lane*Gh + rank%Gh
+    rank = np.arange(rows_s.size) - np.repeat(first, counts)
+    krank = np.searchsorted(uniq, rows_s)
+    grp = krank // R
+    lane = krank % R
+    dest_s = ((step_base[grp] + rank // group_half) * G
+              + lane * group_half + rank % group_half)
+    dest = np.empty(rows.size, np.int64)
+    dest[order] = dest_s
+    cols_pad = np.full(T * G, -1, np.int64)
+    cols_pad[dest] = cols
+    c2 = cols_pad.reshape(T, G)
+    filled = per_buffer_col_fill(c2, c2 >= 0, np.zeros_like(c2))
+    step_groups = np.repeat(np.arange(groups), steps_per_group).astype(np.int32)
+    return (step_groups, filled.reshape(-1).astype(np.int32),
+            dest.astype(np.int32), groups)
+
+
+def _rowgroup_kernel(groups_ref, cols_ref, blocks_ref, dense_ref, out_ref,
+                     *, group_half, R, precision, scales_ref=None,
+                     cs_ref=None):
+    b = blocks_ref.shape[1]
+    G = R * group_half
+    j = pl.program_id(1)
+    prev = groups_ref[jnp.maximum(j - 1, 0)]
+
+    @pl.when(jnp.logical_or(j == 0, groups_ref[j] != prev))
+    def _zero():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    def mxu_dot(lhs, rhs):
+        if lhs.dtype == jnp.int8:
+            return jnp.dot(
+                lhs, rhs, preferred_element_type=jnp.int32
+            ).astype(jnp.float32)
+        return jnp.dot(
+            lhs, rhs, preferred_element_type=jnp.float32, precision=precision
+        )
+
+    for lane in range(R):
+        acc = None
+        for g in range(lane * group_half, (lane + 1) * group_half):
+            d = mxu_dot(blocks_ref[g], dense_ref[cols_ref[j * G + g]])
+            if scales_ref is not None:
+                d = scales_ref[j * G + g] * d
+            acc = d if acc is None else acc + d
+        if cs_ref is not None:
+            acc = acc * cs_ref[0, :]
+        out_ref[lane * b:(lane + 1) * b, :] += acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_groups", "n_rows", "f_tile", "group_half", "R",
+                     "interpret"),
+)
+def _rowgroup_spmm(step_groups, slot_cols, blocks, dense3, n_groups, n_rows,
+                   f_tile, group_half, R=2, interpret=False):
+    n_slots, b, _ = blocks.shape
+    G = R * group_half
+    n_steps = n_slots // G
+    nbc, b2, f_padded = dense3.shape
+    grid = (f_padded // f_tile, n_steps)
+    precision = (
+        jax.lax.Precision.HIGHEST if blocks.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((G, b, b), lambda f, j, p, c: (j, 0, 0)),
+            pl.BlockSpec(
+                (nbc, b, f_tile),
+                lambda f, j, p, c: (0, 0, f),
+                pipeline_mode=(
+                    pl.Buffered(buffer_count=1) if not interpret else None
+                ),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (R * b, f_tile), lambda f, j, p, c: (p[j], f)
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _rowgroup_kernel, group_half=group_half, R=R,
+            precision=precision,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_groups * R * b, f_padded),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=112 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(step_groups, slot_cols, blocks, dense3)[:n_rows]
+
+
+def _rowgroup_int8_kernel(groups_ref, cols_ref, scales_ref, blocks_ref,
+                          cs_ref, dense_ref, out_ref, *, group_half, R):
+    _rowgroup_kernel(
+        groups_ref, cols_ref, blocks_ref, dense_ref, out_ref,
+        group_half=group_half, R=R, precision=None,
+        scales_ref=scales_ref, cs_ref=cs_ref,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_groups", "n_rows", "f_tile", "group_half", "R",
+                     "interpret"),
+)
+def _rowgroup_int8_spmm(step_groups, slot_cols, scales, qblocks, qdense3,
+                        col_scale, n_groups, n_rows, f_tile, group_half,
+                        R=2, interpret=False):
+    n_slots, b, _ = qblocks.shape
+    G = R * group_half
+    n_steps = n_slots // G
+    nbc, b2, f_padded = qdense3.shape
+    grid = (f_padded // f_tile, n_steps)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((G, b, b), lambda f, j, p, c, sc_: (j, 0, 0)),
+            pl.BlockSpec((1, f_tile), lambda f, j, p, c, sc_: (0, f)),
+            pl.BlockSpec(
+                (nbc, b, f_tile),
+                lambda f, j, p, c, sc_: (0, 0, f),
+                pipeline_mode=(
+                    pl.Buffered(buffer_count=1) if not interpret else None
+                ),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (R * b, f_tile), lambda f, j, p, c, sc_: (p[j], f)
+        ),
+    )
+
+    def kern(p_ref, c_ref, sc_ref, blocks_ref, cs_ref, dense_ref, out_ref):
+        _rowgroup_kernel(
+            p_ref, c_ref, blocks_ref, dense_ref, out_ref,
+            group_half=group_half, R=R, precision=None,
+            scales_ref=sc_ref, cs_ref=cs_ref,
+        )
+
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_groups * R * b, f_padded),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=112 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(step_groups, slot_cols, scales, qblocks,
+      col_scale.reshape(1, -1).astype(jnp.float32), qdense3)
+    return out[:n_rows]
+
+
 def _scratch_kernel(rows_ref, cols_ref, blocks_ref, dense_hbm, out_ref,
                     scratch, sem, *, group, ft, precision):
     """Scratch-resident variant: the dense f-slice is DMA'd ONCE per f
@@ -258,29 +447,41 @@ def run_ab(variants: str, repeats: int = 3, smoke: bool = False):
         parts = variant.split("_")
         dt_name, g_name = parts[0], parts[1]
         scratch_mode = len(parts) > 2 and parts[2] == "s"
+        pair_mode = len(parts) > 2 and parts[2].startswith("p")
+        R = int(parts[2][1:]) if pair_mode and len(parts[2]) > 1 else 2
         group = int(g_name[1:])
         t_plan0 = time.time()
         step_rows_h, slot_cols_h, dest_h = pack_indices(rows, cols, group)
         n_slots = slot_cols_h.size
         sr = jnp.asarray(step_rows_h)
         sc = jnp.asarray(slot_cols_h)
-        # pad mask computed HOST-side: a device .at[dest].set scatter of
-        # ~21k (b, b) slices lowered pathologically slowly on the TPU
-        # (stalled the whole RPC queue behind it); generating blocks
-        # directly in padded layout and zeroing pads by mask-multiply
-        # needs no scatter anywhere.
-        real_h = np.zeros((n_slots,), np.float32)
-        real_h[dest_h] = 1.0
-        real = jnp.asarray(real_h)
+        # slot->block map computed HOST-side (a device .at[dest].set
+        # scatter of ~21k (b, b) slices lowered pathologically slowly on
+        # the TPU); block VALUES are generated per BLOCK ID and placed
+        # with a take, so alternative packings of the same structure see
+        # the same matrix (bitwise A/B across layouts).
+        def slot_map(dest, ns):
+            s2b = np.full(ns, nnzb, np.int32)  # pads -> zero block
+            s2b[dest] = np.arange(nnzb, dtype=np.int32)
+            return jnp.asarray(s2b)
+
+        s2b = slot_map(dest_h, n_slots)
+        if pair_mode:
+            (pair_steps_h, pair_cols_h, pair_dest_h,
+             n_pairs) = pack_rowgroups(rows, cols, group, R)
+            sp_pair = jnp.asarray(pair_steps_h)
+            sc_pair = jnp.asarray(pair_cols_h)
+            s2b_pair = slot_map(pair_dest_h, pair_cols_h.size)
         plan_s = time.time() - t_plan0
 
         blocks_dt = {"int8": jnp.float32, "bf16": jnp.bfloat16,
                      "bf16x3": jnp.float32, "f32": jnp.float32}[dt_name]
 
         @jax.jit
-        def build_blocks(real):
-            pad = jax.random.normal(kb, (n_slots, b, b), jnp.float32)
-            pad = pad * real[:, None, None]
+        def build_blocks(s2b):
+            flat = jax.random.normal(kb, (nnzb + 1, b, b), jnp.float32)
+            flat = flat.at[nnzb].set(0.0)
+            pad = jnp.take(flat, s2b, axis=0)
             if dt_name == "int8":
                 absmax = jnp.max(jnp.abs(pad), axis=(1, 2))
                 scales = jnp.where(absmax > 0, absmax / 127.0, 1.0)
@@ -288,10 +489,13 @@ def run_ab(variants: str, repeats: int = 3, smoke: bool = False):
                     jnp.round(pad / scales[:, None, None]), -127, 127
                 ).astype(jnp.int8)
                 return q, scales.astype(jnp.float32)
-            return pad.astype(blocks_dt), jnp.ones((n_slots,), jnp.float32)
+            return pad.astype(blocks_dt), jnp.ones((pad.shape[0],), jnp.float32)
 
-        blocks_dev, scales_dev = build_blocks(real)
+        blocks_dev, scales_dev = build_blocks(s2b)
         float(jnp.sum(scales_dev))
+        if pair_mode:
+            blocks_pair, _ = build_blocks(s2b_pair)
+            float(jnp.sum(jnp.abs(blocks_pair[:1]).astype(jnp.float32)))
 
         precision_name = "high" if dt_name == "bf16x3" else None
         ft_resident = {"int8": 512, "bf16": 256, "bf16x3": 128,
@@ -318,14 +522,23 @@ def run_ab(variants: str, repeats: int = 3, smoke: bool = False):
                     nb, K, ft_gather, group, interp,
                 )
 
-            @jax.jit
-            def _res(sr_, sc_, blocks_, scales_, x):
-                q = jnp.clip(jnp.round(x), -127, 127).astype(jnp.int8)
-                return _pallas_int8_spmm_resident(
-                    sr_, sc_, scales_, blocks_,
-                    q.reshape(nb, b, F), ones_cs,
-                    nb, K, ft_resident, group, interp,
-                )
+            if pair_mode:
+                @jax.jit
+                def _res(sp_, sc_, blocks_, scales_, x):
+                    q = jnp.clip(jnp.round(x), -127, 127).astype(jnp.int8)
+                    return _rowgroup_int8_spmm(
+                        sp_, sc_, scales_, blocks_, q.reshape(nb, b, F),
+                        ones_cs, n_pairs, K, ft_resident, group, R, interp,
+                    )
+            else:
+                @jax.jit
+                def _res(sr_, sc_, blocks_, scales_, x):
+                    q = jnp.clip(jnp.round(x), -127, 127).astype(jnp.int8)
+                    return _pallas_int8_spmm_resident(
+                        sr_, sc_, scales_, blocks_,
+                        q.reshape(nb, b, F), ones_cs,
+                        nb, K, ft_resident, group, interp,
+                    )
 
         else:
             cast = {"bf16": jnp.bfloat16}.get(dt_name)
@@ -338,7 +551,15 @@ def run_ab(variants: str, repeats: int = 3, smoke: bool = False):
                     False, interp, precision_name, 0,
                 )
 
-            if scratch_mode:
+            if pair_mode:
+                @jax.jit
+                def _res(sp_, sc_, blocks_, scales_, x):
+                    xc = x.astype(cast) if cast else x
+                    return _rowgroup_spmm(
+                        sp_, sc_, blocks_, xc.reshape(nb, b, F),
+                        n_pairs, K, ft_resident, group, R, interp,
+                    )
+            elif scratch_mode:
                 @jax.jit
                 def _res(sr_, sc_, blocks_, scales_, x):
                     xc = x.astype(cast) if cast else x
@@ -356,7 +577,14 @@ def run_ab(variants: str, repeats: int = 3, smoke: bool = False):
                     )
 
         apply_gather = functools.partial(_gat, sr, sc, blocks_dev, scales_dev)
-        apply_resident = functools.partial(_res, sr, sc, blocks_dev, scales_dev)
+        if pair_mode:
+            apply_resident = functools.partial(
+                _res, sp_pair, sc_pair, blocks_pair, scales_dev
+            )
+        else:
+            apply_resident = functools.partial(
+                _res, sr, sc, blocks_dev, scales_dev
+            )
 
         # bandwidth SoL models (v5e HBM 819 GB/s). gather: blocks once +
         # per-slot (b, F) tiles + out. resident: blocks x f-passes +
