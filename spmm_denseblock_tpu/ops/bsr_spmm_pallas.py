@@ -279,6 +279,162 @@ def _pallas_spmm_resident(
     return out[:n_rows]
 
 
+def _rowgroup_kernel(groups_ref, cols_ref, blocks_ref, dense_ref, out_ref,
+                     *, group_half, R, precision):
+    """Row-GROUP resident kernel: R block-rows share each grid step,
+    slots statically split into R lanes of group_half each — the step
+    count shrinks ~R-fold at unchanged per-row padding, cutting the
+    ~1.4 us/step grid/scalar residual that bounds the resident kernel
+    once gathers are gone. Measured (resident_probe_r4.jsonl): bf16
+    5.61 (R=1 g32) -> 5.29 (R=2) -> 5.18 ms (R=4), bitwise-exact vs
+    the gather kernel.
+
+    Recorded NEGATIVE: the int8 twin of this schedule (per-slot scales
+    + fused cs on the R-lane layout) returns garbage ON HARDWARE (rel
+    ~24) while interpret mode is exact — same fingerprint as the r3
+    packed-bf16x3 lowering anomaly (padfill_ab_r3.jsonl). int8 stays on
+    the single-row gather kernel; do not re-attempt int8 row-groups
+    without first reproducing the numerics gap in isolation."""
+    b = blocks_ref.shape[1]
+    G = R * group_half
+    j = pl.program_id(1)
+    prev = groups_ref[jnp.maximum(j - 1, 0)]
+
+    @pl.when(jnp.logical_or(j == 0, groups_ref[j] != prev))
+    def _zero():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    def mxu_dot(lhs, rhs):
+        if precision == "bf16x3":
+            return _dot3(lhs, rhs)
+        return jnp.dot(
+            lhs, rhs, preferred_element_type=jnp.float32, precision=precision
+        )
+
+    for lane in range(R):
+        acc = None
+        for g in range(lane * group_half, (lane + 1) * group_half):
+            d = mxu_dot(blocks_ref[g], dense_ref[cols_ref[j * G + g]])
+            acc = d if acc is None else acc + d
+        out_ref[lane * b:(lane + 1) * b, :] += acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_groups", "n_rows", "f_tile", "group_half", "row_group",
+        "interpret", "precision_name",
+    ),
+)
+def _pallas_spmm_rowgroup(
+    step_groups, slot_cols, blocks, dense, n_groups, n_rows, f_tile,
+    group_half, row_group=4, interpret=False, precision_name=None,
+):
+    """Resident row-group schedule; dense: (nbc, b, f_padded)."""
+    n_slots, b, _ = blocks.shape
+    G = row_group * group_half
+    n_steps = n_slots // G
+    nbc, b2, f_padded = dense.shape
+    assert b2 == b and f_padded % f_tile == 0
+    grid = (f_padded // f_tile, n_steps)
+
+    if precision_name == "high":
+        precision = "bf16x3"
+    elif precision_name is not None:
+        precision = getattr(jax.lax.Precision, precision_name.upper())
+    elif blocks.dtype == jnp.float32:
+        precision = jax.lax.Precision.HIGHEST
+    else:
+        precision = jax.lax.Precision.DEFAULT
+
+    n_f = f_padded // f_tile
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((G, b, b), lambda f, j, p, c: (j, 0, 0)),
+            pl.BlockSpec(
+                (nbc, b, f_tile),
+                lambda f, j, p, c: (0, 0, f),
+                pipeline_mode=(
+                    pl.Buffered(buffer_count=1) if not interpret else None
+                ),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (row_group * b, f_tile), lambda f, j, p, c: (p[j], f)
+        ),
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _rowgroup_kernel, group_half=group_half, R=row_group,
+            precision=precision,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_groups * row_group * b, f_padded), jnp.float32
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_slots * b * b * f_padded,
+            bytes_accessed=int(
+                blocks.size * blocks.dtype.itemsize * n_f
+                + dense.size * dense.dtype.itemsize
+                + n_groups * row_group * b * f_padded * 4
+            ),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_RESIDENT_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(step_groups, slot_cols, blocks, dense)
+    return out[:n_rows]
+
+
+def _pack_rowgroups(rows, cols, blocks, group_half: int, R: int):
+    """Row-group packing with block values (plan-time host path; the
+    layout math is shared with the value-free probe packer,
+    scripts/r4_resident_probe_lite.pack_rowgroups). rows must cover
+    every block-row (see _ensure_covering). Returns (step_groups (T,),
+    slot_cols (T*G,), blocks_padded (T*G, b, b), n_groups)."""
+    nnzb, b, _ = blocks.shape
+    order = np.argsort(rows, kind="stable")
+    rows_s = np.asarray(rows)[order]
+    uniq, first = np.unique(rows_s, return_index=True)
+    counts = np.diff(np.append(first, rows_s.size))
+    n_rows_cov = uniq.size
+    pad_rows = (-n_rows_cov) % R
+    counts_p = np.append(counts, np.zeros(pad_rows, counts.dtype))
+    groups = (n_rows_cov + pad_rows) // R
+    per_row_steps = -(-counts_p // group_half)
+    steps_per_group = np.maximum(
+        per_row_steps.reshape(groups, R).max(axis=1), 1
+    )
+    T = int(steps_per_group.sum())
+    G = R * group_half
+    step_base = np.concatenate([[0], np.cumsum(steps_per_group)[:-1]])
+    rank = np.arange(rows_s.size) - np.repeat(first, counts)
+    krank = np.searchsorted(uniq, rows_s)
+    grp = krank // R
+    lane = krank % R
+    dest_s = ((step_base[grp] + rank // group_half) * G
+              + lane * group_half + rank % group_half)
+    dest = np.empty(rows_s.size, np.int64)
+    dest[order] = dest_s
+    blocks_pad = np.zeros((T * G, b, b), np.asarray(blocks).dtype)
+    blocks_pad[dest] = np.asarray(blocks)
+    cols_pad = np.full(T * G, -1, np.int64)
+    cols_pad[dest] = np.asarray(cols)
+    c2 = cols_pad.reshape(T, G)
+    cols_filled = per_buffer_col_fill(c2, c2 >= 0, np.zeros_like(c2))
+    step_groups = np.repeat(
+        np.arange(groups), steps_per_group
+    ).astype(np.int32)
+    return (step_groups, cols_filled.reshape(-1).astype(np.int32),
+            blocks_pad, int(groups))
+
+
 def route_pallas_spmm(
     step_rows, slot_cols, blocks, dense, n_block_rows, n_rows, f_tile,
     group=1, interpret=False, precision_name=None,
@@ -632,25 +788,36 @@ def bsr_spmm_pallas_plan(
     rows_h = np.asarray(covered.block_rows[: covered.nnzb])
     cols_h = np.asarray(covered.block_cols[: covered.nnzb])
     blocks_h = np.asarray(covered.blocks[: covered.nnzb])
+    # bf16 plans whose K fits residency at ft=128 (an F-independent
+    # check) will route the resident kernel, which likes deep groups
+    # AND the row-group schedule; everything else keeps the gather rule
+    # (G=8 cap). fuse_dot/lookahead are gather-only knobs.
+    resident_likely = (
+        resident is not False
+        and not fuse_dot and not lookahead
+        and dtype is not None and jnp.dtype(dtype).itemsize == 2
+        and precision is None
+        and f_tile is None
+        and _resident_f_tile(covered.n_block_cols, b, 128, 2) is not None
+    )
     if group is None:
-        # bf16 plans whose K fits residency at ft=128 will route the
-        # resident kernel, which likes deep groups; everything else
-        # keeps the gather rule (G=8 cap). fuse_dot/lookahead are
-        # gather-only knobs, so they must keep the gather group rule.
-        resident_likely = (
-            resident is not False
-            and not fuse_dot and not lookahead
-            and dtype is not None and jnp.dtype(dtype).itemsize == 2
-            and precision is None
-            and _resident_f_tile(covered.n_block_cols, b, 128, 2) is not None
-        )
         if resident_likely:
             group = _auto_group_pow2(covered.nnzb, np.unique(rows_h).size)
         else:
             group = _auto_group(covered.nnzb, np.unique(rows_h).size)
-    step_rows_h, slot_cols_h, blocks_pad_h = _pack_groups(
-        rows_h, cols_h, blocks_h, group
-    )
+    rowgroup = None
+    if resident_likely:
+        # R=4 rows per step: measured 5.61 (R=1) -> 5.18 ms (R=4) at
+        # the headline shape (resident_probe_r4.jsonl R sweep)
+        R = 4
+        step_rows_h, slot_cols_h, blocks_pad_h, n_groups = _pack_rowgroups(
+            rows_h, cols_h, blocks_h, group, R
+        )
+        rowgroup = (R, n_groups)
+    else:
+        step_rows_h, slot_cols_h, blocks_pad_h = _pack_groups(
+            rows_h, cols_h, blocks_h, group
+        )
     if dtype is not None:
         blocks_pad_h = blocks_pad_h.astype(dtype)
     arrays = (
@@ -662,7 +829,7 @@ def bsr_spmm_pallas_plan(
     statics = (
         covered.n_block_rows, n_rows, n_cols, k_needed,
         f_tile, group, fuse_dot, interpret, dtype_key, precision, lookahead,
-        resident,
+        resident, rowgroup,
     )
     return Plan(arrays, _pallas_apply, statics)
 
@@ -679,13 +846,38 @@ def _pallas_apply(statics, arrays, dense):
     # HLO-constant rule).
     (n_block_rows, n_rows, n_cols, k_needed,
      f_tile, group, fuse_dot, interpret, dtype_key, precision,
-     lookahead, resident) = statics
+     lookahead, resident, rowgroup) = statics
     step_rows, slot_cols, blocks_dev = arrays
     dense = jnp.asarray(dense)
     assert dense.shape[0] == n_cols, (dense.shape, n_cols)
     b = blocks_dev.shape[1]
     nbc = k_needed // b
     itemsize = jnp.dtype(dtype_key or dense.dtype).itemsize
+
+    if rowgroup is not None:
+        # the plan was packed in the row-group layout (resident-only);
+        # feasibility was established F-independently at build time
+        R, n_groups = rowgroup
+        f_padded = round_up(dense.shape[1], 128)
+        rft = _resident_f_tile(nbc, b, f_padded, itemsize)
+        if rft is None:
+            raise ValueError(
+                "row-group resident plan but the dense slice no longer "
+                "fits the VMEM budget (was SDB_RESIDENT_BUDGET_MB "
+                "changed between plan build and apply?)"
+            )
+        pad_r = k_needed - dense.shape[0]
+        pad_c = f_padded - dense.shape[1]
+        if pad_r or pad_c:
+            dense = jnp.pad(dense, ((0, pad_r), (0, pad_c)))
+        if dtype_key is not None:
+            dense = dense.astype(dtype_key)
+        out = _pallas_spmm_rowgroup(
+            step_rows, slot_cols, blocks_dev,
+            dense.reshape(nbc, b, f_padded),
+            n_groups, n_rows, rft, group, R, interpret, precision,
+        )
+        return out[:, : out.shape[1] - pad_c] if pad_c else out
 
     # resident routing is a per-apply-shape decision (shapes are static
     # at trace time): largest f_tile whose (nbc, b, f_tile) slice fits

@@ -92,6 +92,25 @@ def test_resident_int8(case):
     )
 
 
+def test_rowgroup_phantom_rows_and_grad():
+    """Row count not divisible by R=4 (phantom pad rows) + training
+    through the row-group layout."""
+    import jax
+
+    bsr = random_bsr(0.3, 7, 7, block_size=32, seed=9)
+    rng = np.random.default_rng(2)
+    dense = rng.standard_normal((bsr.shape[1], 64)).astype(np.float32)
+    want = spmm_scipy(bsr, dense)
+    out = bsr_spmm_pallas_plan(bsr, grad=False, dtype=jnp.bfloat16)(dense)
+    assert _rel(out, want) < 3e-2
+
+    plan = bsr_spmm_pallas_plan(bsr, grad=True, dtype=jnp.bfloat16)
+    g = jax.grad(lambda x: jnp.sum(plan(x) ** 2))(jnp.asarray(dense))
+    a = bsr.to_scipy()
+    want_g = 2.0 * np.asarray(a.T @ (a @ dense))
+    assert _rel(g, want_g) < 5e-2  # bf16 fwd+bwd grade
+
+
 def test_resident_f_tile_budget():
     # slice fits at the full width
     assert _resident_f_tile(16, 32, 512, 4) == 512
@@ -118,8 +137,10 @@ def test_auto_routes_to_resident_when_fitting(monkeypatch):
     rng = np.random.default_rng(5)
     dense = rng.standard_normal((bsr.shape[1], 80)).astype(np.float32)
     want = spmm_scipy(bsr, dense)
-    calls = {"resident": 0, "gather": 0}
-    orig_res, orig_gat = mod._pallas_spmm_resident, mod._pallas_spmm
+    calls = {"resident": 0, "gather": 0, "rowgroup": 0}
+    orig_res = mod._pallas_spmm_resident
+    orig_gat = mod._pallas_spmm
+    orig_rg = mod._pallas_spmm_rowgroup
 
     def spy_res(*a, **k):
         calls["resident"] += 1
@@ -129,28 +150,40 @@ def test_auto_routes_to_resident_when_fitting(monkeypatch):
         calls["gather"] += 1
         return orig_gat(*a, **k)
 
+    def spy_rg(*a, **k):
+        calls["rowgroup"] += 1
+        return orig_rg(*a, **k)
+
     monkeypatch.setattr(mod, "_pallas_spmm_resident", spy_res)
     monkeypatch.setattr(mod, "_pallas_spmm", spy_gat)
+    monkeypatch.setattr(mod, "_pallas_spmm_rowgroup", spy_rg)
     # auto policy: residency only pays for 2-byte operands (measured —
-    # resident_probe_r4.jsonl), so a bf16 plan routes resident...
+    # resident_probe_r4.jsonl), and bf16 plans pack the ROW-GROUP
+    # resident layout (R=4, the measured best schedule)...
     out = bsr_spmm_pallas_plan(bsr, grad=False, dtype=jnp.bfloat16)(dense)
     assert _rel(out, want) < 3e-2  # bf16 grade
-    assert calls["resident"] == 1 and calls["gather"] == 0
+    assert calls["rowgroup"] == 1 and calls["gather"] == 0
 
     # ...an f32 plan routes gather (4-byte slices lose to the 4x
     # block re-read)...
-    calls["resident"] = 0
     out = bsr_spmm_pallas_plan(bsr, grad=False)(dense)
     assert _rel(out, want) < 1e-4
-    assert calls["resident"] == 0 and calls["gather"] == 1
+    assert calls["gather"] == 1 and calls["resident"] == 0
 
-    # ...and a bf16 plan whose slice cannot fit routes gather too
+    # ...forcing resident=True on f32 uses the single-row resident
+    # kernel...
+    out = bsr_spmm_pallas_plan(bsr, grad=False, resident=True)(dense)
+    assert _rel(out, want) < 1e-4
+    assert calls["resident"] == 1
+
+    # ...and a bf16 plan whose slice cannot fit at BUILD time packs the
+    # standard layout and routes gather
     calls["gather"] = 0
     monkeypatch.setattr(mod, "RESIDENT_SLICE_BYTES", 64)
     narrow = np.ascontiguousarray(dense[:, :48])  # new shape -> fresh trace
     out = bsr_spmm_pallas_plan(bsr, grad=False, dtype=jnp.bfloat16)(narrow)
     assert _rel(out, spmm_scipy(bsr, narrow)) < 3e-2
-    assert calls["resident"] == 0 and calls["gather"] == 1
+    assert calls["gather"] == 1 and calls["rowgroup"] == 1  # unchanged
 
 
 def test_resident_force_impossible_raises():
