@@ -472,6 +472,11 @@ def run_ab(variants: str, repeats: int = 3, smoke: bool = False):
             sp_pair = jnp.asarray(pair_steps_h)
             sc_pair = jnp.asarray(pair_cols_h)
             s2b_pair = slot_map(pair_dest_h, pair_cols_h.size)
+            # NOTE: scales are per-SLOT; the pair layout MUST use its
+            # own (r4 bug: int8_g32_p4's "rel 24 garbage" was this
+            # probe passing the single-row layout's scales to the
+            # row-group kernel — int8_rowgroup_diag_r4.jsonl shows the
+            # kernel itself exact at every (R, gh) tried)
         plan_s = time.time() - t_plan0
 
         blocks_dt = {"int8": jnp.float32, "bf16": jnp.bfloat16,
@@ -494,7 +499,7 @@ def run_ab(variants: str, repeats: int = 3, smoke: bool = False):
         blocks_dev, scales_dev = build_blocks(s2b)
         float(jnp.sum(scales_dev))
         if pair_mode:
-            blocks_pair, _ = build_blocks(s2b_pair)
+            blocks_pair, scales_pair = build_blocks(s2b_pair)
             float(jnp.sum(jnp.abs(blocks_pair[:1]).astype(jnp.float32)))
 
         precision_name = "high" if dt_name == "bf16x3" else None
@@ -579,7 +584,7 @@ def run_ab(variants: str, repeats: int = 3, smoke: bool = False):
         apply_gather = functools.partial(_gat, sr, sc, blocks_dev, scales_dev)
         if pair_mode:
             apply_resident = functools.partial(
-                _res, sp_pair, sc_pair, blocks_pair, scales_dev
+                _res, sp_pair, sc_pair, blocks_pair, scales_pair
             )
         else:
             apply_resident = functools.partial(

@@ -289,12 +289,15 @@ def _rowgroup_kernel(groups_ref, cols_ref, blocks_ref, dense_ref, out_ref,
     5.61 (R=1 g32) -> 5.29 (R=2) -> 5.18 ms (R=4), bitwise-exact vs
     the gather kernel.
 
-    Recorded NEGATIVE: the int8 twin of this schedule (per-slot scales
-    + fused cs on the R-lane layout) returns garbage ON HARDWARE (rel
-    ~24) while interpret mode is exact — same fingerprint as the r3
-    packed-bf16x3 lowering anomaly (padfill_ab_r3.jsonl). int8 stays on
-    the single-row gather kernel; do not re-attempt int8 row-groups
-    without first reproducing the numerics gap in isolation."""
+    CORRECTION (late r4): the int8 twin's "hardware garbage" record
+    (rel ~24, interpret-exact) was NOT a lowering anomaly — the probe
+    passed the single-row layout's per-slot scales to the row-group
+    layout (scales are per-slot; the two layouts assign slots
+    differently). The isolation diag
+    (benchmarks/int8_rowgroup_diag_r4.jsonl) shows the int8 schedule
+    exact at every (R, group_half) tried, and the corrected A/B has it
+    1-2% ahead of gather — int8 now ships this schedule too
+    (bsr_spmm_pallas_int8._rowgroup_int8_kernel)."""
     b = blocks_ref.shape[1]
     G = R * group_half
     j = pl.program_id(1)

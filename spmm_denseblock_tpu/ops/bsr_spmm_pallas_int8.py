@@ -40,6 +40,7 @@ from spmm_denseblock_tpu.ops.bsr_spmm_pallas import (
     _auto_group_pow2,
     _ensure_covering,
     _pack_groups,
+    _pack_rowgroups,
     _resident_f_tile,
 )
 from spmm_denseblock_tpu.ops.bsr_spmm_int8 import quantize_blocks
@@ -119,6 +120,106 @@ def _resident_int8_kernel(rows_ref, cols_ref, scales_ref, blocks_ref,
         ).astype(jnp.float32)
     # fused per-column scale (see _kernel)
     out_ref[:] += acc * cs_ref[0, :]
+
+
+def _rowgroup_int8_kernel(groups_ref, cols_ref, scales_ref, blocks_ref,
+                          cs_ref, dense_ref, out_ref, *, group_half, R):
+    """int8 twin of the row-group resident schedule (_rowgroup_kernel in
+    bsr_spmm_pallas.py): R block-rows share each grid step, slots split
+    statically into R lanes of group_half, per-slot block scales ride
+    SMEM and the per-column operand scale is fused into the accumulate.
+
+    History: round 4 first recorded this schedule as a hardware-numerics
+    NEGATIVE (rel ~24 while interpret-exact). The isolation diag
+    (benchmarks/int8_rowgroup_diag_r4.jsonl) then showed the kernel
+    exact at every (R, group_half) tried — the garbage was the PROBE
+    passing the single-row layout's per-slot scales to the row-group
+    layout (scales are per-slot; layouts assign slots differently).
+    With matching scales the schedule is bitwise-exact on chip and
+    1-2% faster than the gather kernel at the headline shape
+    (resident_probe_r4.jsonl int8_g32_p4 corrected rows)."""
+    b = blocks_ref.shape[1]
+    G = R * group_half
+    j = pl.program_id(1)
+    prev = groups_ref[jnp.maximum(j - 1, 0)]
+
+    @pl.when(jnp.logical_or(j == 0, groups_ref[j] != prev))
+    def _zero():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    for lane in range(R):
+        acc = None
+        for g in range(lane * group_half, (lane + 1) * group_half):
+            d = scales_ref[j * G + g] * jnp.dot(
+                blocks_ref[g], dense_ref[cols_ref[j * G + g]],
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            acc = d if acc is None else acc + d
+        out_ref[lane * b:(lane + 1) * b, :] += acc * cs_ref[0, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_groups", "n_rows", "f_tile", "group_half", "row_group",
+        "interpret",
+    ),
+)
+def _pallas_int8_spmm_rowgroup(
+    step_groups, slot_cols, scales, qblocks, qdense, col_scale,
+    n_groups: int, n_rows: int, f_tile: int, group_half: int,
+    row_group: int = 4, interpret: bool = False,
+):
+    """Row-group resident int8 kernel; qdense: (nbc, b, f_padded) int8."""
+    n_slots, b, _ = qblocks.shape
+    G = row_group * group_half
+    n_steps = n_slots // G
+    nbc, b2, f_padded = qdense.shape
+    assert b2 == b and f_padded % f_tile == 0
+    grid = (f_padded // f_tile, n_steps)
+    n_f = f_padded // f_tile
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((G, b, b), lambda f, j, p, c, s: (j, 0, 0)),
+            pl.BlockSpec((1, f_tile), lambda f, j, p, c, s: (0, f)),
+            pl.BlockSpec(
+                (nbc, b, f_tile),
+                lambda f, j, p, c, s: (0, 0, f),
+                pipeline_mode=(
+                    pl.Buffered(buffer_count=1) if not interpret else None
+                ),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (row_group * b, f_tile), lambda f, j, p, c, s: (p[j], f)
+        ),
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _rowgroup_int8_kernel, group_half=group_half, R=row_group,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_groups * row_group * b, f_padded), jnp.float32
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_slots * b * b * f_padded,
+            bytes_accessed=int(
+                qblocks.size * n_f + qdense.size
+                + n_groups * row_group * b * f_padded * 4
+            ),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_RESIDENT_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(step_groups, slot_cols, scales, qblocks,
+      col_scale.reshape(1, -1).astype(jnp.float32), qdense)
+    return out[:n_rows]
 
 
 @functools.partial(
@@ -322,12 +423,34 @@ def bsr_spmm_pallas_int8_plan(
         # headline occupancy (3.47/3.31/3.20 ms at g8/16/32 —
         # resident_probe_r4.jsonl): use the pow2 rule
         group = _auto_group_pow2(covered.nnzb, np.unique(rows_h).size)
+    # int8 plans whose K fits residency at ft=128 (F-independent) pack
+    # the ROW-GROUP resident layout: measured 1-2% faster than the
+    # gather kernel at the headline shape (corrected int8_g32_p4 /
+    # int8_g16_p4 rows, resident_probe_r4.jsonl) and bitwise-exact —
+    # the round-4 "hardware garbage" record was a probe scales-layout
+    # bug (see _rowgroup_int8_kernel). Single-row residency remains a
+    # recorded NEGATIVE (gather DMAs were already hidden); the win
+    # comes from the R-fold step-count cut on top of residency.
+    rowgroup = None
+    rowgroup_likely = (
+        resident is not False
+        and f_tile is None
+        and _resident_f_tile(covered.n_block_cols, covered.b, 128, 1)
+        is not None
+    )
     # pack f32 blocks, THEN quantize the packed list: pad slots are
     # zero blocks -> q = 0 regardless of scale, so pads contribute
     # exactly nothing and the per-slot scales array lines up with slots
-    step_rows_h, slot_cols_h, blocks_pad_h = _pack_groups(
-        rows_h, cols_h, blocks_h, group
-    )
+    if rowgroup_likely:
+        R = 4
+        step_rows_h, slot_cols_h, blocks_pad_h, n_groups = _pack_rowgroups(
+            rows_h, cols_h, blocks_h, group, R
+        )
+        rowgroup = (R, n_groups)
+    else:
+        step_rows_h, slot_cols_h, blocks_pad_h = _pack_groups(
+            rows_h, cols_h, blocks_h, group
+        )
     qblocks, scales = quantize_blocks(blocks_pad_h)
     br = jnp.asarray(step_rows_h)
     bc = jnp.asarray(slot_cols_h)
@@ -349,7 +472,7 @@ def bsr_spmm_pallas_int8_plan(
         covered.n_block_rows, n_rows, n_cols, k_needed, f_tile, group,
         interpret,
         None if static_scale is None else tuple(float(v) for v in static_scale),
-        resident,
+        resident, rowgroup,
     )
     return Plan(arrays, _int8_pallas_apply, statics)
 
@@ -362,18 +485,49 @@ def _int8_pallas_apply(statics, arrays, dense):
     # plan at the headline shape before this fuse
     # (benchmarks/dist_pallas_probe_r3.jsonl).
     (n_block_rows, n_rows, n_cols, k_needed,
-     f_tile, group, interpret, static_scale, resident) = statics
+     f_tile, group, interpret, static_scale, resident, rowgroup) = statics
     br, bc, qb, sc = arrays
     dense = jnp.asarray(dense, jnp.float32)
     assert dense.shape[0] == n_cols, (dense.shape, n_cols)
     b = qb.shape[1]
     nbc = k_needed // b
 
-    # int8 residency is a measured NEGATIVE at the headline shape (the
-    # kernel is step-bound at ~25-32% of bandwidth SoL, so the gather
-    # DMAs it would remove are already hidden — resident_probe_r4.jsonl)
-    # -> auto (None) routes GATHER; only an explicit resident=True
-    # forces the resident twin.
+    if rowgroup is not None:
+        # plan packed the row-group resident layout (build-time
+        # F-independent fit check); see _rowgroup_int8_kernel
+        R, n_groups = rowgroup
+        f_padded = round_up(dense.shape[1], 128)
+        rft = _resident_f_tile(nbc, b, f_padded, 1)
+        if rft is None:
+            raise ValueError(
+                "int8 row-group resident plan but the dense slice no "
+                "longer fits the VMEM budget (was SDB_RESIDENT_BUDGET_MB "
+                "changed between plan build and apply?)"
+            )
+        pad_r = k_needed - dense.shape[0]
+        pad_c = f_padded - dense.shape[1]
+        if pad_r or pad_c:
+            dense = jnp.pad(dense, ((0, pad_r), (0, pad_c)))
+        if static_scale is not None:
+            cs = np.pad(
+                np.asarray(static_scale, np.float32), (0, pad_c),
+                constant_values=1.0,
+            )
+            qdense, col_scale = _quantize_cols_static(dense, jnp.asarray(cs))
+        else:
+            qdense, col_scale = _quantize_cols(dense)
+        out = _pallas_int8_spmm_rowgroup(
+            br, bc, sc, qb, qdense.reshape(nbc, b, f_padded), col_scale,
+            n_groups, n_rows, rft, group, R, interpret,
+        )
+        return out[:, : out.shape[1] - pad_c] if pad_c else out
+
+    # SINGLE-ROW int8 residency is a measured NEGATIVE at the headline
+    # shape (the kernel is step-bound at ~25-32% of bandwidth SoL, so
+    # the gather DMAs it would remove are already hidden —
+    # resident_probe_r4.jsonl) -> when the row-group layout is
+    # unavailable, auto (None) routes GATHER; only an explicit
+    # resident=True forces the single-row resident twin.
     rft = None
     if resident is True:
         f_padded128 = round_up(dense.shape[1], 128)

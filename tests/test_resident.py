@@ -92,6 +92,58 @@ def test_resident_int8(case):
     )
 
 
+def test_int8_auto_routes_rowgroup(case, monkeypatch):
+    """int8 auto now packs the row-group resident layout when the slice
+    fits (the r4 'hardware garbage' record was a probe scales-layout
+    bug — benchmarks/int8_rowgroup_diag_r4.jsonl); pin the routing by
+    spying the kernel entries, and pin resident=False -> gather."""
+    import importlib
+
+    bsr, dense, want = case
+    mod = importlib.import_module(
+        "spmm_denseblock_tpu.ops.bsr_spmm_pallas_int8"
+    )
+    calls = {"rowgroup": 0, "gather": 0}
+    orig_rg = mod._pallas_int8_spmm_rowgroup
+    orig_gat = mod._pallas_int8_spmm
+
+    def spy_rg(*a, **k):
+        calls["rowgroup"] += 1
+        return orig_rg(*a, **k)
+
+    def spy_gat(*a, **k):
+        calls["gather"] += 1
+        return orig_gat(*a, **k)
+
+    monkeypatch.setattr(mod, "_pallas_int8_spmm_rowgroup", spy_rg)
+    monkeypatch.setattr(mod, "_pallas_int8_spmm", spy_gat)
+    out = bsr_spmm_pallas_int8_plan(bsr)(dense)
+    assert _rel(out, want) < 5e-2
+    assert calls["rowgroup"] == 1 and calls["gather"] == 0
+    # fresh F (no other test uses 88) so the resident=False apply can't
+    # hit _int8_pallas_apply's jit cache and bypass the spy
+    narrow = np.ascontiguousarray(dense[:, :88])
+    out_g = bsr_spmm_pallas_int8_plan(bsr, resident=False)(narrow)
+    assert calls["gather"] == 1
+    out_rg = bsr_spmm_pallas_int8_plan(bsr)(narrow)
+    np.testing.assert_allclose(
+        np.asarray(out_rg), np.asarray(out_g), rtol=0, atol=1e-5
+    )
+
+
+def test_int8_rowgroup_phantom_rows():
+    """Covered-row count not divisible by R=4 (phantom pad rows) on the
+    int8 row-group layout + a chunked int8 plan through it."""
+    bsr = random_bsr(0.3, 7, 7, block_size=32, seed=9)
+    rng = np.random.default_rng(2)
+    dense = rng.standard_normal((bsr.shape[1], 64)).astype(np.float32)
+    want = spmm_scipy(bsr, dense)
+    out = bsr_spmm_pallas_int8_plan(bsr)(dense)
+    assert _rel(out, want) < 5e-2
+    out_c = bsr_spmm_pallas_int8_plan(bsr, chunk_nnzb=7)(dense)
+    assert _rel(out_c, want) < 5e-2
+
+
 def test_rowgroup_phantom_rows_and_grad():
     """Row count not divisible by R=4 (phantom pad rows) + training
     through the row-group layout."""
