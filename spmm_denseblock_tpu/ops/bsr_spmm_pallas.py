@@ -440,7 +440,7 @@ def _pack_rowgroups(rows, cols, blocks, group_half: int, R: int):
 
 def route_pallas_spmm(
     step_rows, slot_cols, blocks, dense, n_block_rows, n_rows, f_tile,
-    group=1, interpret=False, precision_name=None,
+    group=1, interpret=False, precision_name=None, row_group=0,
 ):
     """Gather/resident router on an already-packed layout + 2D local
     dense (K_local, F_local) — the dist stripe functions' entry
@@ -449,9 +449,27 @@ def route_pallas_spmm(
     time per local geometry: resident when the (nbc, b, rft) slice fits
     the VMEM budget (per-shard K is n-fold smaller, so dist hits
     residency even more often than single-chip), else the flat gather
-    kernel."""
+    kernel.
+
+    row_group=R (R > 0) declares the layout was packed in the
+    ROW-GROUP resident form (pack_buckets_pallas rowgroup=R: step_rows
+    holds group ids, slots split into R lanes of `group`) — the plan
+    builder only packs it after an F-independent VMEM fit check, so
+    the resident f_tile must exist here."""
     b = blocks.shape[1]
     K, Fp = dense.shape
+    if row_group:
+        rft = _resident_f_tile(K // b, b, Fp, dense.dtype.itemsize)
+        assert rft is not None, (
+            "row-group dist layout but no resident f_tile fits "
+            f"(K={K} b={b} Fp={Fp})"
+        )
+        n_groups = -(-n_block_rows // row_group)
+        return _pallas_spmm_rowgroup(
+            step_rows, slot_cols, blocks, dense.reshape(K // b, b, Fp),
+            n_groups, n_rows, rft, group, row_group, interpret,
+            precision_name,
+        )
     rft = None
     # same auto policy as _pallas_apply: residency only pays for 2-byte
     # operands (measured, resident_probe_r4.jsonl)

@@ -74,19 +74,36 @@ def _kernel(rows_ref, cols_ref, scales_ref, blocks_ref, cs_ref, *rest, group):
 
 def route_pallas_int8_spmm(
     step_rows, slot_cols, qblocks, scales, qdense, col_scale,
-    n_block_rows, n_rows, f_tile, group=1, interpret=False,
+    n_block_rows, n_rows, f_tile, group=1, interpret=False, row_group=0,
 ):
     """int8 twin of ops.bsr_spmm_pallas.route_pallas_spmm — the dist
     stripe functions' kernel entry.
 
-    Measured negative (benchmarks/resident_probe_r4.jsonl, headline
-    shape): int8 RESIDENT is 3-5% SLOWER than the gather kernel at
-    every group (g8 3.63 vs 3.47 ms, g16 3.48 vs 3.31, g32 3.30 vs
-    3.20) — the int8 kernel runs at only ~25-32% of bandwidth SoL, so
-    its gather DMAs are already fully hidden and residency only adds
-    dynamic-index addressing. This router therefore always takes the
-    gather kernel; the resident twin stays available via the plan's
-    resident=True override."""
+    row_group=R (R > 0): the layout was packed in the row-group
+    resident form (pack_buckets_pallas rowgroup=R) — the measured-best
+    int8 schedule (corrected int8_g32_p4/g16_p4 rows,
+    resident_probe_r4.jsonl; the earlier "hardware garbage" record was
+    a probe scales-layout bug, see _rowgroup_int8_kernel).
+
+    row_group=0: SINGLE-ROW residency is a measured negative for int8
+    (g8 3.63 vs 3.47 ms, g16 3.48 vs 3.31, g32 3.30 vs 3.20 — the
+    kernel runs at ~25-32% of bandwidth SoL, so its gather DMAs are
+    already fully hidden and residency only adds dynamic-index
+    addressing): always the gather kernel."""
+    if row_group:
+        b = qblocks.shape[1]
+        K, Fp = qdense.shape
+        rft = _resident_f_tile(K // b, b, Fp, 1)
+        assert rft is not None, (
+            "int8 row-group dist layout but no resident f_tile fits "
+            f"(K={K} b={b} Fp={Fp})"
+        )
+        n_groups = -(-n_block_rows // row_group)
+        return _pallas_int8_spmm_rowgroup(
+            step_rows, slot_cols, scales, qblocks,
+            qdense.reshape(K // b, b, Fp), col_scale,
+            n_groups, n_rows, rft, group, row_group, interpret,
+        )
     return _pallas_int8_spmm(
         step_rows, slot_cols, qblocks, scales, qdense, col_scale,
         n_block_rows, n_rows, f_tile, group, interpret,

@@ -201,7 +201,8 @@ def bucket_by_col_chunk(sh: ShardedBSR) -> Tuple[np.ndarray, np.ndarray, np.ndar
     return lr, cc, bv
 
 
-def pack_buckets_pallas(lr, cc, bv, n_block_rows, group="auto", deep=False):
+def pack_buckets_pallas(lr, cc, bv, n_block_rows, group="auto", deep=False,
+                        rowgroup=0):
     """Convert bucketed block lists into the flat-Pallas grouped layout.
 
     lr/cc/bv: (..., mb) / (..., mb) / (..., mb, b, b) bucketed block
@@ -224,11 +225,23 @@ def pack_buckets_pallas(lr, cc, bv, n_block_rows, group="auto", deep=False):
     measured monotone-better at deep groups — the resident bf16 local
     kernel and the gather int8 kernel (resident_probe_r4.jsonl); the
     default keeps the gather rule (G=8 cap).
+
+    rowgroup=R (R > 0) packs each bucket in the ROW-GROUP resident
+    layout instead (ops/bsr_spmm_pallas._pack_rowgroups: R covered
+    block-rows share each grid step, slots split into R static lanes of
+    `group` each) — the measured-best schedule for resident bf16 AND
+    int8 local kernels (resident_probe_r4.jsonl R sweep + corrected
+    int8 rows). step_rows then holds GROUP ids; every bucket covers the
+    same n_block_rows so n_groups = ceil(n_block_rows / R) uniformly,
+    and the cross-bucket step padding repeats the last step's group id
+    (no output re-zero) exactly like the single-row form repeats its
+    last row.
     """
     from spmm_denseblock_tpu.ops.bsr_spmm_pallas import (
         _auto_group,
         _auto_group_pow2,
         _pack_groups,
+        _pack_rowgroups,
     )
 
     lr, cc, bv = np.asarray(lr), np.asarray(cc), np.asarray(bv)
@@ -265,19 +278,26 @@ def pack_buckets_pallas(lr, cc, bv, n_block_rows, group="auto", deep=False):
         rule = _auto_group_pow2 if deep else _auto_group
         group = rule(total_real, max(total_rows, 1))
     group = int(group)
-    packed = [_pack_groups(r, c, v, group) for r, c, v in covered]
+    if rowgroup:
+        packed = [
+            _pack_rowgroups(r, c, v, group, rowgroup)[:3]
+            for r, c, v in covered
+        ]
+    else:
+        packed = [_pack_groups(r, c, v, group) for r, c, v in covered]
+    slots = group * (rowgroup if rowgroup else 1)  # slots per grid step
     t_max = max(p[0].shape[0] for p in packed)
     sr = np.zeros((n_lists, t_max), np.int32)
-    sc = np.zeros((n_lists, t_max * group), np.int32)
-    bp = np.zeros((n_lists, t_max * group, b, b), bvf.dtype)
+    sc = np.zeros((n_lists, t_max * slots), np.int32)
+    bp = np.zeros((n_lists, t_max * slots, b, b), bvf.dtype)
     for i, (r, c, v) in enumerate(packed):
         t = r.shape[0]
         sr[i, :t] = r
-        sc[i, : t * group] = c
-        bp[i, : t * group] = v
+        sc[i, : t * slots] = c
+        bp[i, : t * slots] = v
         if t < t_max:
             sr[i, t:] = r[-1]
-            sc[i, t * group :] = np.tile(c[-group:], t_max - t)
+            sc[i, t * slots :] = np.tile(c[-slots:], t_max - t)
         # zero-slot DMA skip, extended to COVERING blocks (not just
         # _pack_groups' group pads): any all-zero slot contributes
         # nothing regardless of its col, so point it at the same
@@ -291,13 +311,13 @@ def pack_buckets_pallas(lr, cc, bv, n_block_rows, group="auto", deep=False):
             per_buffer_col_fill,
         )
 
-        c2 = sc[i].reshape(t_max, group)
-        real = (np.abs(bp[i]).sum(axis=(-1, -2)) != 0).reshape(t_max, group)
+        c2 = sc[i].reshape(t_max, slots)
+        real = (np.abs(bp[i]).sum(axis=(-1, -2)) != 0).reshape(t_max, slots)
         sc[i] = per_buffer_col_fill(c2, real).reshape(-1)
     return (
         sr.reshape(lead + (t_max,)),
-        sc.reshape(lead + (t_max * group,)),
-        bp.reshape(lead + (t_max * group, b, b)),
+        sc.reshape(lead + (t_max * slots,)),
+        bp.reshape(lead + (t_max * slots, b, b)),
         group,
     )
 

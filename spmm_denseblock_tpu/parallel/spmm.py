@@ -134,7 +134,7 @@ def _fused_cs(mesh, feature_axis, int8_mode, local_impl, col_scale,
 @functools.partial(jax.jit, static_argnames="statics")
 def _ag_run(statics, lr, bc, bv, sc, cs, dense):
     (mesh, axis, feature_axis, local_impl, interpret, rows_per, cpc, n, b,
-     n_rows, k_padded, dtype_key, group, precision_name) = statics
+     n_rows, k_padded, dtype_key, group, precision_name, rg) = statics
     b_spec = P(axis, feature_axis)
     int8_mode = dtype_key == "int8"
     col_scale = None
@@ -176,7 +176,7 @@ def _ag_run(statics, lr, bc, bv, sc, cs, dense):
                 return route_pallas_int8_spmm(
                     lr[0], bc[0], bv[0], sc[0], b_full, maybe_cs[0],
                     rows_per, rows_per * b, ft,
-                    group=group, interpret=interpret,
+                    group=group, interpret=interpret, row_group=rg,
                 )
             from spmm_denseblock_tpu.ops.bsr_spmm_pallas import (
                 route_pallas_spmm,
@@ -186,7 +186,7 @@ def _ag_run(statics, lr, bc, bv, sc, cs, dense):
                 lr[0], bc[0], bv[0], b_full,
                 rows_per, rows_per * b, ft,
                 group=group, interpret=interpret,
-                precision_name=precision_name,
+                precision_name=precision_name, row_group=rg,
             )
         b_blocked = b_full.reshape(n * cpc, b, b_full.shape[1])
         out = _local_bsr_spmm(
@@ -213,7 +213,7 @@ def _ag_run(statics, lr, bc, bv, sc, cs, dense):
 def _ring_run(statics, lr, cc, bv, sc, cs, dense):
     (mesh, axis, feature_axis, rows_per, cpc, n, b, n_rows,
      k_padded, dtype_key, local_impl, interpret, group,
-     precision_name) = statics
+     precision_name, rg) = statics
     b_spec = P(axis, feature_axis)
     perm = [(i, (i + 1) % n) for i in range(n)]
     int8_mode = dtype_key == "int8"
@@ -268,7 +268,7 @@ def _ring_run(statics, lr, cc, bv, sc, cs, dense):
                         b_chunk,
                         maybe_cs[0],
                         rows_per, rows_per * b, ft,
-                        group=group, interpret=interpret,
+                        group=group, interpret=interpret, row_group=rg,
                     )
                 else:
                     out = route_pallas_spmm(
@@ -278,7 +278,7 @@ def _ring_run(statics, lr, cc, bv, sc, cs, dense):
                         b_chunk,
                         rows_per, rows_per * b, ft,
                         group=group, interpret=interpret,
-                        precision_name=precision_name,
+                        precision_name=precision_name, row_group=rg,
                     )
                 acc = acc + out
                 b_chunk = jax.lax.ppermute(b_chunk, axis, perm)
@@ -331,7 +331,7 @@ def _ring_run(statics, lr, cc, bv, sc, cs, dense):
 def _halo_run(statics, lr, cc, bv, sc, cs, bp_idx, out_idx, dense):
     (mesh, axis, feature_axis, rows_per, cpc, n, b, n_rows, k_padded,
      halo, dtype_key, local_impl, interpret, group,
-     precision_name) = statics
+     precision_name, rg) = statics
     b_spec = P(axis, feature_axis)
     width = 2 * halo + 1
     int8_mode = dtype_key == "int8"
@@ -388,14 +388,14 @@ def _halo_run(statics, lr, cc, bv, sc, cs, bp_idx, out_idx, dense):
                         lr[h], cc[h], bv[h], sc[h], chunk,
                         maybe_cs[0],
                         rows_per, rows_per * b, ft,
-                        group=group, interpret=interpret,
+                        group=group, interpret=interpret, row_group=rg,
                     )
                 else:
                     out = out + route_pallas_spmm(
                         lr[h], cc[h], bv[h], chunk,
                         rows_per, rows_per * b, ft,
                         group=group, interpret=interpret,
-                        precision_name=precision_name,
+                        precision_name=precision_name, row_group=rg,
                     )
             else:
                 out = out + _local_bsr_spmm(
@@ -632,34 +632,52 @@ def dist_bsr_spmm_plan(
     interpret = jax.default_backend() != "tpu"
     grp = 1  # xla path ignores it
 
+    def rowgroup_R(nbc_local):
+        """R=4 row-group resident layout for the local kernels measured
+        best on it (bf16 AND int8 — resident_probe_r4.jsonl R sweep +
+        corrected int8 rows), gated on the F-independent VMEM fit of
+        the LOCAL dense slice the stripe kernel sees (allgather: full
+        K; ring: one chunk; halo: one stripe). 0 = single-row layout."""
+        if local_impl != "pallas" or precision is not None:
+            return 0
+        if dtype_key not in ("int8", "bfloat16"):
+            return 0
+        from spmm_denseblock_tpu.ops.bsr_spmm_pallas import _resident_f_tile
+
+        itemsize = 1 if int8_mode else 2
+        return 4 if _resident_f_tile(nbc_local, b, 128, itemsize) else 0
+
     if strategy == "allgather":
+        rg = rowgroup_R(n * cpc)
         lr_h, bc_h, bv_h = sh.local_rows, sh.block_cols, sh.blocks
         if local_impl == "pallas":
             lr_h, bc_h, bv_h, grp = pack_buckets_pallas(
                 lr_h, bc_h, bv_h, rows_per, group=group,
-                deep=dtype_key in ("int8", "bfloat16"),
+                deep=dtype_key in ("int8", "bfloat16"), rowgroup=rg,
             )
         lr = jax.device_put(lr_h, stripe)
         bc = jax.device_put(bc_h, stripe)
         bv, sc = put_blocks(bv_h)
         inner = (mesh, axis, feature_axis, local_impl, interpret,
                  rows_per, cpc, n, b, n_rows, k_padded, dtype_key,
-                 grp, precision)
+                 grp, precision, rg)
         return Plan((lr, bc, bv, sc, cs), _dist_bsr_apply,
                     ("allgather", inner, dtype_key))
 
     if strategy == "ring":
+        rg = rowgroup_R(cpc)
         lr_b, cc_b, bv_b = bucket_by_col_chunk(sh)  # (n, n, mb, ...)
         if local_impl == "pallas":
             lr_b, cc_b, bv_b, grp = pack_buckets_pallas(
                 lr_b, cc_b, bv_b, rows_per, group=group,
-                deep=dtype_key in ("int8", "bfloat16"),
+                deep=dtype_key in ("int8", "bfloat16"), rowgroup=rg,
             )
         lr = jax.device_put(lr_b, stripe)
         cc = jax.device_put(cc_b, stripe)
         bv, sc = put_blocks(bv_b)
         inner = (mesh, axis, feature_axis, rows_per, cpc, n, b, n_rows,
-                 k_padded, dtype_key, local_impl, interpret, grp, precision)
+                 k_padded, dtype_key, local_impl, interpret, grp, precision,
+                 rg)
         return Plan((lr, cc, bv, sc, cs), _dist_bsr_apply,
                     ("ring", inner, dtype_key))
 
@@ -675,11 +693,12 @@ def dist_bsr_spmm_plan(
                 dtype=dtype, feature_axis=feature_axis, local_impl=local_impl,
                 calibration=calibration, group=group, precision=precision,
             )  # matrix not banded within the requested halo
+        rg = rowgroup_R(rows_per)
         lr_b, cc_b, bv_b = buckets  # (n, 2h+1, mb, ...)
         if local_impl == "pallas":
             lr_b, cc_b, bv_b, grp = pack_buckets_pallas(
                 lr_b, cc_b, bv_b, rows_per, group=group,
-                deep=dtype_key in ("int8", "bfloat16"),
+                deep=dtype_key in ("int8", "bfloat16"), rowgroup=rg,
             )
         lr = jax.device_put(lr_b, stripe)
         cc = jax.device_put(cc_b, stripe)
@@ -703,7 +722,7 @@ def dist_bsr_spmm_plan(
             oi_d = jnp.asarray(oi.astype(np.int32))
         inner = (mesh, axis, feature_axis, rows_per, cpc, n, b, n_rows,
                  k_padded, halo, dtype_key, local_impl, interpret, grp,
-                 precision)
+                 precision, rg)
         return Plan((lr, cc, bv, sc, cs, bp_d, oi_d), _dist_bsr_apply,
                     ("halo", inner, dtype_key))
 

@@ -410,6 +410,45 @@ def test_dist_bsr_spmm_bf16(mesh, rng, strategy):
 
 
 @pytest.mark.parametrize("strategy", ["allgather", "ring"])
+def test_dist_bsr_spmm_bf16_pallas_rowgroup(mesh, rng, strategy):
+    """bf16 + local_impl='pallas' dist stripes pack the R=4 row-group
+    resident layout (the single-chip best schedule, threaded through
+    pack_buckets_pallas late in round 4) — pin the plan static and the
+    oracle parity. f32 pallas plans must stay on the single-row layout
+    (row-groups are resident-only; f32 residency is a recorded
+    negative)."""
+    import jax.numpy as jnp
+
+    def rg_of(p):
+        # unwrap the LPT-balance _undo_apply wrapper (statics=()) to
+        # reach the strategy plan's (strategy, inner, dtype_key) statics
+        while not p.statics:
+            p = p.arrays[0]
+        return p.statics[1][-1]
+
+    bsr, dense, want = _random_case(rng, b=8, nbr=16, nbc=16, f=16)
+    run = dist_bsr_spmm_plan(
+        bsr, mesh=mesh, strategy=strategy, dtype=jnp.bfloat16,
+        local_impl="pallas",
+    )
+    assert rg_of(run) == 4  # rg static: row-group layout packed
+    got = np.asarray(run(dense))
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 3e-2, rel
+
+    run_i8 = dist_bsr_spmm_plan(
+        bsr, mesh=mesh, strategy=strategy, dtype=jnp.int8,
+        local_impl="pallas",
+    )
+    assert rg_of(run_i8) == 4
+
+    run_f32 = dist_bsr_spmm_plan(
+        bsr, mesh=mesh, strategy=strategy, local_impl="pallas"
+    )
+    assert rg_of(run_f32) == 0
+
+
+@pytest.mark.parametrize("strategy", ["allgather", "ring"])
 def test_dist_bsr_spmm_lpt_balance(mesh, rng, strategy):
     """LPT balancing auto-applies on a hub-skewed matrix (one stripe owns
     nearly all blocks under contiguous partition) and the output comes
