@@ -821,6 +821,7 @@ def bsr_spmm_pallas_plan(
         and f_tile is None
         and _resident_f_tile(covered.n_block_cols, b, 128, 2) is not None
     )
+    group_was_auto = group is None
     if group is None:
         if resident_likely:
             group = _auto_group_pow2(covered.nnzb, np.unique(rows_h).size)
@@ -828,9 +829,16 @@ def bsr_spmm_pallas_plan(
             group = _auto_group(covered.nnzb, np.unique(rows_h).size)
     rowgroup = None
     if resident_likely:
-        # R=4 rows per step: measured 5.61 (R=1) -> 5.18 ms (R=4) at
-        # the headline shape (resident_probe_r4.jsonl R sweep)
-        R = 4
+        # measured R sweep at the headline shape (resident_probe_r4.jsonl):
+        # 5.61 (R=1 g32) -> 5.18 (R=4 g32) -> 5.145 ms (R=8 g16) bf16;
+        # int8 3.32 (R=4 g32) -> 3.24 (R=8 g16). The session-8 (R, gh)
+        # grid puts the optimum at G_tot = R*gh = 128 with the SMALLER
+        # per-row group (gh 16 pads rows at finer granularity; more
+        # lanes amortize the per-step residual) — so auto caps gh at 16
+        # and runs R=8. An explicit group= is honored as gh.
+        R = 8
+        if group_was_auto:
+            group = min(group, 16)
         step_rows_h, slot_cols_h, blocks_pad_h, n_groups = _pack_rowgroups(
             rows_h, cols_h, blocks_h, group, R
         )

@@ -435,6 +435,7 @@ def bsr_spmm_pallas_int8_plan(
     rows_h = np.asarray(covered.block_rows[: covered.nnzb])
     cols_h = np.asarray(covered.block_cols[: covered.nnzb])
     blocks_h = np.asarray(covered.blocks[: covered.nnzb], dtype=np.float32)
+    group_was_auto = group is None
     if group is None:
         # gather int8 measured monotone-better up to G=32 at the
         # headline occupancy (3.47/3.31/3.20 ms at g8/16/32 —
@@ -459,7 +460,12 @@ def bsr_spmm_pallas_int8_plan(
     # zero blocks -> q = 0 regardless of scale, so pads contribute
     # exactly nothing and the per-slot scales array lines up with slots
     if rowgroup_likely:
-        R = 4
+        # (R, gh) grid (session 8, resident_probe_r4.jsonl): optimum at
+        # G_tot = 128 with the smaller per-row group — int8 3.32 (R=4
+        # g32) -> 3.24 ms (R=8 g16), same shape for bf16
+        R = 8
+        if group_was_auto:
+            group = min(group, 16)
         step_rows_h, slot_cols_h, blocks_pad_h, n_groups = _pack_rowgroups(
             rows_h, cols_h, blocks_h, group, R
         )

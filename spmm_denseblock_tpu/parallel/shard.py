@@ -277,6 +277,10 @@ def pack_buckets_pallas(lr, cc, bv, n_block_rows, group="auto", deep=False,
     if group == "auto":
         rule = _auto_group_pow2 if deep else _auto_group
         group = rule(total_real, max(total_rows, 1))
+        if rowgroup:
+            # (R, gh) grid optimum (session 8): G_tot = R*gh = 128 with
+            # the smaller per-row group — gh capped at 16 for R=8
+            group = min(group, 16)
     group = int(group)
     if rowgroup:
         packed = [

@@ -633,11 +633,12 @@ def dist_bsr_spmm_plan(
     grp = 1  # xla path ignores it
 
     def rowgroup_R(nbc_local):
-        """R=4 row-group resident layout for the local kernels measured
-        best on it (bf16 AND int8 — resident_probe_r4.jsonl R sweep +
-        corrected int8 rows), gated on the F-independent VMEM fit of
-        the LOCAL dense slice the stripe kernel sees (allgather: full
-        K; ring: one chunk; halo: one stripe). 0 = single-row layout."""
+        """R=8 row-group resident layout for the local kernels measured
+        best on it (bf16 AND int8 — resident_probe_r4.jsonl (R, gh)
+        grid: optimum at R=8, gh<=16), gated on the F-independent VMEM
+        fit of the LOCAL dense slice the stripe kernel sees (allgather:
+        full K; ring: one chunk; halo: one stripe). 0 = single-row
+        layout."""
         if local_impl != "pallas" or precision is not None:
             return 0
         if dtype_key not in ("int8", "bfloat16"):
@@ -645,7 +646,7 @@ def dist_bsr_spmm_plan(
         from spmm_denseblock_tpu.ops.bsr_spmm_pallas import _resident_f_tile
 
         itemsize = 1 if int8_mode else 2
-        return 4 if _resident_f_tile(nbc_local, b, 128, itemsize) else 0
+        return 8 if _resident_f_tile(nbc_local, b, 128, itemsize) else 0
 
     if strategy == "allgather":
         rg = rowgroup_R(n * cpc)
