@@ -188,17 +188,40 @@ def _resident_budget() -> int:
     return min(RESIDENT_SLICE_BYTES, _RESIDENT_VMEM_LIMIT - 8 * 1024 * 1024)
 
 
-def _resident_f_tile(nbc: int, b: int, f_padded: int, itemsize: int):
+def _resident_f_tile(nbc: int, b: int, f_padded: int, itemsize: int,
+                     overhead_const: int = 0, overhead_per_ft: int = 0):
     """Largest f_tile (multiple of 128, divides f_padded) whose
     (nbc, b, f_tile) dense slice fits the resident VMEM budget; None if
-    even 128 doesn't fit (fall back to the gather kernel)."""
+    even 128 doesn't fit (fall back to the gather kernel).
+
+    overhead_const/overhead_per_ft: other VMEM the same pallas_call
+    holds alongside the slice — the double-buffered block groups
+    (const) and the output tile (scales with f_tile). The row-group
+    schedule at R=16/G=256 keeps 32 MB of bf16 block buffers, so
+    slice-only accounting would let an 80 MB slice blow the Mosaic
+    limit; the combined bound keeps auto-routing compile-safe while
+    the user budget still caps the slice alone."""
     budget = _resident_budget()
+    limit = _RESIDENT_VMEM_LIMIT - 8 * 1024 * 1024
     ft = (f_padded // 128) * 128
     while ft >= 128:
-        if f_padded % ft == 0 and nbc * b * ft * itemsize <= budget:
+        slice_bytes = nbc * b * ft * itemsize
+        if (
+            f_padded % ft == 0
+            and slice_bytes <= budget
+            and slice_bytes + overhead_const + overhead_per_ft * ft <= limit
+        ):
             return ft
         ft -= 128
     return None
+
+
+def _rowgroup_overheads(R: int, gh: int, b: int, itemsize: int):
+    """(overhead_const, overhead_per_ft) for the row-group resident
+    pallas_call: double-buffered (R*gh, b, b) block groups + the
+    (R*b, f_tile) f32 output tile (counted double to stay safe under
+    Mosaic's accounting)."""
+    return 2 * R * gh * b * b * itemsize, 2 * R * b * 4
 
 
 @functools.partial(
@@ -459,7 +482,10 @@ def route_pallas_spmm(
     b = blocks.shape[1]
     K, Fp = dense.shape
     if row_group:
-        rft = _resident_f_tile(K // b, b, Fp, dense.dtype.itemsize)
+        rft = _resident_f_tile(
+            K // b, b, Fp, dense.dtype.itemsize,
+            *_rowgroup_overheads(row_group, group, b, dense.dtype.itemsize),
+        )
         assert rft is not None, (
             "row-group dist layout but no resident f_tile fits "
             f"(K={K} b={b} Fp={Fp})"
@@ -809,19 +835,31 @@ def bsr_spmm_pallas_plan(
     rows_h = np.asarray(covered.block_rows[: covered.nnzb])
     cols_h = np.asarray(covered.block_cols[: covered.nnzb])
     blocks_h = np.asarray(covered.blocks[: covered.nnzb])
-    # bf16 plans whose K fits residency at ft=128 (an F-independent
-    # check) will route the resident kernel, which likes deep groups
-    # AND the row-group schedule; everything else keeps the gather rule
-    # (G=8 cap). fuse_dot/lookahead are gather-only knobs.
+    # bf16 plans whose K fits residency at ft=128 (an F-independent,
+    # overhead-aware check) will route the resident kernel, which likes
+    # deep groups AND the row-group schedule; everything else keeps the
+    # gather rule (G=8 cap). fuse_dot/lookahead are gather-only knobs.
+    #
+    # measured (R, gh) grid at the headline shape (resident_probe_r4.jsonl
+    # sessions 2+8): bf16 5.61 (R=1 g32) -> 5.18 (R=4 g32) -> 5.145
+    # (R=8 g16) -> 5.096 ms (R=16 g16, best; R=32-class G_tot=512
+    # regresses to 5.24 — VMEM pressure). The optimum keeps the SMALLER
+    # per-row group (gh 16 pads rows at finer granularity) with deep
+    # lanes, so auto caps gh at 16 and runs R=16 for bf16. An explicit
+    # group= is honored as gh.
+    R = 16
+    group_was_auto = group is None
+    gh_check = group if group is not None else 16
+    ovh = _rowgroup_overheads(R, gh_check, b, 2)
     resident_likely = (
         resident is not False
         and not fuse_dot and not lookahead
         and dtype is not None and jnp.dtype(dtype).itemsize == 2
         and precision is None
         and f_tile is None
-        and _resident_f_tile(covered.n_block_cols, b, 128, 2) is not None
+        and _resident_f_tile(covered.n_block_cols, b, 128, 2, *ovh)
+        is not None
     )
-    group_was_auto = group is None
     if group is None:
         if resident_likely:
             group = _auto_group_pow2(covered.nnzb, np.unique(rows_h).size)
@@ -829,14 +867,6 @@ def bsr_spmm_pallas_plan(
             group = _auto_group(covered.nnzb, np.unique(rows_h).size)
     rowgroup = None
     if resident_likely:
-        # measured R sweep at the headline shape (resident_probe_r4.jsonl):
-        # 5.61 (R=1 g32) -> 5.18 (R=4 g32) -> 5.145 ms (R=8 g16) bf16;
-        # int8 3.32 (R=4 g32) -> 3.24 (R=8 g16). The session-8 (R, gh)
-        # grid puts the optimum at G_tot = R*gh = 128 with the SMALLER
-        # per-row group (gh 16 pads rows at finer granularity; more
-        # lanes amortize the per-step residual) — so auto caps gh at 16
-        # and runs R=8. An explicit group= is honored as gh.
-        R = 8
         if group_was_auto:
             group = min(group, 16)
         step_rows_h, slot_cols_h, blocks_pad_h, n_groups = _pack_rowgroups(
@@ -886,9 +916,13 @@ def _pallas_apply(statics, arrays, dense):
     if rowgroup is not None:
         # the plan was packed in the row-group layout (resident-only);
         # feasibility was established F-independently at build time
+        # with the same overhead accounting
         R, n_groups = rowgroup
         f_padded = round_up(dense.shape[1], 128)
-        rft = _resident_f_tile(nbc, b, f_padded, itemsize)
+        rft = _resident_f_tile(
+            nbc, b, f_padded, itemsize,
+            *_rowgroup_overheads(R, group, b, itemsize),
+        )
         if rft is None:
             raise ValueError(
                 "row-group resident plan but the dense slice no longer "

@@ -42,6 +42,7 @@ from spmm_denseblock_tpu.ops.bsr_spmm_pallas import (
     _pack_groups,
     _pack_rowgroups,
     _resident_f_tile,
+    _rowgroup_overheads,
 )
 from spmm_denseblock_tpu.ops.bsr_spmm_int8 import quantize_blocks
 
@@ -93,7 +94,9 @@ def route_pallas_int8_spmm(
     if row_group:
         b = qblocks.shape[1]
         K, Fp = qdense.shape
-        rft = _resident_f_tile(K // b, b, Fp, 1)
+        rft = _resident_f_tile(
+            K // b, b, Fp, 1, *_rowgroup_overheads(row_group, group, b, 1)
+        )
         assert rft is not None, (
             "int8 row-group dist layout but no resident f_tile fits "
             f"(K={K} b={b} Fp={Fp})"
@@ -449,21 +452,23 @@ def bsr_spmm_pallas_int8_plan(
     # bug (see _rowgroup_int8_kernel). Single-row residency remains a
     # recorded NEGATIVE (gather DMAs were already hidden); the win
     # comes from the R-fold step-count cut on top of residency.
+    # (R, gh) grid (session 8, resident_probe_r4.jsonl): int8 optimum
+    # at G_tot = 128 — 3.338 (g8/R4) / 3.238 (g16/R8, best) / 3.293
+    # (g16/R16) / 3.390 (g8/R16). bf16 prefers R=16; int8 ships R=8.
+    R = 8
+    gh_check = 16 if group_was_auto else group  # auto caps gh at 16
+    ovh = _rowgroup_overheads(R, gh_check, covered.b, 1)
     rowgroup = None
     rowgroup_likely = (
         resident is not False
         and f_tile is None
-        and _resident_f_tile(covered.n_block_cols, covered.b, 128, 1)
+        and _resident_f_tile(covered.n_block_cols, covered.b, 128, 1, *ovh)
         is not None
     )
     # pack f32 blocks, THEN quantize the packed list: pad slots are
     # zero blocks -> q = 0 regardless of scale, so pads contribute
     # exactly nothing and the per-slot scales array lines up with slots
     if rowgroup_likely:
-        # (R, gh) grid (session 8, resident_probe_r4.jsonl): optimum at
-        # G_tot = 128 with the smaller per-row group — int8 3.32 (R=4
-        # g32) -> 3.24 ms (R=8 g16), same shape for bf16
-        R = 8
         if group_was_auto:
             group = min(group, 16)
         step_rows_h, slot_cols_h, blocks_pad_h, n_groups = _pack_rowgroups(
@@ -520,7 +525,9 @@ def _int8_pallas_apply(statics, arrays, dense):
         # F-independent fit check); see _rowgroup_int8_kernel
         R, n_groups = rowgroup
         f_padded = round_up(dense.shape[1], 128)
-        rft = _resident_f_tile(nbc, b, f_padded, 1)
+        rft = _resident_f_tile(
+            nbc, b, f_padded, 1, *_rowgroup_overheads(R, group, b, 1)
+        )
         if rft is None:
             raise ValueError(
                 "int8 row-group resident plan but the dense slice no "

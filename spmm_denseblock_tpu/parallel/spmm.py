@@ -633,20 +633,26 @@ def dist_bsr_spmm_plan(
     grp = 1  # xla path ignores it
 
     def rowgroup_R(nbc_local):
-        """R=8 row-group resident layout for the local kernels measured
-        best on it (bf16 AND int8 — resident_probe_r4.jsonl (R, gh)
-        grid: optimum at R=8, gh<=16), gated on the F-independent VMEM
-        fit of the LOCAL dense slice the stripe kernel sees (allgather:
-        full K; ring: one chunk; halo: one stripe). 0 = single-row
-        layout."""
+        """Row-group resident layout for the local kernels measured best
+        on it — R=16 for bf16, R=8 for int8 (resident_probe_r4.jsonl
+        (R, gh) grid, optimum gh<=16) — gated on the F-independent,
+        overhead-aware VMEM fit of the LOCAL dense slice the stripe
+        kernel sees (allgather: full K; ring: one chunk; halo: one
+        stripe). 0 = single-row layout."""
         if local_impl != "pallas" or precision is not None:
             return 0
         if dtype_key not in ("int8", "bfloat16"):
             return 0
-        from spmm_denseblock_tpu.ops.bsr_spmm_pallas import _resident_f_tile
+        from spmm_denseblock_tpu.ops.bsr_spmm_pallas import (
+            _resident_f_tile,
+            _rowgroup_overheads,
+        )
 
         itemsize = 1 if int8_mode else 2
-        return 8 if _resident_f_tile(nbc_local, b, 128, itemsize) else 0
+        R = 8 if int8_mode else 16
+        gh = 16 if group == "auto" else int(group)
+        ovh = _rowgroup_overheads(R, gh, b, itemsize)
+        return R if _resident_f_tile(nbc_local, b, 128, itemsize, *ovh) else 0
 
     if strategy == "allgather":
         rg = rowgroup_R(n * cpc)

@@ -431,7 +431,7 @@ def test_dist_bsr_spmm_bf16_pallas_rowgroup(mesh, rng, strategy):
         bsr, mesh=mesh, strategy=strategy, dtype=jnp.bfloat16,
         local_impl="pallas",
     )
-    assert rg_of(run) == 8  # rg static: row-group layout packed
+    assert rg_of(run) == 16  # rg static: row-group layout packed (bf16 R)
     got = np.asarray(run(dense))
     rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
     assert rel < 3e-2, rel
