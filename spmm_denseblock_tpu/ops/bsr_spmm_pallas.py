@@ -224,6 +224,24 @@ def _rowgroup_overheads(R: int, gh: int, b: int, itemsize: int):
     return 2 * R * gh * b * b * itemsize, 2 * R * b * 4
 
 
+_ROWGROUP_GH_CAP = 16
+
+
+def _rowgroup_policy(itemsize: int, group=None):
+    """Measured (R, gh) optimum for the row-group resident schedule
+    (resident_probe_r4.jsonl sessions 2+8): keep the per-row group
+    SMALL (gh <= 16 — finer pad granularity) and go deep in lanes,
+    with the depth optimum dtype-specific — R = 16 for 2-byte
+    operands (bf16 5.257 R=4 -> 5.145 R=8 -> 5.096 ms R=16; R=32
+    regresses on VMEM pressure), R = 8 for int8 (3.338 R=4 -> 3.238
+    R=8 -> 3.293 R=16). Returns (R, gh) honoring an explicit group as
+    gh. ONE helper so the bf16 plan, the int8 plan, and the dist
+    bucket packer cannot drift apart on a retune."""
+    R = 8 if itemsize == 1 else 16
+    gh = _ROWGROUP_GH_CAP if group in (None, "auto") else int(group)
+    return R, gh
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -486,10 +504,13 @@ def route_pallas_spmm(
             K // b, b, Fp, dense.dtype.itemsize,
             *_rowgroup_overheads(row_group, group, b, dense.dtype.itemsize),
         )
-        assert rft is not None, (
-            "row-group dist layout but no resident f_tile fits "
-            f"(K={K} b={b} Fp={Fp})"
-        )
+        if rft is None:
+            raise ValueError(
+                "row-group dist layout but no resident f_tile fits "
+                f"(K={K} b={b} Fp={Fp} R={row_group} gh={group}) — the "
+                "plan builder's fit check and this route disagree (was "
+                "SDB_RESIDENT_BUDGET_MB changed after plan build?)"
+            )
         n_groups = -(-n_block_rows // row_group)
         return _pallas_spmm_rowgroup(
             step_rows, slot_cols, blocks, dense.reshape(K // b, b, Fp),
@@ -840,16 +861,9 @@ def bsr_spmm_pallas_plan(
     # deep groups AND the row-group schedule; everything else keeps the
     # gather rule (G=8 cap). fuse_dot/lookahead are gather-only knobs.
     #
-    # measured (R, gh) grid at the headline shape (resident_probe_r4.jsonl
-    # sessions 2+8): bf16 5.61 (R=1 g32) -> 5.18 (R=4 g32) -> 5.145
-    # (R=8 g16) -> 5.096 ms (R=16 g16, best; R=32-class G_tot=512
-    # regresses to 5.24 — VMEM pressure). The optimum keeps the SMALLER
-    # per-row group (gh 16 pads rows at finer granularity) with deep
-    # lanes, so auto caps gh at 16 and runs R=16 for bf16. An explicit
-    # group= is honored as gh.
-    R = 16
+    # (R, gh) choice and rationale: _rowgroup_policy
     group_was_auto = group is None
-    gh_check = group if group is not None else 16
+    R, gh_check = _rowgroup_policy(2, group)
     ovh = _rowgroup_overheads(R, gh_check, b, 2)
     resident_likely = (
         resident is not False
@@ -868,7 +882,7 @@ def bsr_spmm_pallas_plan(
     rowgroup = None
     if resident_likely:
         if group_was_auto:
-            group = min(group, 16)
+            group = min(group, _ROWGROUP_GH_CAP)
         step_rows_h, slot_cols_h, blocks_pad_h, n_groups = _pack_rowgroups(
             rows_h, cols_h, blocks_h, group, R
         )

@@ -43,6 +43,8 @@ from spmm_denseblock_tpu.ops.bsr_spmm_pallas import (
     _pack_rowgroups,
     _resident_f_tile,
     _rowgroup_overheads,
+    _rowgroup_policy,
+    _ROWGROUP_GH_CAP,
 )
 from spmm_denseblock_tpu.ops.bsr_spmm_int8 import quantize_blocks
 
@@ -97,10 +99,13 @@ def route_pallas_int8_spmm(
         rft = _resident_f_tile(
             K // b, b, Fp, 1, *_rowgroup_overheads(row_group, group, b, 1)
         )
-        assert rft is not None, (
-            "int8 row-group dist layout but no resident f_tile fits "
-            f"(K={K} b={b} Fp={Fp})"
-        )
+        if rft is None:
+            raise ValueError(
+                "int8 row-group dist layout but no resident f_tile fits "
+                f"(K={K} b={b} Fp={Fp} R={row_group} gh={group}) — the "
+                "plan builder's fit check and this route disagree (was "
+                "SDB_RESIDENT_BUDGET_MB changed after plan build?)"
+            )
         n_groups = -(-n_block_rows // row_group)
         return _pallas_int8_spmm_rowgroup(
             step_rows, slot_cols, scales, qblocks,
@@ -452,11 +457,8 @@ def bsr_spmm_pallas_int8_plan(
     # bug (see _rowgroup_int8_kernel). Single-row residency remains a
     # recorded NEGATIVE (gather DMAs were already hidden); the win
     # comes from the R-fold step-count cut on top of residency.
-    # (R, gh) grid (session 8, resident_probe_r4.jsonl): int8 optimum
-    # at G_tot = 128 — 3.338 (g8/R4) / 3.238 (g16/R8, best) / 3.293
-    # (g16/R16) / 3.390 (g8/R16). bf16 prefers R=16; int8 ships R=8.
-    R = 8
-    gh_check = 16 if group_was_auto else group  # auto caps gh at 16
+    # (R, gh) choice and rationale: _rowgroup_policy (int8 R=8)
+    R, gh_check = _rowgroup_policy(1, None if group_was_auto else group)
     ovh = _rowgroup_overheads(R, gh_check, covered.b, 1)
     rowgroup = None
     rowgroup_likely = (
@@ -470,7 +472,7 @@ def bsr_spmm_pallas_int8_plan(
     # exactly nothing and the per-slot scales array lines up with slots
     if rowgroup_likely:
         if group_was_auto:
-            group = min(group, 16)
+            group = min(group, _ROWGROUP_GH_CAP)
         step_rows_h, slot_cols_h, blocks_pad_h, n_groups = _pack_rowgroups(
             rows_h, cols_h, blocks_h, group, R
         )
@@ -556,8 +558,11 @@ def _int8_pallas_apply(statics, arrays, dense):
     # shape (the kernel is step-bound at ~25-32% of bandwidth SoL, so
     # the gather DMAs it would remove are already hidden —
     # resident_probe_r4.jsonl) -> when the row-group layout is
-    # unavailable, auto (None) routes GATHER; only an explicit
-    # resident=True forces the single-row resident twin.
+    # unavailable (explicit f_tile, or the overhead-aware fit failed at
+    # build), auto (None) routes GATHER; resident=True in that case
+    # forces the single-row resident twin (the only way to reach it —
+    # resident=True WITH a row-group layout runs row-groups, which are
+    # residency plus the step cut).
     rft = None
     if resident is True:
         f_padded128 = round_up(dense.shape[1], 128)

@@ -646,11 +646,11 @@ def dist_bsr_spmm_plan(
         from spmm_denseblock_tpu.ops.bsr_spmm_pallas import (
             _resident_f_tile,
             _rowgroup_overheads,
+            _rowgroup_policy,
         )
 
         itemsize = 1 if int8_mode else 2
-        R = 8 if int8_mode else 16
-        gh = 16 if group == "auto" else int(group)
+        R, gh = _rowgroup_policy(itemsize, group)
         ovh = _rowgroup_overheads(R, gh, b, itemsize)
         return R if _resident_f_tile(nbc_local, b, 128, itemsize, *ovh) else 0
 
@@ -700,7 +700,14 @@ def dist_bsr_spmm_plan(
                 dtype=dtype, feature_axis=feature_axis, local_impl=local_impl,
                 calibration=calibration, group=group, precision=precision,
             )  # matrix not banded within the requested halo
-        rg = rowgroup_R(rows_per)
+        # the local B view the halo kernel sees per offset: with
+        # variable contiguous stripes (boundaries) it is the padded
+        # (rows_per*b) stripe view; with uniform stripes B is sharded
+        # over k_padded, so each chunk holds cpc block-rows (they only
+        # coincide on square grids — gating on rows_per alone would
+        # pack a row-group layout the route's fit re-check then rejects
+        # on non-square matrices)
+        rg = rowgroup_R(rows_per if sh.boundaries is not None else cpc)
         lr_b, cc_b, bv_b = buckets  # (n, 2h+1, mb, ...)
         if local_impl == "pallas":
             lr_b, cc_b, bv_b, grp = pack_buckets_pallas(

@@ -411,7 +411,7 @@ def test_dist_bsr_spmm_bf16(mesh, rng, strategy):
 
 @pytest.mark.parametrize("strategy", ["allgather", "ring"])
 def test_dist_bsr_spmm_bf16_pallas_rowgroup(mesh, rng, strategy):
-    """bf16 + local_impl='pallas' dist stripes pack the R=4 row-group
+    """bf16 + local_impl='pallas' dist stripes pack the row-group
     resident layout (the single-chip best schedule, threaded through
     pack_buckets_pallas late in round 4) — pin the plan static and the
     oracle parity. f32 pallas plans must stay on the single-row layout
