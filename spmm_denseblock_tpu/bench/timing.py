@@ -22,6 +22,11 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
+# Documented relay-day cross-run variance band (round-3/4 chip
+# sessions): ~10%. time_repeats flags any record whose own min-max
+# spread exceeds this fraction of the median.
+_SPREAD_WARN_FRAC = 0.10
+
 _scale = jax.jit(lambda x: x * jnp.float32(1e-2))
 _sum = jax.jit(lambda x: jnp.sum(x))
 # x + eps * sum(y): a true VALUE dependency on y. eps must NOT underflow
@@ -91,12 +96,21 @@ def time_repeats(
     mid = vals[len(vals) // 2] if repeats % 2 else (
         0.5 * (vals[len(vals) // 2 - 1] + vals[len(vals) // 2])
     )
-    return {
+    out = {
         "secs": mid,
         "secs_min": vals[0],
         "secs_max": vals[-1],
         "repeats": repeats,
     }
+    # Self-flagging records (round-4 verdict #8): the documented
+    # relay-day cross-run variance band is ~10%; when a measurement's
+    # own spread exceeds it, stamp the record so an automated reader
+    # does not parse relay degradation as a real effect.
+    spread_frac = (vals[-1] - vals[0]) / max(mid, 1e-12)
+    out["spread_frac"] = round(spread_frac, 4)
+    if spread_frac > _SPREAD_WARN_FRAC:
+        out["spread_warn"] = True
+    return out
 
 
 def time_synced(fn: Callable, x0, iters: int = 8) -> float:

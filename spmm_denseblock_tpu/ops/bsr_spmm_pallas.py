@@ -446,6 +446,13 @@ def _pack_rowgroups(rows, cols, blocks, group_half: int, R: int):
     order = np.argsort(rows, kind="stable")
     rows_s = np.asarray(rows)[order]
     uniq, first = np.unique(rows_s, return_index=True)
+    # Covering contract: output rows land at uniq's RANK, so a gap in
+    # uniq silently row-compresses the result. Fail loudly instead
+    # (callers run _ensure_covering / pack covering buckets first).
+    assert uniq.size and uniq[0] == 0 and uniq[-1] == uniq.size - 1, (
+        "_pack_rowgroups requires a covering rows list "
+        "(every block-row present at least once)"
+    )
     counts = np.diff(np.append(first, rows_s.size))
     n_rows_cov = uniq.size
     pad_rows = (-n_rows_cov) % R

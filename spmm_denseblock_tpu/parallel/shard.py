@@ -279,8 +279,13 @@ def pack_buckets_pallas(lr, cc, bv, n_block_rows, group="auto", deep=False,
         group = rule(total_real, max(total_rows, 1))
         if rowgroup:
             # (R, gh) grid optimum (session 8): G_tot = R*gh = 128 with
-            # the smaller per-row group — gh capped at 16 for R=8
-            group = min(group, 16)
+            # the smaller per-row group — cap shared with the
+            # single-chip policy so a retune there cannot drift
+            from spmm_denseblock_tpu.ops.bsr_spmm_pallas import (
+                _ROWGROUP_GH_CAP,
+            )
+
+            group = min(group, _ROWGROUP_GH_CAP)
     group = int(group)
     if rowgroup:
         packed = [

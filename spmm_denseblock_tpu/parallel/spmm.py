@@ -658,9 +658,16 @@ def dist_bsr_spmm_plan(
         rg = rowgroup_R(n * cpc)
         lr_h, bc_h, bv_h = sh.local_rows, sh.block_cols, sh.blocks
         if local_impl == "pallas":
+            # deep pow2 groups: always for int8; for bf16 only when the
+            # row-group resident layout is active (rg != 0) — the bf16
+            # GATHER kernel the rg==0 path falls back to measured slower
+            # at deep groups (7.18/7.45 ms at g32/g16 vs 7.01 at g8,
+            # resident_probe_r4.jsonl), so it keeps the G=8 rule.
             lr_h, bc_h, bv_h, grp = pack_buckets_pallas(
                 lr_h, bc_h, bv_h, rows_per, group=group,
-                deep=dtype_key in ("int8", "bfloat16"), rowgroup=rg,
+                deep=(dtype_key == "int8"
+                      or (dtype_key == "bfloat16" and bool(rg))),
+                rowgroup=rg,
             )
         lr = jax.device_put(lr_h, stripe)
         bc = jax.device_put(bc_h, stripe)
@@ -677,7 +684,9 @@ def dist_bsr_spmm_plan(
         if local_impl == "pallas":
             lr_b, cc_b, bv_b, grp = pack_buckets_pallas(
                 lr_b, cc_b, bv_b, rows_per, group=group,
-                deep=dtype_key in ("int8", "bfloat16"), rowgroup=rg,
+                deep=(dtype_key == "int8"
+                      or (dtype_key == "bfloat16" and bool(rg))),
+                rowgroup=rg,
             )
         lr = jax.device_put(lr_b, stripe)
         cc = jax.device_put(cc_b, stripe)
@@ -712,7 +721,9 @@ def dist_bsr_spmm_plan(
         if local_impl == "pallas":
             lr_b, cc_b, bv_b, grp = pack_buckets_pallas(
                 lr_b, cc_b, bv_b, rows_per, group=group,
-                deep=dtype_key in ("int8", "bfloat16"), rowgroup=rg,
+                deep=(dtype_key == "int8"
+                      or (dtype_key == "bfloat16" and bool(rg))),
+                rowgroup=rg,
             )
         lr = jax.device_put(lr_b, stripe)
         cc = jax.device_put(cc_b, stripe)
