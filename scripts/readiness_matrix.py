@@ -89,6 +89,10 @@ def main(argv=None):
     ap.add_argument("--dim", type=int, default=256)
     ap.add_argument("--local-impl", default="xla",
                     choices=["xla", "pallas"])
+    ap.add_argument("--plan-budget-s", type=float, default=10.0,
+                    help="plan-build budget gate (round-4 verdict #4: "
+                    "dist plan cost is the analog of the reference's "
+                    "one-text-file restart, load_data.cc:143-165)")
     ap.add_argument("--out", default="/root/repo/benchmarks/readiness_matrix.jsonl")
     args = ap.parse_args(argv)
 
@@ -133,7 +137,9 @@ def main(argv=None):
                               dtype=dt_map[dt_name])
                     if dt_name == "int8":
                         kw["calibration"] = x[:2048]
+                    t_plan0 = time.time()
                     plan = dist_bsr_spmm_plan(bsr, **kw)
+                    plan_s = time.time() - t_plan0
                     got = np.asarray(plan(x), np.float32)[:, :64]
                     rel = float(np.abs(got - want).max() / wscale)
                     ok = rel <= tol[dt_name]
@@ -165,6 +171,9 @@ def main(argv=None):
                     "efficiency": (rate / nd) / (rate1 / nd1),
                     "max_rel_err": rel, "tol": tol[dt_name],
                     "gate_ok": ok,
+                    "plan_s": round(plan_s, 2),
+                    "plan_budget_s": args.plan_budget_s,
+                    "plan_ok": plan_s <= args.plan_budget_s,
                     "ici_model_efficiency": model["efficiency"],
                     "ici_model_t_comp_us": model["t_comp_us"],
                     "ici_model_t_comm_us": model["t_comm_us"],
@@ -176,6 +185,8 @@ def main(argv=None):
                 print(f"[readiness] {strat:9s} {dt_name:4s} n={nd}: "
                       f"{rec['ms']:8.2f} ms retention={rec['retention']:.2f} "
                       f"model_eff={model['efficiency']:.2f} "
+                      f"plan={plan_s:.1f}s"
+                      f"{'' if rec['plan_ok'] else ' OVER-BUDGET'} "
                       f"rel={rel:.1e} {'ok' if ok else 'FAIL'}", flush=True)
                 del plan
     print("[readiness] done", flush=True)

@@ -88,12 +88,45 @@ def balanced_contiguous_boundaries(bsr: BSR, n_shards: int) -> np.ndarray:
     return bounds
 
 
-def shard_bsr(bsr: BSR, n_shards: int, boundaries=None) -> ShardedBSR:
+def block_index_payload(nnzb: int) -> np.ndarray:
+    """(nnzb, 1, 1) int64 stand-in for a block-value array: entry i
+    holds i+1 (0 = zero block). Every layout stage (shard_bsr /
+    bucket_by_col_chunk / bucket_halo / pack_buckets_pallas) only
+    permutes blocks, pads with np.zeros, and detects padding via
+    abs().sum() != 0 — all of which hold for this payload — so the
+    whole shard->bucket->pack pipeline can run on 8-byte tokens instead
+    of b*b*4-byte blocks, and the real values are materialized ONCE at
+    the end (materialize_packed). At the headline dist shape this cuts
+    plan time from 47-89 s to seconds (round-4 verdict #4)."""
+    return (np.arange(nnzb, dtype=np.int64) + 1).reshape(-1, 1, 1)
+
+
+def materialize_packed(idx_payload, blocks) -> np.ndarray:
+    """Expand an index payload that rode through the pack pipeline into
+    real block values with one zero-init + one gather. idx_payload:
+    (..., 1, 1) int64 from block_index_payload; blocks: (nnzb, b, b)."""
+    idx = np.asarray(idx_payload)[..., 0, 0]
+    blocks = np.asarray(blocks)
+    b = blocks.shape[-1]
+    out = np.zeros(idx.shape + (b, b), blocks.dtype)
+    nz = idx > 0
+    out[nz] = blocks[idx[nz] - 1]
+    return out
+
+
+def shard_bsr(
+    bsr: BSR, n_shards: int, boundaries=None, payload=None
+) -> ShardedBSR:
     """Partition into `n_shards` contiguous block-row stripes, pad each
     stripe's block list to the max stripe nnzb. boundaries=None gives
     uniform stripes; an (n_shards+1,) array gives variable contiguous
     stripes (balanced_contiguous_boundaries), each padded to the max
-    stripe height."""
+    stripe height.
+
+    payload: optional (nnzb, pb, pb) array to shard IN PLACE OF the
+    block values (block_index_payload for the fast metadata-only plan
+    path); the returned ShardedBSR.blocks then carries the payload and
+    block_size still reports the true b for geometry."""
     b = bsr.b
     nbr = bsr.n_block_rows
     if boundaries is None:
@@ -107,7 +140,11 @@ def shard_bsr(bsr: BSR, n_shards: int, boundaries=None) -> ShardedBSR:
 
     rows = np.asarray(bsr.block_rows[: bsr.nnzb])
     cols = np.asarray(bsr.block_cols[: bsr.nnzb])
-    blocks = np.asarray(bsr.blocks[: bsr.nnzb])
+    blocks = (
+        np.asarray(bsr.blocks[: bsr.nnzb]) if payload is None
+        else np.asarray(payload)
+    )
+    pb = blocks.shape[-1]  # payload block dim (== b unless index mode)
 
     if boundaries is None:
         owner = rows // rows_per
@@ -138,7 +175,7 @@ def shard_bsr(bsr: BSR, n_shards: int, boundaries=None) -> ShardedBSR:
             slr = np.concatenate([slr, missing])
             sbc = np.concatenate([sbc, np.zeros(missing.size, np.int64)])
             sbv = np.concatenate(
-                [sbv, np.zeros((missing.size, b, b), sbv.dtype)]
+                [sbv, np.zeros((missing.size, pb, pb), sbv.dtype)]
             )
         order = np.argsort(slr, kind="stable")
         shard_lists.append((slr[order], sbc[order], sbv[order]))
@@ -146,7 +183,7 @@ def shard_bsr(bsr: BSR, n_shards: int, boundaries=None) -> ShardedBSR:
     m = max(max(x[0].shape[0] for x in shard_lists), 1)
     lr = np.full((n_shards, m), rows_per - 1, dtype=np.int32)
     bc = np.zeros((n_shards, m), dtype=np.int32)
-    bv = np.zeros((n_shards, m, b, b), dtype=np.asarray(blocks).dtype)
+    bv = np.zeros((n_shards, m, pb, pb), dtype=np.asarray(blocks).dtype)
     for s, (slr, sbc, sbv) in enumerate(shard_lists):
         k = slr.shape[0]
         lr[s, :k] = slr
@@ -174,7 +211,8 @@ def bucket_by_col_chunk(sh: ShardedBSR) -> Tuple[np.ndarray, np.ndarray, np.ndar
     (n_shards, n_chunks, mb, ...); chunk_cols are block-col ids LOCAL to
     the chunk. Padding entries are zero blocks at (last local row, col 0).
     """
-    n, cpc, rows_per, b = sh.n_shards, sh.col_chunk, sh.rows_per_shard, sh.b
+    n, cpc, rows_per = sh.n_shards, sh.col_chunk, sh.rows_per_shard
+    b = sh.blocks.shape[-1]  # payload dim (== sh.b unless index mode)
     chunk_of = np.asarray(sh.block_cols) // cpc  # (n, m)
 
     # count real blocks per (shard, chunk): padding entries in sh are zero
@@ -399,7 +437,8 @@ def bucket_halo(sh: ShardedBSR, halo: int = 1):
     (n_shards, 2*halo+1, mb, ...) — offset index h corresponds to chunk
     (s + h - halo) mod n — or None if any block's column falls outside
     its shard's halo (caller falls back to allgather/ring)."""
-    n, cpc, rows_per, b = sh.n_shards, sh.col_chunk, sh.rows_per_shard, sh.b
+    n, cpc, rows_per = sh.n_shards, sh.col_chunk, sh.rows_per_shard
+    b = sh.blocks.shape[-1]  # payload dim (== sh.b unless index mode)
     width = 2 * halo + 1
     if width >= n:
         return None  # halo covers everything; use allgather

@@ -504,6 +504,19 @@ def dist_bsr_spmm_plan(
     if mesh is None:
         mesh = make_mesh_1d()
 
+    # Metadata-only shard/bucket/pack: every layout stage runs on an
+    # 8-byte index payload instead of the (nnzb, b, b) value array, and
+    # the values are gathered once into the final packed layout
+    # (shard.block_index_payload docstring; round-4 verdict #4 — the
+    # value-array passes were 85% of the 47-89 s dist plan time).
+    from spmm_denseblock_tpu.parallel.shard import (
+        block_index_payload,
+        materialize_packed,
+    )
+
+    _payload = block_index_payload(bsr.nnzb)
+    _blocks_src = np.asarray(bsr.blocks[: bsr.nnzb])
+
     sh_bal, bounds = None, None
     if (
         balance
@@ -526,7 +539,7 @@ def dist_bsr_spmm_plan(
         imb = loads.max() / max(loads.mean(), 1e-9)
         if balance == "contiguous" or imb > 1.25:
             cand = balanced_contiguous_boundaries(bsr, n_dev)
-            sh_c = shard_bsr(bsr, n_dev, boundaries=cand)
+            sh_c = shard_bsr(bsr, n_dev, boundaries=cand, payload=_payload)
             if bucket_halo(sh_c, halo) is not None:
                 sh_bal, bounds, strategy = sh_c, cand, "halo"
 
@@ -542,7 +555,8 @@ def dist_bsr_spmm_plan(
         imbalance = stripe_loads.max() / max(stripe_loads.mean(), 1e-9)
         halo_eligible = (
             strategy in ("auto",)
-            and bucket_halo(shard_bsr(bsr, n_dev), halo) is not None
+            and bucket_halo(shard_bsr(bsr, n_dev, payload=_payload), halo)
+            is not None
         )
         if balance is True or (imbalance > 1.25 and not halo_eligible):
             perm = balanced_block_row_permutation(bsr, n_dev)
@@ -571,7 +585,7 @@ def dist_bsr_spmm_plan(
             return Plan((inner, undo), _undo_apply)
     n = int(mesh.shape[axis])
     b = bsr.b
-    sh = sh_bal if sh_bal is not None else shard_bsr(bsr, n)
+    sh = sh_bal if sh_bal is not None else shard_bsr(bsr, n, payload=_payload)
     if strategy == "auto":
         # halo when the (reordered) matrix is banded enough for O(1)
         # neighbor exchange; else the one-collective allgather
@@ -592,42 +606,54 @@ def dist_bsr_spmm_plan(
             "calibration= only applies to dtype=int8 serving plans; "
             f"got dtype={dtype_key!r}"
         )
-    cast = (
-        (lambda x: x.astype(dtype))
-        if dtype is not None and not int8_mode
-        else (lambda x: x)
-    )
     cs = None
     if int8_mode and calibration is not None:
         from spmm_denseblock_tpu.ops.bsr_spmm_int8 import static_col_scale
 
         cs = jnp.asarray(static_col_scale(calibration))
 
-    def quantized(bv_h):
-        """Per-block int8 + scales for a (..., b, b) host block array
-        (the ops/bsr_spmm_int8.quantize_blocks scheme over the leading
-        dims flattened; zero padding blocks quantize to q=0, s=1)."""
-        from spmm_denseblock_tpu.ops.bsr_spmm_int8 import quantize_blocks
+    def put_blocks(idx_payload):
+        """Takes the PACKED INDEX PAYLOAD (..., 1, 1) from the
+        metadata-only pipeline and materializes device blocks from the
+        source values in one gather. Returns (bv_dev, sc_dev); sc is a
+        per-stripe dummy (leading dims kept, block dims dropped to 1)
+        when not int8 so every strategy shares one shard_map arity and
+        indexing pattern.
 
-        lead = bv_h.shape[:-2]
-        q, s = quantize_blocks(
-            np.asarray(bv_h, np.float32).reshape((-1,) + bv_h.shape[-2:])
-        )
-        return q.reshape(bv_h.shape), s.reshape(lead)
-
-    def put_blocks(bv_h):
-        """Returns (bv_dev, sc_dev); sc is a per-stripe dummy (leading
-        dims kept, block dims dropped to 1) when not int8 so every
-        strategy shares one shard_map arity and indexing pattern."""
-        bv_h = np.asarray(bv_h)
+        int8 mode quantizes the UNPADDED source list once
+        (quantize_blocks scheme) and gathers int8 + per-slot scales
+        through the payload — 4x less gather traffic than
+        materialize-then-quantize, and pad slots get the same (q=0,
+        s=1) the padded-quantize produced. Per-block values are
+        identical either way (quantization is per block)."""
+        idx = np.asarray(idx_payload)[..., 0, 0]
         if int8_mode:
-            q, s = quantized(bv_h)
+            from spmm_denseblock_tpu.ops.bsr_spmm_int8 import (
+                quantize_blocks,
+            )
+
+            q_src, s_src = quantize_blocks(_blocks_src)
+            nz = idx > 0
+            q = np.zeros(idx.shape + (b, b), np.int8)
+            q[nz] = q_src[idx[nz] - 1]
+            s = np.ones(idx.shape, np.float32)
+            s[nz] = s_src[idx[nz] - 1]
             return (jax.device_put(jnp.asarray(q), stripe),
                     jax.device_put(jnp.asarray(s), stripe))
+        # float path: cast the SOURCE list to the plan dtype on host
+        # first (one pass over the unpadded list), then gather — the
+        # packed bf16 array ships half the bytes of gather-then-cast
+        # (device_put rides the tunneled relay on TPU; bytes are the
+        # cost). numpy's ml_dtypes bf16 cast and XLA's convert are both
+        # round-to-nearest-even, so values are identical.
+        src = _blocks_src
+        if dtype is not None:
+            src = src.astype(jnp.dtype(dtype))
+        bv_h = materialize_packed(idx_payload, src)
         sc = jax.device_put(
             jnp.zeros(bv_h.shape[:-3] + (1,), jnp.float32), stripe
         )
-        return jax.device_put(cast(jnp.asarray(bv_h)), stripe), sc
+        return jax.device_put(jnp.asarray(bv_h), stripe), sc
 
     interpret = jax.default_backend() != "tpu"
     grp = 1  # xla path ignores it

@@ -871,3 +871,68 @@ def test_balanced_contiguous_halo_int8(mesh, rng):
     got = np.asarray(run(dense))
     rel = np.linalg.norm(got - want) / np.linalg.norm(want)
     assert 0 < rel < 3e-2, rel
+
+
+def test_index_payload_pipeline_bitwise(rng):
+    """The metadata-only plan path (shard/bucket/pack on an index
+    payload, values gathered once at the end — round-4 verdict #4's
+    plan-time fix) produces BITWISE the layout and values of the
+    value-mode pipeline at every stage."""
+    from spmm_denseblock_tpu.formats.bsr import BSR
+    from spmm_denseblock_tpu.parallel.shard import (
+        block_index_payload,
+        bucket_by_col_chunk,
+        bucket_halo,
+        materialize_packed,
+        pack_buckets_pallas,
+        shard_bsr,
+    )
+
+    bsr = random_bsr(2e-2, 48, 48, block_size=8, seed=3)
+    pay = block_index_payload(bsr.nnzb)
+    blocks = np.asarray(bsr.blocks[: bsr.nnzb])
+    shv = shard_bsr(bsr, 4)
+    shp = shard_bsr(bsr, 4, payload=pay)
+    assert np.array_equal(shv.local_rows, shp.local_rows)
+    assert np.array_equal(shv.block_cols, shp.block_cols)
+    assert np.array_equal(
+        shv.blocks, materialize_packed(shp.blocks, blocks)
+    )
+    for rg in (0, 4):
+        a = pack_buckets_pallas(
+            shv.local_rows, shv.block_cols, shv.blocks,
+            shv.rows_per_shard, group=4, rowgroup=rg,
+        )
+        c = pack_buckets_pallas(
+            shp.local_rows, shp.block_cols, shp.blocks,
+            shp.rows_per_shard, group=4, rowgroup=rg,
+        )
+        assert np.array_equal(a[0], c[0])
+        assert np.array_equal(a[1], c[1])
+        assert np.array_equal(a[2], materialize_packed(c[2], blocks))
+        assert a[3] == c[3]
+    lv = bucket_by_col_chunk(shv)
+    lp = bucket_by_col_chunk(shp)
+    assert np.array_equal(lv[0], lp[0])
+    assert np.array_equal(lv[1], lp[1])
+    assert np.array_equal(lv[2], materialize_packed(lp[2], blocks))
+
+    # halo buckets on a banded fixture agree too (eligibility + layout)
+    n_br, b = 48, 8
+    rows_b = np.repeat(np.arange(n_br), 3)
+    cols_b = np.clip(
+        np.arange(n_br)[:, None] + np.array([-1, 0, 1]), 0, n_br - 1
+    ).reshape(-1)
+    vals = rng.standard_normal((rows_b.size, b, b)).astype(np.float32)
+    band = BSR.from_parts(
+        rows_b.astype(np.int32), cols_b.astype(np.int32), vals,
+        (n_br * b, n_br * b), b,
+    )
+    pay2 = block_index_payload(band.nnzb)
+    blocks2 = np.asarray(band.blocks[: band.nnzb])
+    hv = bucket_halo(shard_bsr(band, 8), 1)
+    hp = bucket_halo(shard_bsr(band, 8, payload=pay2), 1)
+    assert (hv is None) == (hp is None) and hv is not None
+    assert np.array_equal(hv[0], hp[0])
+    assert np.array_equal(hv[1], hp[1])
+    assert np.array_equal(hv[2], materialize_packed(hp[2], blocks2))

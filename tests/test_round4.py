@@ -139,9 +139,16 @@ def test_time_repeats_fields():
     f = jax.jit(lambda x: x * 2.0)
     x = jnp.ones((8, 8))
     t = time_repeats(f, x, repeats=3, iters=2, k=2, square=True)
-    assert set(t) == {"secs", "secs_min", "secs_max", "repeats"}
+    # spread_frac always present; spread_warn only when the record's
+    # own spread exceeds the documented ~10% relay variance band
+    # (round-4 verdict #8: records must self-flag)
+    base = {"secs", "secs_min", "secs_max", "repeats", "spread_frac"}
+    assert base <= set(t) <= base | {"spread_warn"}
     assert t["secs_min"] <= t["secs"] <= t["secs_max"]
     assert t["repeats"] == 3
+    spread = (t["secs_max"] - t["secs_min"]) / t["secs"]
+    if abs(spread - 0.10) > 1e-3:  # away from the boundary
+        assert ("spread_warn" in t) == (spread > 0.10)
 
 
 def test_conformance_fields_per_dtype():
