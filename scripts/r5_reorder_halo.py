@@ -77,9 +77,23 @@ def main():
     from spmm_denseblock_tpu.parallel.spmm import dist_bsr_spmm_plan
     from spmm_denseblock_tpu.reorder.registry import reorder_cached
 
+    done = set()
+    if os.path.exists(OUT):
+        for line in open(OUT):
+            try:
+                r = json.loads(line)
+            except ValueError:
+                continue
+            if r.get("kind") == "reorder_halo_bandwidth":
+                done.add((r["dataset"], r["ordering"]))
+
     for ds in DATASETS:
         csr = load_dataset(ds, scale=1.0, profile="calibrated")
         for ordering in ORDERINGS:
+            if (ds, ordering) in done:
+                print(f"[reorder-halo] skip {ds}/{ordering} (done)",
+                      flush=True)
+                continue
             t0 = time.time()
             if ordering == "original":
                 rcsr = csr

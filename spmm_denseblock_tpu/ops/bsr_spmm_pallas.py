@@ -486,6 +486,218 @@ def _pack_rowgroups(rows, cols, blocks, group_half: int, R: int):
             blocks_pad, int(groups))
 
 
+def _depth_sort_policy(itemsize: int, group=None):
+    """(R, gh, W) for the DEPTH-SORTED row-group schedule (round-5,
+    VERDICT r4 #5): rows are sorted by block count within windows of W
+    consecutive block-rows before grouping, so each group's R lanes
+    have near-equal depth and the per-group max-step padding collapses;
+    gh drops to 8 because sorted groups make fine granularity cheap
+    (the consecutive-grouping optimum was gh=16 only because group-max
+    padding dominated). Measured pad fraction at the headline shape
+    (r5 host analysis): bf16 64.7% -> 30.7% (R=16 gh=8 W=64), int8
+    61.6% -> 28.2% (R=8 gh=8 W=32) — pad slots multiply the dominant
+    blocks-restream HBM term AND the MXU dots. W is VMEM-bounded: the
+    kernel's output tile spans the whole window ((W, b, f_tile) f32,
+    lanes store at dynamic in-window positions), so W*b*f_tile*4 rides
+    in VMEM next to the resident slice."""
+    if itemsize == 1:
+        R, W = 8, 32
+    else:
+        R, W = 16, 64
+    gh = 8 if group in (None, "auto") else int(group)
+    return R, gh, W
+
+
+def _depth_sort_overheads(R: int, gh: int, b: int, itemsize: int, W: int):
+    """(overhead_const, overhead_per_ft) for the depth-sorted row-group
+    pallas_call: double-buffered (R*gh, b, b) block groups + the
+    (W, b, f_tile) f32 window output tile (double-counted, same safety
+    rule as _rowgroup_overheads)."""
+    return 2 * R * gh * b * b * itemsize, 2 * W * b * 4
+
+
+def _pack_rowgroups_sorted(rows, cols, blocks, gh: int, R: int, W: int):
+    """Depth-sorted row-group packing (see _depth_sort_policy).
+
+    rows must cover every block-row. Within each window of W
+    consecutive block-rows, rows are ordered by ascending block count
+    (stable) and grouped R at a time, so a group's steps_g =
+    max_lane ceil(count/gh) tracks each row's own need instead of the
+    worst of R arbitrary neighbors. Output stays window-local: every
+    lane carries its row's ORIGINAL position within the window
+    (pos = row - window*W) and the kernel stores at that dynamic
+    position inside the (W, b, f_tile) window tile — no global
+    unpermute pass.
+
+    Returns (win_ids (T,) int32, pos (T*R,) int32, slot_cols (T*G,)
+    int32, blocks_padded (T*G, b, b), n_windows)."""
+    assert W % R == 0, (W, R)
+    nnzb, b, _ = blocks.shape
+    order0 = np.argsort(rows, kind="stable")
+    rows_s = np.asarray(rows)[order0]
+    uniq, first = np.unique(rows_s, return_index=True)
+    assert uniq.size and uniq[0] == 0 and uniq[-1] == uniq.size - 1, (
+        "_pack_rowgroups_sorted requires a covering rows list"
+    )
+    counts = np.diff(np.append(first, rows_s.size))
+    nbr = uniq.size
+    n_win = -(-nbr // W)
+
+    lane_rows = []  # (n_groups_tot, R) row ids, -1 = absent lane
+    for w in range(n_win):
+        lo, hi = w * W, min((w + 1) * W, nbr)
+        ids = lo + np.argsort(counts[lo:hi], kind="stable")
+        padn = (-ids.size) % R
+        if padn:
+            ids = np.concatenate([ids, np.full(padn, -1, np.int64)])
+        lane_rows.append(ids.reshape(-1, R))
+    lane_rows = np.concatenate(lane_rows)  # (n_groups, R)
+    n_groups = lane_rows.shape[0]
+    cnt_g = np.where(lane_rows >= 0, counts[np.maximum(lane_rows, 0)], 0)
+    steps_per_group = np.maximum(
+        (-(-cnt_g // gh)).max(axis=1), 1
+    ).astype(np.int64)
+    T = int(steps_per_group.sum())
+    G = R * gh
+    win_of_group = lane_rows.max(axis=1) // W
+    pos_g = np.where(
+        lane_rows >= 0, lane_rows - win_of_group[:, None] * W, 0
+    ).astype(np.int32)
+    step_base = np.concatenate([[0], np.cumsum(steps_per_group)[:-1]])
+
+    grp_of_row = np.empty(nbr, np.int64)
+    lane_of_row = np.empty(nbr, np.int64)
+    gi, li = np.nonzero(lane_rows >= 0)
+    grp_of_row[lane_rows[gi, li]] = gi
+    lane_of_row[lane_rows[gi, li]] = li
+
+    rank = np.arange(rows_s.size) - np.repeat(first, counts)
+    g_of = grp_of_row[rows_s]
+    dest_s = (
+        (step_base[g_of] + rank // gh) * G
+        + lane_of_row[rows_s] * gh
+        + rank % gh
+    )
+    dest = np.empty(rows_s.size, np.int64)
+    dest[order0] = dest_s
+    blocks_pad = np.zeros((T * G, b, b), np.asarray(blocks).dtype)
+    blocks_pad[dest] = np.asarray(blocks)
+    cols_pad = np.full(T * G, -1, np.int64)
+    cols_pad[dest] = np.asarray(cols)
+    c2 = cols_pad.reshape(T, G)
+    cols_filled = per_buffer_col_fill(c2, c2 >= 0, np.zeros_like(c2))
+    win_ids = np.repeat(win_of_group, steps_per_group).astype(np.int32)
+    pos = np.repeat(
+        pos_g, steps_per_group, axis=0
+    ).reshape(-1).astype(np.int32)
+    return (win_ids, pos, cols_filled.reshape(-1).astype(np.int32),
+            blocks_pad, n_win)
+
+
+def _rowgroup_sorted_kernel(wins_ref, pos_ref, cols_ref, blocks_ref,
+                            dense_ref, out_ref, *, gh, R, precision):
+    """Depth-sorted row-group kernel: like _rowgroup_kernel, but the
+    output tile spans a WINDOW of W block-rows ((W, b, f_tile), 3D so
+    the dynamic store rides the untiled leading dim) and each lane
+    accumulates into its row's original position within the window —
+    the sort that collapses pad slots never leaves the kernel."""
+    G = R * gh
+    j = pl.program_id(1)
+    prev = wins_ref[jnp.maximum(j - 1, 0)]
+
+    @pl.when(jnp.logical_or(j == 0, wins_ref[j] != prev))
+    def _zero():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    def mxu_dot(lhs, rhs):
+        if precision == "bf16x3":
+            return _dot3(lhs, rhs)
+        return jnp.dot(
+            lhs, rhs, preferred_element_type=jnp.float32, precision=precision
+        )
+
+    for lane in range(R):
+        acc = None
+        for g in range(lane * gh, (lane + 1) * gh):
+            d = mxu_dot(blocks_ref[g], dense_ref[cols_ref[j * G + g]])
+            acc = d if acc is None else acc + d
+        p = pos_ref[j * R + lane]
+        out_ref[p] += acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_windows", "window", "n_rows", "f_tile", "gh", "R",
+        "interpret", "precision_name",
+    ),
+)
+def _pallas_spmm_rowgroup_sorted(
+    win_ids, pos, slot_cols, blocks, dense, n_windows, window, n_rows,
+    f_tile, gh, R, interpret=False, precision_name=None,
+):
+    """Depth-sorted resident row-group schedule; dense: (nbc, b,
+    f_padded)."""
+    n_slots, b, _ = blocks.shape
+    G = R * gh
+    n_steps = n_slots // G
+    nbc, b2, f_padded = dense.shape
+    assert b2 == b and f_padded % f_tile == 0
+    grid = (f_padded // f_tile, n_steps)
+
+    if precision_name == "high":
+        precision = "bf16x3"
+    elif precision_name is not None:
+        precision = getattr(jax.lax.Precision, precision_name.upper())
+    elif blocks.dtype == jnp.float32:
+        precision = jax.lax.Precision.HIGHEST
+    else:
+        precision = jax.lax.Precision.DEFAULT
+
+    n_f = f_padded // f_tile
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((G, b, b), lambda f, j, w, p, c: (j, 0, 0)),
+            pl.BlockSpec(
+                (nbc, b, f_tile),
+                lambda f, j, w, p, c: (0, 0, f),
+                pipeline_mode=(
+                    pl.Buffered(buffer_count=1) if not interpret else None
+                ),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (window, b, f_tile), lambda f, j, w, p, c: (w[j], 0, f)
+        ),
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _rowgroup_sorted_kernel, gh=gh, R=R, precision=precision
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_windows * window, b, f_padded), jnp.float32
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_slots * b * b * f_padded,
+            bytes_accessed=int(
+                blocks.size * blocks.dtype.itemsize * n_f
+                + dense.size * dense.dtype.itemsize
+                + n_windows * window * b * f_padded * 4
+            ),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_RESIDENT_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(win_ids, pos, slot_cols, blocks, dense)
+    return out.reshape(n_windows * window * b, f_padded)[:n_rows]
+
+
 def route_pallas_spmm(
     step_rows, slot_cols, blocks, dense, n_block_rows, n_rows, f_tile,
     group=1, interpret=False, precision_name=None, row_group=0,
@@ -789,6 +1001,7 @@ def bsr_spmm_pallas_plan(
     precision: Optional[str] = None,
     lookahead: int = 0,
     resident: Optional[bool] = None,
+    depth_sort: Optional[bool] = None,
 ):
     """Host layout prep once -> jitted C = f(B).
 
@@ -832,12 +1045,13 @@ def bsr_spmm_pallas_plan(
             bsr, dtype=dtype, f_tile=f_tile, interpret=interpret,
             grad=grad, chunk_nnzb=chunk_nnzb, group=group, fuse_dot=fuse_dot,
             precision=precision, lookahead=lookahead, resident=resident,
+            depth_sort=depth_sort,
         )
     if grad:
         fwd = bsr_spmm_pallas_plan(
             bsr, dtype=dtype, f_tile=f_tile, interpret=interpret,
             grad=False, group=group, fuse_dot=fuse_dot, precision=precision,
-            lookahead=lookahead, resident=resident,
+            lookahead=lookahead, resident=resident, depth_sort=depth_sort,
         )
         bwd = bsr_spmm_pallas_plan(
             bsr.transpose(),
@@ -850,6 +1064,7 @@ def bsr_spmm_pallas_plan(
             precision=precision,
             lookahead=lookahead,
             resident=resident,
+            depth_sort=depth_sort,
         )
         return grad_plan(fwd, bwd)
 
@@ -886,8 +1101,27 @@ def bsr_spmm_pallas_plan(
             group = _auto_group_pow2(covered.nnzb, np.unique(rows_h).size)
         else:
             group = _auto_group(covered.nnzb, np.unique(rows_h).size)
+    # depth_sort=None follows the env default (SDB_DEPTH_SORT, on once
+    # the chip A/B confirms) — the window-sorted row-group schedule
+    # collapses the 64.7% pad-slot overhead to ~31% (see
+    # _depth_sort_policy); it only exists in the resident regime.
+    if depth_sort is None:
+        import os as _os
+
+        depth_sort = _os.environ.get("SDB_DEPTH_SORT", "0") == "1"
     rowgroup = None
-    if resident_likely:
+    pos_h = None
+    if resident_likely and depth_sort:
+        Rs, ghs, W = _depth_sort_policy(
+            2, None if group_was_auto else group
+        )
+        win_ids_h, pos_h, slot_cols_h, blocks_pad_h, n_win = (
+            _pack_rowgroups_sorted(rows_h, cols_h, blocks_h, ghs, Rs, W)
+        )
+        group = ghs
+        step_rows_h = win_ids_h
+        rowgroup = ("sorted", Rs, ghs, W, n_win)
+    elif resident_likely:
         if group_was_auto:
             group = min(group, _ROWGROUP_GH_CAP)
         step_rows_h, slot_cols_h, blocks_pad_h, n_groups = _pack_rowgroups(
@@ -905,6 +1139,8 @@ def bsr_spmm_pallas_plan(
         jnp.asarray(slot_cols_h),
         jnp.asarray(blocks_pad_h),
     )
+    if pos_h is not None:
+        arrays = arrays + (jnp.asarray(pos_h),)
     dtype_key = None if dtype is None else jnp.dtype(dtype).name
     statics = (
         covered.n_block_rows, n_rows, n_cols, k_needed,
@@ -927,12 +1163,41 @@ def _pallas_apply(statics, arrays, dense):
     (n_block_rows, n_rows, n_cols, k_needed,
      f_tile, group, fuse_dot, interpret, dtype_key, precision,
      lookahead, resident, rowgroup) = statics
-    step_rows, slot_cols, blocks_dev = arrays
+    step_rows, slot_cols, blocks_dev = arrays[:3]
     dense = jnp.asarray(dense)
     assert dense.shape[0] == n_cols, (dense.shape, n_cols)
     b = blocks_dev.shape[1]
     nbc = k_needed // b
     itemsize = jnp.dtype(dtype_key or dense.dtype).itemsize
+
+    if rowgroup is not None and rowgroup[0] == "sorted":
+        # depth-sorted row-group resident layout (VERDICT r4 #5):
+        # arrays carry the per-lane window positions as a 4th leaf
+        _, R, gh, W, n_win = rowgroup
+        pos = arrays[3]
+        f_padded = round_up(dense.shape[1], 128)
+        rft = _resident_f_tile(
+            nbc, b, f_padded, itemsize,
+            *_depth_sort_overheads(R, gh, b, itemsize, W),
+        )
+        if rft is None:
+            raise ValueError(
+                "depth-sorted row-group plan but the dense slice no "
+                "longer fits the VMEM budget (was SDB_RESIDENT_BUDGET_MB "
+                "changed between plan build and apply?)"
+            )
+        pad_r = k_needed - dense.shape[0]
+        pad_c = f_padded - dense.shape[1]
+        if pad_r or pad_c:
+            dense = jnp.pad(dense, ((0, pad_r), (0, pad_c)))
+        if dtype_key is not None:
+            dense = dense.astype(dtype_key)
+        out = _pallas_spmm_rowgroup_sorted(
+            step_rows, pos, slot_cols, blocks_dev,
+            dense.reshape(nbc, b, f_padded),
+            n_win, W, n_rows, rft, gh, R, interpret, precision,
+        )
+        return out[:, : out.shape[1] - pad_c] if pad_c else out
 
     if rowgroup is not None:
         # the plan was packed in the row-group layout (resident-only);
@@ -1049,7 +1314,8 @@ def bsr_spmm_pallas(bsr: BSR, dense, **kw) -> jnp.ndarray:
 
 
 def _chunked_plan(bsr, dtype, f_tile, interpret, grad, chunk_nnzb, group=None,
-                  fuse_dot=False, precision=None, lookahead=0, resident=None):
+                  fuse_dot=False, precision=None, lookahead=0, resident=None,
+                  depth_sort=None):
     """Sum of per-chunk kernel launches for nnzb beyond the SMEM prefetch
     capacity. Blocks are row-sorted, so chunks are contiguous row bands
     (a row split across two chunks just contributes partial sums)."""
@@ -1071,6 +1337,7 @@ def _chunked_plan(bsr, dtype, f_tile, interpret, grad, chunk_nnzb, group=None,
                 grad=grad, chunk_nnzb=bsr.nnzb + 1,  # no recursion
                 group=group, fuse_dot=fuse_dot, precision=precision,
                 lookahead=lookahead, resident=resident,
+                depth_sort=depth_sort,
             )
         )
     return sum_plan(plans)
