@@ -38,9 +38,12 @@ from spmm_denseblock_tpu.ops.bsr_spmm_pallas import (
     _resident_budget,
     _auto_group,
     _auto_group_pow2,
+    _depth_sort_overheads,
+    _depth_sort_policy,
     _ensure_covering,
     _pack_groups,
     _pack_rowgroups,
+    _pack_rowgroups_sorted,
     _resident_f_tile,
     _rowgroup_overheads,
     _rowgroup_policy,
@@ -247,6 +250,95 @@ def _pallas_int8_spmm_rowgroup(
     return out[:n_rows]
 
 
+def _sorted_int8_kernel(wins_ref, pos_ref, cols_ref, scales_ref,
+                        blocks_ref, cs_ref, dense_ref, out_ref, *, gh, R):
+    """int8 twin of the depth-sorted row-group kernel
+    (bsr_spmm_pallas._rowgroup_sorted_kernel): the output tile spans a
+    window of W block-rows (3D, dynamic store on the untiled leading
+    dim) and each lane lands at its row's original in-window position;
+    per-slot block scales ride SMEM and the per-column operand scale is
+    fused into the accumulate."""
+    G = R * gh
+    j = pl.program_id(1)
+    prev = wins_ref[jnp.maximum(j - 1, 0)]
+
+    @pl.when(jnp.logical_or(j == 0, wins_ref[j] != prev))
+    def _zero():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    for lane in range(R):
+        acc = None
+        for g in range(lane * gh, (lane + 1) * gh):
+            d = scales_ref[j * G + g] * jnp.dot(
+                blocks_ref[g], dense_ref[cols_ref[j * G + g]],
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            acc = d if acc is None else acc + d
+        p = pos_ref[j * R + lane]
+        out_ref[p] += acc * cs_ref[0, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_windows", "window", "n_rows", "f_tile", "gh", "R", "interpret",
+    ),
+)
+def _pallas_int8_spmm_sorted(
+    win_ids, pos, slot_cols, scales, qblocks, qdense, col_scale,
+    n_windows: int, window: int, n_rows: int, f_tile: int, gh: int,
+    R: int, interpret: bool = False,
+):
+    """Depth-sorted row-group int8 kernel; qdense: (nbc, b, f_padded)."""
+    n_slots, b, _ = qblocks.shape
+    G = R * gh
+    n_steps = n_slots // G
+    nbc, b2, f_padded = qdense.shape
+    assert b2 == b and f_padded % f_tile == 0
+    grid = (f_padded // f_tile, n_steps)
+    n_f = f_padded // f_tile
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((G, b, b), lambda f, j, w, p, c, s: (j, 0, 0)),
+            pl.BlockSpec((1, f_tile), lambda f, j, w, p, c, s: (0, f)),
+            pl.BlockSpec(
+                (nbc, b, f_tile),
+                lambda f, j, w, p, c, s: (0, 0, f),
+                pipeline_mode=(
+                    pl.Buffered(buffer_count=1) if not interpret else None
+                ),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (window, b, f_tile), lambda f, j, w, p, c, s: (w[j], 0, f)
+        ),
+    )
+    out = pl.pallas_call(
+        functools.partial(_sorted_int8_kernel, gh=gh, R=R),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_windows * window, b, f_padded), jnp.float32
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_slots * b * b * f_padded,
+            bytes_accessed=int(
+                qblocks.size * n_f + qdense.size
+                + n_windows * window * b * f_padded * 4
+            ),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_RESIDENT_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(win_ids, pos, slot_cols, scales, qblocks,
+      col_scale.reshape(1, -1).astype(jnp.float32), qdense)
+    return out.reshape(n_windows * window * b, f_padded)[:n_rows]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_block_rows", "n_rows", "f_tile", "group", "interpret"),
@@ -398,6 +490,7 @@ def bsr_spmm_pallas_int8_plan(
     calibration=None,
     group: Optional[int] = None,
     resident: Optional[bool] = None,
+    depth_sort: Optional[bool] = None,
     **_ignored,
 ):
     """Host quantization + layout prep once -> jitted C = f(B).
@@ -470,7 +563,22 @@ def bsr_spmm_pallas_int8_plan(
     # pack f32 blocks, THEN quantize the packed list: pad slots are
     # zero blocks -> q = 0 regardless of scale, so pads contribute
     # exactly nothing and the per-slot scales array lines up with slots
-    if rowgroup_likely:
+    if depth_sort is None:
+        import os as _os
+
+        depth_sort = _os.environ.get("SDB_DEPTH_SORT", "0") == "1"
+    pos_h = None
+    if rowgroup_likely and depth_sort:
+        # depth-sorted twin (see bsr_spmm_pallas._depth_sort_policy):
+        # int8 pad slots drop 61.6% -> 28.2% at (R=8, gh=8, W=32)
+        Rs, ghs, W = _depth_sort_policy(1, None if group_was_auto else group)
+        win_ids_h, pos_h, slot_cols_h, blocks_pad_h, n_win = (
+            _pack_rowgroups_sorted(rows_h, cols_h, blocks_h, ghs, Rs, W)
+        )
+        group = ghs
+        step_rows_h = win_ids_h
+        rowgroup = ("sorted", Rs, ghs, W, n_win)
+    elif rowgroup_likely:
         if group_was_auto:
             group = min(group, _ROWGROUP_GH_CAP)
         step_rows_h, slot_cols_h, blocks_pad_h, n_groups = _pack_rowgroups(
@@ -498,6 +606,8 @@ def bsr_spmm_pallas_int8_plan(
     from spmm_denseblock_tpu.ops.plan import Plan
 
     arrays = (br, bc, qb, sc)
+    if pos_h is not None:
+        arrays = arrays + (jnp.asarray(pos_h),)
     statics = (
         covered.n_block_rows, n_rows, n_cols, k_needed, f_tile, group,
         interpret,
@@ -516,11 +626,44 @@ def _int8_pallas_apply(statics, arrays, dense):
     # (benchmarks/dist_pallas_probe_r3.jsonl).
     (n_block_rows, n_rows, n_cols, k_needed,
      f_tile, group, interpret, static_scale, resident, rowgroup) = statics
-    br, bc, qb, sc = arrays
+    br, bc, qb, sc = arrays[:4]
     dense = jnp.asarray(dense, jnp.float32)
     assert dense.shape[0] == n_cols, (dense.shape, n_cols)
     b = qb.shape[1]
     nbc = k_needed // b
+
+    if rowgroup is not None and rowgroup[0] == "sorted":
+        # depth-sorted row-group layout: per-lane window positions ride
+        # as a 5th array leaf (see _sorted_int8_kernel)
+        _, R, gh, W, n_win = rowgroup
+        pos = arrays[4]
+        f_padded = round_up(dense.shape[1], 128)
+        rft = _resident_f_tile(
+            nbc, b, f_padded, 1, *_depth_sort_overheads(R, gh, b, 1, W)
+        )
+        if rft is None:
+            raise ValueError(
+                "int8 depth-sorted plan but the dense slice no longer "
+                "fits the VMEM budget (was SDB_RESIDENT_BUDGET_MB "
+                "changed between plan build and apply?)"
+            )
+        pad_r = k_needed - dense.shape[0]
+        pad_c = f_padded - dense.shape[1]
+        if pad_r or pad_c:
+            dense = jnp.pad(dense, ((0, pad_r), (0, pad_c)))
+        if static_scale is not None:
+            cs = np.pad(
+                np.asarray(static_scale, np.float32), (0, pad_c),
+                constant_values=1.0,
+            )
+            qdense, col_scale = _quantize_cols_static(dense, jnp.asarray(cs))
+        else:
+            qdense, col_scale = _quantize_cols(dense)
+        out = _pallas_int8_spmm_sorted(
+            br, pos, bc, sc, qb, qdense.reshape(nbc, b, f_padded),
+            col_scale, n_win, W, n_rows, rft, gh, R, interpret,
+        )
+        return out[:, : out.shape[1] - pad_c] if pad_c else out
 
     if rowgroup is not None:
         # plan packed the row-group resident layout (build-time
