@@ -20,7 +20,7 @@ the measured spread of floor=64, 48 becomes the default (169 s → 111 s
 preprocessing for free); otherwise 64 stays and the artifact records
 the serving cost that justifies it.
 
-Appends benchmarks/gorder_floor_r4.jsonl.
+Appends benchmarks/gorder_floor_r5.jsonl (run round 5).
 """
 
 import json
@@ -38,7 +38,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
-OUT = "/root/repo/benchmarks/gorder_floor_r4.jsonl"
+OUT = "/root/repo/benchmarks/gorder_floor_r5.jsonl"  # run in r5 (was written r4, never run)
 
 
 def main():
