@@ -491,20 +491,31 @@ def _depth_sort_policy(itemsize: int, group=None):
     VERDICT r4 #5): rows are sorted by block count within windows of W
     consecutive block-rows before grouping, so each group's R lanes
     have near-equal depth and the per-group max-step padding collapses;
-    gh drops to 8 because sorted groups make fine granularity cheap
-    (the consecutive-grouping optimum was gh=16 only because group-max
-    padding dominated). Measured pad fraction at the headline shape
-    (r5 host analysis): bf16 64.7% -> 30.7% (R=16 gh=8 W=64), int8
-    61.6% -> 28.2% (R=8 gh=8 W=32) — pad slots multiply the dominant
-    blocks-restream HBM term AND the MXU dots. W is VMEM-bounded: the
-    kernel's output tile spans the whole window ((W, b, f_tile) f32,
-    lanes store at dynamic in-window positions), so W*b*f_tile*4 rides
-    in VMEM next to the resident slice."""
+    gh drops because sorted groups make fine granularity cheap (the
+    consecutive-grouping optimum was gh=16 only because group-max
+    padding dominated). Pad slots multiply the dominant blocks-restream
+    HBM term AND the MXU dots. W is VMEM-bounded: the kernel's output
+    tile spans the whole window ((W, b, f_tile) f32, lanes store at
+    dynamic in-window positions), so W*b*f_tile*4 rides in VMEM next
+    to the resident slice.
+
+    Measured on chip at the headline shape
+    (benchmarks/depthsort_ab_r5.jsonl, 3 repeats each):
+      bf16: consec 5.451 ms -> gh8/W64 4.863 -> gh4/W64 4.789 ->
+            **gh4/W128 4.666 ms (74.3 TF/s, +16.8%)**; gh2/W128
+            regresses (4.813 — the 715-step count costs more than the
+            last 5% of pad saves).
+      int8: consec 3.638 -> **gh8/W32 3.546 (97.8 TF/s, +2.6%)**;
+            gh4/{W32,W64} flat at ~3.56. The int8 pad cut
+            (61.6% -> 28.2%) buys far less than bf16's because the
+            kernel runs at only ~30% of its schedule SoL — its bound
+            is not bytes (sol_reconcile_r5.jsonl)."""
     if itemsize == 1:
-        R, W = 8, 32
+        R, gh, W = 8, 8, 32
     else:
-        R, W = 16, 64
-    gh = 8 if group in (None, "auto") else int(group)
+        R, gh, W = 16, 4, 128
+    if group not in (None, "auto"):
+        gh = int(group)
     return R, gh, W
 
 
@@ -1101,14 +1112,15 @@ def bsr_spmm_pallas_plan(
             group = _auto_group_pow2(covered.nnzb, np.unique(rows_h).size)
         else:
             group = _auto_group(covered.nnzb, np.unique(rows_h).size)
-    # depth_sort=None follows the env default (SDB_DEPTH_SORT, on once
-    # the chip A/B confirms) — the window-sorted row-group schedule
-    # collapses the 64.7% pad-slot overhead to ~31% (see
-    # _depth_sort_policy); it only exists in the resident regime.
+    # depth_sort=None follows the env default (SDB_DEPTH_SORT,
+    # DEFAULT ON since the chip A/B: bf16 5.451 -> 4.666 ms (+16.8%),
+    # int8 3.638 -> 3.546 (+2.6%), depthsort_ab_r5.jsonl) — the
+    # window-sorted row-group schedule collapses the 64.7% pad-slot
+    # overhead (see _depth_sort_policy); resident regime only.
     if depth_sort is None:
         import os as _os
 
-        depth_sort = _os.environ.get("SDB_DEPTH_SORT", "0") == "1"
+        depth_sort = _os.environ.get("SDB_DEPTH_SORT", "1") == "1"
     rowgroup = None
     pos_h = None
     if resident_likely and depth_sort:

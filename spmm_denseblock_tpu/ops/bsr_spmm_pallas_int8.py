@@ -566,7 +566,7 @@ def bsr_spmm_pallas_int8_plan(
     if depth_sort is None:
         import os as _os
 
-        depth_sort = _os.environ.get("SDB_DEPTH_SORT", "0") == "1"
+        depth_sort = _os.environ.get("SDB_DEPTH_SORT", "1") == "1"
     pos_h = None
     if rowgroup_likely and depth_sort:
         # depth-sorted twin (see bsr_spmm_pallas._depth_sort_policy):
