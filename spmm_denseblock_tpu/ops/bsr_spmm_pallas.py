@@ -726,9 +726,35 @@ def route_pallas_spmm(
     ROW-GROUP resident form (pack_buckets_pallas rowgroup=R: step_rows
     holds group ids, slots split into R lanes of `group`) — the plan
     builder only packs it after an F-independent VMEM fit check, so
-    the resident f_tile must exist here."""
+    the resident f_tile must exist here.
+
+    row_group=("sorted", R, gh, W) declares the DEPTH-SORTED layout
+    (pack_buckets_pallas sorted_geom=...): step_rows carries
+    [win_ids (T,) | lane positions (T*R,)] concatenated (so dist
+    arities never changed), split back here."""
     b = blocks.shape[1]
     K, Fp = dense.shape
+    if isinstance(row_group, tuple) and row_group and row_group[0] == "sorted":
+        _, R, gh, W = row_group
+        rft = _resident_f_tile(
+            K // b, b, Fp, dense.dtype.itemsize,
+            *_depth_sort_overheads(R, gh, b, dense.dtype.itemsize, W),
+        )
+        if rft is None:
+            raise ValueError(
+                "depth-sorted dist layout but no resident f_tile fits "
+                f"(K={K} b={b} Fp={Fp} R={R} gh={gh} W={W}) — the plan "
+                "builder's fit check and this route disagree (was "
+                "SDB_RESIDENT_BUDGET_MB changed after plan build?)"
+            )
+        T = step_rows.shape[0] // (1 + R)
+        win_ids = step_rows[:T]
+        pos = step_rows[T:]
+        n_win = -(-n_block_rows // W)
+        return _pallas_spmm_rowgroup_sorted(
+            win_ids, pos, slot_cols, blocks, dense.reshape(K // b, b, Fp),
+            n_win, W, n_rows, rft, gh, R, interpret, precision_name,
+        )
     if row_group:
         rft = _resident_f_tile(
             K // b, b, Fp, dense.dtype.itemsize,

@@ -96,6 +96,27 @@ def route_pallas_int8_spmm(
     kernel runs at ~25-32% of bandwidth SoL, so its gather DMAs are
     already fully hidden and residency only adds dynamic-index
     addressing): always the gather kernel."""
+    if isinstance(row_group, tuple) and row_group and row_group[0] == "sorted":
+        # depth-sorted dist layout: step_rows = [win_ids | positions]
+        # concatenated (see bsr_spmm_pallas.route_pallas_spmm)
+        _, R, gh, W = row_group
+        b = qblocks.shape[1]
+        K, Fp = qdense.shape
+        rft = _resident_f_tile(
+            K // b, b, Fp, 1, *_depth_sort_overheads(R, gh, b, 1, W)
+        )
+        if rft is None:
+            raise ValueError(
+                "int8 depth-sorted dist layout but no resident f_tile "
+                f"fits (K={K} b={b} Fp={Fp} R={R} gh={gh} W={W})"
+            )
+        T = step_rows.shape[0] // (1 + R)
+        n_win = -(-n_block_rows // W)
+        return _pallas_int8_spmm_sorted(
+            step_rows[:T], step_rows[T:], slot_cols, scales, qblocks,
+            qdense.reshape(K // b, b, Fp), col_scale,
+            n_win, W, n_rows, rft, gh, R, interpret,
+        )
     if row_group:
         b = qblocks.shape[1]
         K, Fp = qdense.shape

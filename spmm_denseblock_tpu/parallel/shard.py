@@ -240,7 +240,7 @@ def bucket_by_col_chunk(sh: ShardedBSR) -> Tuple[np.ndarray, np.ndarray, np.ndar
 
 
 def pack_buckets_pallas(lr, cc, bv, n_block_rows, group="auto", deep=False,
-                        rowgroup=0):
+                        rowgroup=0, sorted_geom=None):
     """Convert bucketed block lists into the flat-Pallas grouped layout.
 
     lr/cc/bv: (..., mb) / (..., mb) / (..., mb, b, b) bucketed block
@@ -274,6 +274,16 @@ def pack_buckets_pallas(lr, cc, bv, n_block_rows, group="auto", deep=False,
     and the cross-bucket step padding repeats the last step's group id
     (no output re-zero) exactly like the single-row form repeats its
     last row.
+
+    sorted_geom=(R, gh, W) packs the DEPTH-SORTED row-group layout
+    (ops/bsr_spmm_pallas._pack_rowgroups_sorted — the round-5 schedule
+    that collapsed pad slots 64.7% -> 15-30% and bought +16.8% bf16 on
+    chip, depthsort_ab_r5.jsonl). The per-lane window positions ride
+    CONCATENATED into the step array — step_rows becomes
+    [win_ids (T,) | pos (T*R,)] per bucket, so every shard_map arity
+    and in_spec stays unchanged; route_pallas_spmm splits it back.
+    Cross-bucket padding repeats the last window id (no re-zero) and
+    the last step's positions (their slots are zero blocks).
     """
     from spmm_denseblock_tpu.ops.bsr_spmm_pallas import (
         _auto_group,
@@ -324,6 +334,44 @@ def pack_buckets_pallas(lr, cc, bv, n_block_rows, group="auto", deep=False,
             )
 
             group = min(group, _ROWGROUP_GH_CAP)
+    if sorted_geom is not None:
+        from spmm_denseblock_tpu.ops.bsr_spmm_pallas import (
+            _pack_rowgroups_sorted,
+            per_buffer_col_fill,
+        )
+
+        R, gh, W = sorted_geom
+        group = gh
+        slots = R * gh
+        packed_s = [
+            _pack_rowgroups_sorted(r, c, v, gh, R, W)
+            for r, c, v in covered
+        ]
+        t_max = max(p[0].shape[0] for p in packed_s)
+        sr = np.zeros((n_lists, t_max * (1 + R)), np.int32)
+        sc = np.zeros((n_lists, t_max * slots), np.int32)
+        bp = np.zeros((n_lists, t_max * slots, b, b), bvf.dtype)
+        for i, (win, pos, c, v, _n_win) in enumerate(packed_s):
+            t = win.shape[0]
+            sr[i, :t] = win
+            sr[i, t_max : t_max + t * R] = pos
+            sc[i, : t * slots] = c
+            bp[i, : t * slots] = v
+            if t < t_max:
+                sr[i, t:t_max] = win[-1]
+                sr[i, t_max + t * R :] = np.tile(pos[-R:], t_max - t)
+                sc[i, t * slots :] = np.tile(c[-slots:], t_max - t)
+            c2 = sc[i].reshape(t_max, slots)
+            real = (
+                np.abs(bp[i]).sum(axis=(-1, -2)) != 0
+            ).reshape(t_max, slots)
+            sc[i] = per_buffer_col_fill(c2, real).reshape(-1)
+        return (
+            sr.reshape(lead + (t_max * (1 + R),)),
+            sc.reshape(lead + (t_max * slots,)),
+            bp.reshape(lead + (t_max * slots, b, b)),
+            group,
+        )
     group = int(group)
     if rowgroup:
         packed = [

@@ -659,26 +659,45 @@ def dist_bsr_spmm_plan(
     grp = 1  # xla path ignores it
 
     def rowgroup_R(nbc_local):
-        """Row-group resident layout for the local kernels measured best
-        on it — R=16 for bf16, R=8 for int8 (resident_probe_r4.jsonl
-        (R, gh) grid, optimum gh<=16) — gated on the F-independent,
+        """Depth-sorted row-group layout for the local stripe kernels
+        (round 5: the dist deployment of the +16.8% single-chip win,
+        depthsort_ab_r5.jsonl) — gated on the F-independent,
         overhead-aware VMEM fit of the LOCAL dense slice the stripe
         kernel sees (allgather: full K; ring: one chunk; halo: one
-        stripe). 0 = single-row layout."""
+        stripe). Returns ("sorted", R, gh, W) or 0 (= single-row
+        layout); SDB_DEPTH_SORT=0 falls back to the consecutive
+        row-group form (plain R) like the single-chip plans."""
         if local_impl != "pallas" or precision is not None:
             return 0
         if dtype_key not in ("int8", "bfloat16"):
             return 0
+        import os as _os
+
         from spmm_denseblock_tpu.ops.bsr_spmm_pallas import (
+            _depth_sort_overheads,
+            _depth_sort_policy,
             _resident_f_tile,
             _rowgroup_overheads,
             _rowgroup_policy,
         )
 
         itemsize = 1 if int8_mode else 2
+        if _os.environ.get("SDB_DEPTH_SORT", "1") == "1":
+            R, gh, W = _depth_sort_policy(itemsize, group)
+            ovh = _depth_sort_overheads(R, gh, b, itemsize, W)
+            if _resident_f_tile(nbc_local, b, 128, itemsize, *ovh):
+                return ("sorted", R, gh, W)
+            return 0
         R, gh = _rowgroup_policy(itemsize, group)
         ovh = _rowgroup_overheads(R, gh, b, itemsize)
         return R if _resident_f_tile(nbc_local, b, 128, itemsize, *ovh) else 0
+
+
+    def pack_kw(rg):
+        """pack_buckets_pallas layout kwargs for a rowgroup_R result."""
+        if isinstance(rg, tuple):
+            return {"rowgroup": 0, "sorted_geom": rg[1:]}
+        return {"rowgroup": rg}
 
     if strategy == "allgather":
         rg = rowgroup_R(n * cpc)
@@ -693,7 +712,7 @@ def dist_bsr_spmm_plan(
                 lr_h, bc_h, bv_h, rows_per, group=group,
                 deep=(dtype_key == "int8"
                       or (dtype_key == "bfloat16" and bool(rg))),
-                rowgroup=rg,
+                **pack_kw(rg),
             )
         lr = jax.device_put(lr_h, stripe)
         bc = jax.device_put(bc_h, stripe)
@@ -712,7 +731,7 @@ def dist_bsr_spmm_plan(
                 lr_b, cc_b, bv_b, rows_per, group=group,
                 deep=(dtype_key == "int8"
                       or (dtype_key == "bfloat16" and bool(rg))),
-                rowgroup=rg,
+                **pack_kw(rg),
             )
         lr = jax.device_put(lr_b, stripe)
         cc = jax.device_put(cc_b, stripe)
@@ -749,7 +768,7 @@ def dist_bsr_spmm_plan(
                 lr_b, cc_b, bv_b, rows_per, group=group,
                 deep=(dtype_key == "int8"
                       or (dtype_key == "bfloat16" and bool(rg))),
-                rowgroup=rg,
+                **pack_kw(rg),
             )
         lr = jax.device_put(lr_b, stripe)
         cc = jax.device_put(cc_b, stripe)

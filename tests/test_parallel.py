@@ -431,7 +431,8 @@ def test_dist_bsr_spmm_bf16_pallas_rowgroup(mesh, rng, strategy):
         bsr, mesh=mesh, strategy=strategy, dtype=jnp.bfloat16,
         local_impl="pallas",
     )
-    assert rg_of(run) == 16  # rg static: row-group layout packed (bf16 R)
+    # rg static: round 5 ships the DEPTH-SORTED row-group layout
+    assert rg_of(run) == ("sorted", 16, 4, 128)
     got = np.asarray(run(dense))
     rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
     assert rel < 3e-2, rel
@@ -440,7 +441,7 @@ def test_dist_bsr_spmm_bf16_pallas_rowgroup(mesh, rng, strategy):
         bsr, mesh=mesh, strategy=strategy, dtype=jnp.int8,
         local_impl="pallas",
     )
-    assert rg_of(run_i8) == 8
+    assert rg_of(run_i8) == ("sorted", 8, 8, 32)
 
     run_f32 = dist_bsr_spmm_plan(
         bsr, mesh=mesh, strategy=strategy, local_impl="pallas"
