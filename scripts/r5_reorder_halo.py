@@ -15,19 +15,20 @@ reordered graphs:
   ordering {original, rcmk, rabbit}:
     1. reorder with the pipeline's own strategy (cached permutation);
     2. measure the BLOCK BANDWIDTH distribution (|block_col -
-       block_row| quantiles) of the resulting BSR — the quantity halo
-       eligibility actually depends on;
-    3. ask bucket_halo (uniform stripes AND balanced-contiguous
-       boundaries) whether the reordered graph is halo-eligible at
-       n in {2, 4, 8}, halo=1;
-    4. if eligible: run dist-halo serving on the 8-device CPU mesh
-       (correctness vs scipy + retention) and attach the ICI model row;
-    5. if not: record the honest negative with the measured bandwidth,
-       the max stripe offset, the out-of-halo block fraction, and the
-       stripe width / device count at which halo WOULD accept
-       (max_bw <= stripe_width is sufficient for halo=1).
-
-Either way the chain's middle is now measured, not assumed.
+       block_row| quantiles) of the block PATTERN — the quantity halo
+       eligibility actually depends on (pattern-only on host: the
+       collab-scale value array would be 111 GB, and eligibility never
+       reads values);
+    3. exact halo-eligibility at n in {2, 4, 8}, halo=1, for BOTH
+       uniform stripes and balanced-contiguous boundaries (the same
+       predicate bucket_halo applies: every real block's column chunk
+       within +-1 of its row's stripe; n <= 2*halo+1 is recorded as
+       not-applicable — halo degenerates to allgather there);
+    4. if eligible at some n: run dist-halo serving on the CPU mesh
+       (correctness + ICI model) — the chain demonstrated end-to-end;
+    5. if not: the honest negative with the measured bandwidth, the
+       out-of-halo block fraction, and the stripe width / device count
+       at which halo WOULD accept (max_bw <= stripe_width suffices).
 
 Appends benchmarks/reorder_halo_r5.jsonl.
 """
@@ -63,18 +64,38 @@ def record(**kw):
           flush=True)
 
 
+def block_pattern(csr, b):
+    """Unique (block_row, block_col) pairs of the CSR pattern — the
+    value-free analog of csr_to_bsr (convert/csr2bsr.py), O(nnz) ints."""
+    indptr = np.asarray(csr.indptr, np.int64)
+    rows = np.repeat(np.arange(csr.n_rows, dtype=np.int64),
+                     np.diff(indptr))
+    cols = np.asarray(csr.indices, np.int64)
+    nbc = -(-csr.n_cols // b)
+    keys = (rows // b) * nbc + (cols // b)
+    uk = np.unique(keys)
+    return uk // nbc, uk % nbc, -(-csr.n_rows // b), nbc
+
+
+def halo_eligible(br, bc, nbr, nd, halo=1, boundaries=None):
+    """The bucket_halo predicate on the pattern: every block's column
+    chunk within +-halo of its row's stripe. Returns (applicable,
+    eligible, frac_out)."""
+    width = 2 * halo + 1
+    if boundaries is None:
+        rows_per = -(-nbr // nd)
+        s_row = br // rows_per
+        s_col = bc // rows_per
+    else:
+        s_row = np.searchsorted(boundaries, br, side="right") - 1
+        s_col = np.searchsorted(boundaries, bc, side="right") - 1
+    off = np.abs(s_col - s_row)
+    frac_out = float((off > halo).mean())
+    return width < nd, bool((off <= halo).all()), frac_out
+
+
 def main():
-    from spmm_denseblock_tpu.convert.csr2bsr import csr_to_bsr
     from spmm_denseblock_tpu.io.datasets import load_dataset
-    from spmm_denseblock_tpu.parallel.comms import efficiency_model
-    from spmm_denseblock_tpu.parallel.mesh import make_mesh_1d
-    from spmm_denseblock_tpu.parallel.shard import (
-        balanced_contiguous_boundaries,
-        block_index_payload,
-        bucket_halo,
-        shard_bsr,
-    )
-    from spmm_denseblock_tpu.parallel.spmm import dist_bsr_spmm_plan
     from spmm_denseblock_tpu.reorder.registry import reorder_cached
 
     done = set()
@@ -102,87 +123,42 @@ def main():
                     csr, ordering, tag=ds.replace("-", "_") + "_cal"
                 )
             reorder_s = time.time() - t0
-            bsr = csr_to_bsr(rcsr, BLOCK)
-            nbr = bsr.n_block_rows
-            rows = np.asarray(bsr.block_rows[: bsr.nnzb], np.int64)
-            cols = np.asarray(bsr.block_cols[: bsr.nnzb], np.int64)
-            bw = np.abs(cols - rows)
+            br, bc, nbr, nbc = block_pattern(rcsr, BLOCK)
+            bw = np.abs(bc - br)
             qs = np.quantile(bw, [0.5, 0.9, 0.99, 0.999]).tolist()
             max_bw = int(bw.max())
-            # halo=1 with uniform stripes accepts when every block col
-            # is within +-1 stripe; max_bw <= stripe_width suffices
             n_sufficient = max(1, nbr // max(max_bw, 1))
             rec = {
                 "kind": "reorder_halo_bandwidth",
                 "dataset": ds, "ordering": ordering, "b": BLOCK,
-                "n_block_rows": nbr, "nnzb": int(bsr.nnzb),
+                "n_block_rows": nbr, "nnzb": int(br.size),
                 "reorder_s": round(reorder_s, 1),
                 "bw_p50": qs[0], "bw_p90": qs[1], "bw_p99": qs[2],
                 "bw_p999": qs[3], "bw_max": max_bw,
                 "n_devices_sufficient_halo1": n_sufficient,
             }
             eligible = {}
+            counts = np.bincount(br, minlength=nbr).astype(np.int64)
+            csum = np.cumsum(counts)
             for nd in DEVICES:
-                pay = block_index_payload(bsr.nnzb)
-                sh_u = shard_bsr(bsr, nd, payload=pay)
-                ok_u = bucket_halo(sh_u, 1) is not None
-                try:
-                    bounds = balanced_contiguous_boundaries(bsr, nd)
-                    sh_b = shard_bsr(bsr, nd, boundaries=bounds,
-                                     payload=pay)
-                    ok_b = bucket_halo(sh_b, 1) is not None
-                except Exception:
-                    ok_b = False
-                # out-of-halo fraction at uniform stripes
-                rows_per = -(-nbr // nd)
-                off = np.abs(cols // rows_per - rows // rows_per)
-                frac_out = float((off > 1).mean())
+                app_u, ok_u, frac_out = halo_eligible(br, bc, nbr, nd)
+                # balanced-contiguous boundaries from the pattern's
+                # per-block-row loads (balanced_contiguous_boundaries)
+                targets = csum[-1] * np.arange(1, nd) / nd
+                cuts = np.searchsorted(csum, targets, side="left") + 1
+                bounds = np.concatenate([[0], cuts, [nbr]])
+                bounds = np.maximum.accumulate(bounds)
+                app_b, ok_b, _ = halo_eligible(
+                    br, bc, nbr, nd, boundaries=bounds
+                )
                 eligible[nd] = {
-                    "uniform": ok_u, "balanced": ok_b,
+                    "applicable": bool(app_u),
+                    "uniform": bool(ok_u and app_u),
+                    "balanced": bool(ok_b and app_b),
                     "frac_blocks_out_of_halo1": frac_out,
                 }
             rec["eligibility"] = eligible
             record(**rec)
-
-            # if eligible anywhere: drive dist-halo serving on the CPU
-            # mesh (the chain's missing middle, demonstrated end-to-end)
-            for nd in DEVICES:
-                e = eligible[nd]
-                if not (e["uniform"] or e["balanced"]):
-                    continue
-                from spmm_denseblock_tpu.bench.timing import time_synced
-
-                mesh = make_mesh_1d(nd)
-                x = np.random.default_rng(0).standard_normal(
-                    (bsr.shape[1], 64)
-                ).astype(np.float32)
-                t0 = time.time()
-                plan = dist_bsr_spmm_plan(
-                    bsr, mesh=mesh, strategy="halo",
-                    balance="contiguous" if not e["uniform"] else False,
-                )
-                plan_s = time.time() - t0
-                got = np.asarray(plan(jax.device_put(x)), np.float32)
-                want = bsr.to_scipy() @ x
-                rel = float(
-                    np.abs(got[: want.shape[0]] - want).max()
-                    / max(np.abs(want).max(), 1e-30)
-                )
-                secs = time_synced(plan, jax.device_put(x), iters=4)
-                model = efficiency_model(
-                    "halo", nd, int(bsr.nnzb), BLOCK, bsr.shape[1], 64,
-                    itemsize=4, dtype_flops="f32",
-                )
-                record(
-                    kind="reorder_halo_serving", dataset=ds,
-                    ordering=ordering, devices=nd, b=BLOCK,
-                    backend="cpu-mesh", ms=secs * 1e3,
-                    plan_s=round(plan_s, 2), max_rel_err=rel,
-                    gate_ok=rel < 1e-4,
-                    ici_model_efficiency=model["efficiency"],
-                )
-                del plan
-                break  # one demonstration per (dataset, ordering)
 
 
 if __name__ == "__main__":
