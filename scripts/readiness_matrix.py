@@ -26,6 +26,7 @@ Appends benchmarks/readiness_matrix.jsonl (or --out).
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -35,6 +36,14 @@ import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/sdb_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# The axon site hook pins jax_platforms=axon at interpreter start, so
+# JAX_PLATFORMS=cpu in the environment is NOT enough to keep this run
+# off the chip — the in-process update below wins (verify-skill note).
+# Default to the CPU mesh unless explicitly asked for the chip: a
+# readiness run must never contend a concurrent chip session's claim.
+if os.environ.get("SDB_READINESS_TPU", "0") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 
 def build_graph(kind: str, n_block_rows: int, b: int, seed: int = 1234):
