@@ -84,6 +84,22 @@ def main():
             local_impl="pallas", calibration=dense[:4096],
         ),
     }
+    # relay-put control: plan_s through the tunnel is dominated by the
+    # device_put of the packed blocks, not plan compute (host packing is
+    # 1.5-6 s, see the r5 metadata-only pipeline). Time a pure put of
+    # the same byte volumes so the artifact separates the two.
+    import time as _t
+
+    for label, mb in (("put_control_700MB_bf16", 700),
+                      ("put_control_350MB_int8", 350)):
+        arr = np.zeros((mb * 1024 * 1024 // 4,), np.float32)
+        t0 = _t.time()
+        d = jax.device_put(arr)
+        d.block_until_ready()
+        record(kind="dist_parity_r5", label=label,
+               put_s=round(_t.time() - t0, 2), bytes=arr.nbytes)
+        del d, arr
+
     ref = {}
     for label, build in plans.items():
         t0 = time.time()
