@@ -272,13 +272,23 @@ def _pallas_int8_spmm_rowgroup(
 
 
 def _sorted_int8_kernel(wins_ref, pos_ref, cols_ref, scales_ref,
-                        blocks_ref, cs_ref, dense_ref, out_ref, *, gh, R):
+                        blocks_ref, cs_ref, dense_ref, out_ref, *, gh, R,
+                        group_scale=False):
     """int8 twin of the depth-sorted row-group kernel
     (bsr_spmm_pallas._rowgroup_sorted_kernel): the output tile spans a
     window of W block-rows (3D, dynamic store on the untiled leading
     dim) and each lane lands at its row's original in-window position;
-    per-slot block scales ride SMEM and the per-column operand scale is
-    fused into the accumulate."""
+    the per-column operand scale is fused into the accumulate.
+
+    group_scale=False: per-SLOT block scales (scales_ref is (T*G,)),
+    f32 accumulation across the lane. group_scale=True (round-5
+    default for the single-chip plan): the gh slots of each lane-step
+    share ONE scale (scales_ref is (T*R,)), the lane accumulates in
+    int32 and applies one f32 scale multiply — the per-slot VPU scale
+    work drops gh-fold. Measured (kernel_probe_r5.jsonl): 3.546 ->
+    3.403 ms (+4.2%) at the same oracle error (1.60e-2 vs 1.61e-2 —
+    lane groups are same-row blocks with similar magnitudes, so the
+    shared-absmax quantization loss is noise-level)."""
     G = R * gh
     j = pl.program_id(1)
     prev = wins_ref[jnp.maximum(j - 1, 0)]
@@ -290,12 +300,16 @@ def _sorted_int8_kernel(wins_ref, pos_ref, cols_ref, scales_ref,
     for lane in range(R):
         acc = None
         for g in range(lane * gh, (lane + 1) * gh):
-            d = scales_ref[j * G + g] * jnp.dot(
+            d = jnp.dot(
                 blocks_ref[g], dense_ref[cols_ref[j * G + g]],
                 preferred_element_type=jnp.int32,
-            ).astype(jnp.float32)
+            )
+            if not group_scale:
+                d = scales_ref[j * G + g] * d.astype(jnp.float32)
             acc = d if acc is None else acc + d
         p = pos_ref[j * R + lane]
+        if group_scale:
+            acc = scales_ref[j * R + lane] * acc.astype(jnp.float32)
         out_ref[p] += acc * cs_ref[0, :]
 
 
@@ -303,12 +317,13 @@ def _sorted_int8_kernel(wins_ref, pos_ref, cols_ref, scales_ref,
     jax.jit,
     static_argnames=(
         "n_windows", "window", "n_rows", "f_tile", "gh", "R", "interpret",
+        "group_scale",
     ),
 )
 def _pallas_int8_spmm_sorted(
     win_ids, pos, slot_cols, scales, qblocks, qdense, col_scale,
     n_windows: int, window: int, n_rows: int, f_tile: int, gh: int,
-    R: int, interpret: bool = False,
+    R: int, interpret: bool = False, group_scale: bool = False,
 ):
     """Depth-sorted row-group int8 kernel; qdense: (nbc, b, f_padded)."""
     n_slots, b, _ = qblocks.shape
@@ -337,7 +352,9 @@ def _pallas_int8_spmm_sorted(
         ),
     )
     out = pl.pallas_call(
-        functools.partial(_sorted_int8_kernel, gh=gh, R=R),
+        functools.partial(
+            _sorted_int8_kernel, gh=gh, R=R, group_scale=group_scale
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (n_windows * window, b, f_padded), jnp.float32
@@ -598,7 +615,34 @@ def bsr_spmm_pallas_int8_plan(
         )
         group = ghs
         step_rows_h = win_ids_h
-        rowgroup = ("sorted", Rs, ghs, W, n_win)
+        import os as _os2
+
+        if _os2.environ.get("SDB_INT8_GROUP_SCALE", "1") == "1":
+            # GROUP-SCALE quantization (round 5, kernel_probe_r5.jsonl:
+            # 3.546 -> 3.403 ms at the same oracle error): the gh slots
+            # of each lane-step share one scale, so the kernel
+            # accumulates the lane in int32 and pays ONE f32 scale
+            # multiply per lane-step instead of per slot.
+            T = win_ids_h.shape[0]
+            b_ = covered.b
+            lanes = blocks_pad_h.reshape(T, Rs, ghs, b_, b_)
+            lane_absmax = np.abs(lanes).max(axis=(2, 3, 4))
+            lane_scales = np.where(
+                lane_absmax > 0, lane_absmax / 127.0, 1.0
+            ).astype(np.float32)
+            q = lanes * (
+                np.float32(1.0) / lane_scales
+            )[:, :, None, None, None]
+            np.rint(q, out=q)
+            np.clip(q, -127, 127, out=q)
+            rowgroup = ("sorted_gs", Rs, ghs, W, n_win)
+            # reuse the (qblocks, scales) slots of the arrays tuple:
+            # scales carries the (T*R,) lane scales
+            blocks_pad_h = None
+            qblocks_pre = q.reshape(T * Rs * ghs, b_, b_).astype(np.int8)
+            scales_pre = lane_scales.reshape(-1)
+        else:
+            rowgroup = ("sorted", Rs, ghs, W, n_win)
     elif rowgroup_likely:
         if group_was_auto:
             group = min(group, _ROWGROUP_GH_CAP)
@@ -610,7 +654,10 @@ def bsr_spmm_pallas_int8_plan(
         step_rows_h, slot_cols_h, blocks_pad_h = _pack_groups(
             rows_h, cols_h, blocks_h, group
         )
-    qblocks, scales = quantize_blocks(blocks_pad_h)
+    if blocks_pad_h is None:  # group-scale path pre-quantized above
+        qblocks, scales = qblocks_pre, scales_pre
+    else:
+        qblocks, scales = quantize_blocks(blocks_pad_h)
     br = jnp.asarray(step_rows_h)
     bc = jnp.asarray(slot_cols_h)
     qb = jnp.asarray(qblocks)
@@ -653,9 +700,11 @@ def _int8_pallas_apply(statics, arrays, dense):
     b = qb.shape[1]
     nbc = k_needed // b
 
-    if rowgroup is not None and rowgroup[0] == "sorted":
+    if rowgroup is not None and rowgroup[0] in ("sorted", "sorted_gs"):
         # depth-sorted row-group layout: per-lane window positions ride
-        # as a 5th array leaf (see _sorted_int8_kernel)
+        # as a 5th array leaf; "sorted_gs" = group-scale quantization
+        # (one shared scale per lane-step, int32 lane accumulation —
+        # see _sorted_int8_kernel)
         _, R, gh, W, n_win = rowgroup
         pos = arrays[4]
         f_padded = round_up(dense.shape[1], 128)
@@ -683,6 +732,7 @@ def _int8_pallas_apply(statics, arrays, dense):
         out = _pallas_int8_spmm_sorted(
             br, pos, bc, sc, qb, qdense.reshape(nbc, b, f_padded),
             col_scale, n_win, W, n_rows, rft, gh, R, interpret,
+            group_scale=(rowgroup[0] == "sorted_gs"),
         )
         return out[:, : out.shape[1] - pad_c] if pad_c else out
 

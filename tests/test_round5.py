@@ -65,3 +65,39 @@ def test_depth_sorted_grad_roundtrip():
     g_ref = 2.0 * (bsr.to_scipy().T @ ref)
     rel = np.abs(np.asarray(g) - g_ref).max() / max(np.abs(g_ref).max(), 1e-9)
     assert rel < 2e-2, rel
+
+
+def test_int8_group_scale_matches_oracle():
+    """Group-scale int8 (one shared scale per lane-step, int32 lane
+    accumulation — the round-5 default for the depth-sorted single-chip
+    plan) stays inside the int8 tier tolerance, and SDB_INT8_GROUP_SCALE=0
+    falls back to per-slot scales."""
+    import os
+
+    from spmm_denseblock_tpu.ops.bsr_spmm_pallas_int8 import (
+        bsr_spmm_pallas_int8_plan,
+    )
+
+    bsr = random_bsr(0.05, 48, 48, block_size=16, seed=0)
+    X = np.random.default_rng(0).standard_normal(
+        (bsr.shape[1], 96)
+    ).astype(np.float32)
+    want = bsr.to_scipy() @ X
+    plan = bsr_spmm_pallas_int8_plan(bsr, calibration=X, depth_sort=True)
+    assert plan.statics[-1][0] == "sorted_gs"
+    rel = np.abs(np.asarray(plan(X), np.float32) - want).max() / np.abs(
+        want
+    ).max()
+    assert rel < 5e-2, rel
+    os.environ["SDB_INT8_GROUP_SCALE"] = "0"
+    try:
+        plan_ps = bsr_spmm_pallas_int8_plan(
+            bsr, calibration=X, depth_sort=True
+        )
+        assert plan_ps.statics[-1][0] == "sorted"
+        rel2 = np.abs(
+            np.asarray(plan_ps(X), np.float32) - want
+        ).max() / np.abs(want).max()
+        assert rel2 < 5e-2, rel2
+    finally:
+        os.environ.pop("SDB_INT8_GROUP_SCALE", None)
