@@ -1,0 +1,32 @@
+"""Round-5 chip session 7: production bench with group-scale int8 +
+depth-sorted bf16 (the shipped defaults)."""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/scripts")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/sdb_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from claim_guard import claim_or_exit
+
+
+def log(m):
+    print(f"[r5s7 {time.strftime('%T')}] {m}", flush=True)
+
+
+def main():
+    claim_or_exit(log)
+    log("bench.py tiers (group-scale int8 shipped)")
+    import bench
+
+    bench.main()
+    log("queue done")
+
+
+if __name__ == "__main__":
+    main()

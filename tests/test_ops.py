@@ -450,12 +450,19 @@ def test_bsr_spmm_pallas_int8(rng):
     bsr = random_bsr(0.2, 9, 7, block_size=16, seed=12)
     x = rng.standard_normal((bsr.shape[1], 20)).astype(np.float32)
     want = bsr.to_dense() @ x
+    # default plan (depth-sorted + group-scale quantization since r5):
+    # oracle gate at the tier tolerance
     got = np.asarray(bsr_spmm_pallas_int8_plan(bsr)(x))
     rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
     assert rel < 2e-2, rel
-    # matches the XLA int8 tier bit-for-bit up to accumulation order
+    # cross-implementation check needs MATCHED quantization: the
+    # consecutive layout shares quantize_blocks with the XLA tier, so
+    # it matches bit-for-bit up to accumulation order (group-scale
+    # intentionally re-quantizes per lane-step — covered by the oracle
+    # gate above and tests/test_round5.py)
+    got_c = np.asarray(bsr_spmm_pallas_int8_plan(bsr, depth_sort=False)(x))
     ref = np.asarray(bsr_spmm_int8_plan(bsr)(x))
-    np.testing.assert_allclose(got, ref, atol=1e-4)
+    np.testing.assert_allclose(got_c, ref, atol=1e-4)
 
 
 def test_windowed_multi_window(rng):
