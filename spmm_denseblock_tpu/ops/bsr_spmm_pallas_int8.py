@@ -96,10 +96,13 @@ def route_pallas_int8_spmm(
     kernel runs at ~25-32% of bandwidth SoL, so its gather DMAs are
     already fully hidden and residency only adds dynamic-index
     addressing): always the gather kernel."""
-    if isinstance(row_group, tuple) and row_group and row_group[0] == "sorted":
+    if (isinstance(row_group, tuple) and row_group
+            and row_group[0] in ("sorted", "sorted_gs")):
         # depth-sorted dist layout: step_rows = [win_ids | positions]
-        # concatenated (see bsr_spmm_pallas.route_pallas_spmm)
-        _, R, gh, W = row_group
+        # concatenated (see bsr_spmm_pallas.route_pallas_spmm);
+        # "sorted_gs" = group-scale quantization (scales per lane-step,
+        # int32 lane accumulation — put_blocks packed them)
+        tag, R, gh, W = row_group
         b = qblocks.shape[1]
         K, Fp = qdense.shape
         rft = _resident_f_tile(
@@ -116,6 +119,7 @@ def route_pallas_int8_spmm(
             step_rows[:T], step_rows[T:], slot_cols, scales, qblocks,
             qdense.reshape(K // b, b, Fp), col_scale,
             n_win, W, n_rows, rft, gh, R, interpret,
+            group_scale=(tag == "sorted_gs"),
         )
     if row_group:
         b = qblocks.shape[1]

@@ -612,7 +612,7 @@ def dist_bsr_spmm_plan(
 
         cs = jnp.asarray(static_col_scale(calibration))
 
-    def put_blocks(idx_payload):
+    def put_blocks(idx_payload, rg=0):
         """Takes the PACKED INDEX PAYLOAD (..., 1, 1) from the
         metadata-only pipeline and materializes device blocks from the
         source values in one gather. Returns (bv_dev, sc_dev); sc is a
@@ -625,8 +625,36 @@ def dist_bsr_spmm_plan(
         through the payload — 4x less gather traffic than
         materialize-then-quantize, and pad slots get the same (q=0,
         s=1) the padded-quantize produced. Per-block values are
-        identical either way (quantization is per block)."""
+        identical either way (quantization is per block).
+
+        rg=("sorted_gs", R, gh, W) (int8 depth-sorted group-scale, the
+        round-5 single-chip default brought to dist): materialize the
+        packed f32 values and quantize each LANE-STEP of gh slots to a
+        shared scale — the kernel then accumulates lanes in int32 with
+        one scale multiply per lane-step (+4.2% single-chip,
+        kernel_probe_r5.jsonl). One extra f32 pass at plan time; the
+        shipped bytes (int8 blocks + (T*R,) scales) are unchanged-or-
+        smaller vs per-slot."""
         idx = np.asarray(idx_payload)[..., 0, 0]
+        if int8_mode and isinstance(rg, tuple) and rg[0] == "sorted_gs":
+            _, R, gh, _W = rg
+            bv_f32 = materialize_packed(idx_payload, _blocks_src)
+            lead = bv_f32.shape[:-3]
+            TG = bv_f32.shape[-3]
+            lanes = bv_f32.reshape(lead + (TG // (R * gh), R, gh, b, b))
+            lane_absmax = np.abs(lanes).max(axis=(-3, -2, -1))
+            ls = np.where(
+                lane_absmax > 0, lane_absmax / 127.0, 1.0
+            ).astype(np.float32)
+            qf = lanes * (
+                np.float32(1.0) / ls
+            )[..., None, None, None]
+            np.rint(qf, out=qf)
+            np.clip(qf, -127, 127, out=qf)
+            q = qf.reshape(lead + (TG, b, b)).astype(np.int8)
+            s = ls.reshape(lead + (-1,))
+            return (jax.device_put(jnp.asarray(q), stripe),
+                    jax.device_put(jnp.asarray(s), stripe))
         if int8_mode:
             from spmm_denseblock_tpu.ops.bsr_spmm_int8 import (
                 quantize_blocks,
@@ -686,7 +714,13 @@ def dist_bsr_spmm_plan(
             R, gh, W = _depth_sort_policy(itemsize, group)
             ovh = _depth_sort_overheads(R, gh, b, itemsize, W)
             if _resident_f_tile(nbc_local, b, 128, itemsize, *ovh):
-                return ("sorted", R, gh, W)
+                tag = (
+                    "sorted_gs"
+                    if int8_mode
+                    and _os.environ.get("SDB_INT8_GROUP_SCALE", "1") == "1"
+                    else "sorted"
+                )
+                return (tag, R, gh, W)
             return 0
         R, gh = _rowgroup_policy(itemsize, group)
         ovh = _rowgroup_overheads(R, gh, b, itemsize)
@@ -716,7 +750,7 @@ def dist_bsr_spmm_plan(
             )
         lr = jax.device_put(lr_h, stripe)
         bc = jax.device_put(bc_h, stripe)
-        bv, sc = put_blocks(bv_h)
+        bv, sc = put_blocks(bv_h, rg)
         inner = (mesh, axis, feature_axis, local_impl, interpret,
                  rows_per, cpc, n, b, n_rows, k_padded, dtype_key,
                  grp, precision, rg)
@@ -735,7 +769,7 @@ def dist_bsr_spmm_plan(
             )
         lr = jax.device_put(lr_b, stripe)
         cc = jax.device_put(cc_b, stripe)
-        bv, sc = put_blocks(bv_b)
+        bv, sc = put_blocks(bv_b, rg)
         inner = (mesh, axis, feature_axis, rows_per, cpc, n, b, n_rows,
                  k_padded, dtype_key, local_impl, interpret, grp, precision,
                  rg)
@@ -772,7 +806,7 @@ def dist_bsr_spmm_plan(
             )
         lr = jax.device_put(lr_b, stripe)
         cc = jax.device_put(cc_b, stripe)
-        bv, sc = put_blocks(bv_b)
+        bv, sc = put_blocks(bv_b, rg)
         bp_d = oi_d = None
         if sh.boundaries is not None:
             # variable contiguous stripes: index maps for the padded

@@ -441,7 +441,8 @@ def test_dist_bsr_spmm_bf16_pallas_rowgroup(mesh, rng, strategy):
         bsr, mesh=mesh, strategy=strategy, dtype=jnp.int8,
         local_impl="pallas",
     )
-    assert rg_of(run_i8) == ("sorted", 8, 8, 32)
+    # int8 dist additionally ships group-scale quantization (r5)
+    assert rg_of(run_i8) == ("sorted_gs", 8, 8, 32)
 
     run_f32 = dist_bsr_spmm_plan(
         bsr, mesh=mesh, strategy=strategy, local_impl="pallas"
