@@ -1,0 +1,32 @@
+"""Round-5 chip session 10: SoL reconcile at the FINAL shipped geometry
+(depth-sorted bf16 gh4/W128 + group-scale int8)."""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/scripts")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/sdb_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from claim_guard import claim_or_exit
+
+
+def log(m):
+    print(f"[r5s10 {time.strftime('%T')}] {m}", flush=True)
+
+
+def main():
+    claim_or_exit(log)
+    log("SoL reconcile at shipped geometry")
+    import r5_sol_reconcile
+
+    r5_sol_reconcile.main()
+    log("queue done")
+
+
+if __name__ == "__main__":
+    main()

@@ -77,11 +77,21 @@ def main():
     want = np.asarray(oracle(dense_dev))[:, :ERR_COLS]
     scale = float(np.abs(want).max())
 
-    def n_f_for(itemsize):
-        # mirror _pallas_apply's resident geometry at apply time
-        R, gh = _rowgroup_policy(itemsize)
-        ovh = _rowgroup_overheads(R, gh, b, itemsize)
+    def n_f_for(itemsize, plan):
+        # mirror _pallas_apply's resident geometry at apply time; the
+        # plan statics carry the layout (sorted tuple since r5)
+        from spmm_denseblock_tpu.ops.bsr_spmm_pallas import (
+            _depth_sort_overheads,
+        )
+
+        rgs = plan.statics[-1]
         f_padded = -(-F // 128) * 128
+        if isinstance(rgs, tuple) and str(rgs[0]).startswith("sorted"):
+            _, R, gh, W, _n_win = rgs
+            ovh = _depth_sort_overheads(R, gh, b, itemsize, W)
+        else:
+            R, gh = _rowgroup_policy(itemsize)
+            ovh = _rowgroup_overheads(R, gh, b, itemsize)
         ft = _resident_f_tile(nb, b, f_padded, itemsize, *ovh)
         return f_padded // ft, ft
 
@@ -118,7 +128,7 @@ def main():
         dense_bytes = nb * b * F * dense_B
         ideal = (nnzb * b * b * blk_B + dense_bytes + out_bytes) / HBM * 1e3
         if kind == "resident":
-            n_f, ft = n_f_for(blk_B)
+            n_f, ft = n_f_for(blk_B, plan)
             slots = int(find_blocks_leaf(plan).shape[0])
             sched_bytes = (
                 slots * b * b * blk_B * n_f + dense_bytes + out_bytes * 1
@@ -134,7 +144,8 @@ def main():
         sched = sched_bytes / HBM * 1e3
         tf = flops / t["secs"] / 1e12
         record(
-            kind="sol_reconcile_r5", tier=name, layout=kind, nnzb=nnzb,
+            kind="sol_reconcile_r5", tier=name, layout=kind,
+            layout_static=str(plan.statics[-1]), nnzb=nnzb,
             ms=ms, ms_spread=[t["secs_min"] * 1e3, t["secs_max"] * 1e3],
             spread_warn=bool(t.get("spread_warn", False)),
             tflops=tf, mfu_vs_peak=tf * 1e12 / peak,
