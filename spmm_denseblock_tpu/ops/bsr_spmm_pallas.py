@@ -1146,7 +1146,15 @@ def bsr_spmm_pallas_plan(
     if depth_sort is None:
         import os as _os
 
-        depth_sort = _os.environ.get("SDB_DEPTH_SORT", "1") == "1"
+        # occupancy gate (sorted_grid_r5.jsonl): the sorted schedule
+        # wins at >= ~2 real blocks per block-row (+8.8..+14.2% bf16)
+        # and LOSES below it (-7..-12% — mostly-empty rows make the
+        # covering zeros dominate and the window machinery pure cost).
+        avg_real = bsr.nnzb / max(covered.n_block_rows, 1)
+        depth_sort = (
+            _os.environ.get("SDB_DEPTH_SORT", "1") == "1"
+            and avg_real >= 2.0
+        )
     rowgroup = None
     pos_h = None
     if resident_likely and depth_sort:

@@ -608,7 +608,15 @@ def bsr_spmm_pallas_int8_plan(
     if depth_sort is None:
         import os as _os
 
-        depth_sort = _os.environ.get("SDB_DEPTH_SORT", "1") == "1"
+        # occupancy gate (sorted_grid_r5.jsonl): int8 sorted wins only
+        # at deep rows (+4.6% at 20 real blocks/row) and loses at 2
+        # (-5.3%) and below (-14..-42% — covering zeros + window
+        # machinery dominate sparse rows); gate at >= 8.
+        avg_real = bsr.nnzb / max(covered.n_block_rows, 1)
+        depth_sort = (
+            _os.environ.get("SDB_DEPTH_SORT", "1") == "1"
+            and avg_real >= 8.0
+        )
     pos_h = None
     if rowgroup_likely and depth_sort:
         # depth-sorted twin (see bsr_spmm_pallas._depth_sort_policy):

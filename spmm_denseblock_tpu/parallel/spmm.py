@@ -710,7 +710,12 @@ def dist_bsr_spmm_plan(
         )
 
         itemsize = 1 if int8_mode else 2
-        if _os.environ.get("SDB_DEPTH_SORT", "1") == "1":
+        # occupancy gate shared with the single-chip plans
+        # (sorted_grid_r5.jsonl): sorted wins at >= ~2 (bf16) / ~8
+        # (int8) real blocks per block-row and loses below
+        avg_real = bsr.nnzb / max(bsr.n_block_rows, 1)
+        occ_ok = avg_real >= (8.0 if int8_mode else 2.0)
+        if occ_ok and _os.environ.get("SDB_DEPTH_SORT", "1") == "1":
             R, gh, W = _depth_sort_policy(itemsize, group)
             ovh = _depth_sort_overheads(R, gh, b, itemsize, W)
             if _resident_f_tile(nbc_local, b, 128, itemsize, *ovh):

@@ -431,8 +431,11 @@ def test_dist_bsr_spmm_bf16_pallas_rowgroup(mesh, rng, strategy):
         bsr, mesh=mesh, strategy=strategy, dtype=jnp.bfloat16,
         local_impl="pallas",
     )
-    # rg static: round 5 ships the DEPTH-SORTED row-group layout
-    assert rg_of(run) == ("sorted", 16, 4, 128)
+    # rg static: round 5 ships the DEPTH-SORTED row-group layout when
+    # the occupancy gate passes (>= 2 real blocks/row for bf16, >= 8
+    # for int8 — sorted_grid_r5.jsonl), consecutive R below it
+    avg = bsr.nnzb / bsr.n_block_rows
+    assert rg_of(run) == (("sorted", 16, 4, 128) if avg >= 2.0 else 16)
     got = np.asarray(run(dense))
     rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
     assert rel < 3e-2, rel
@@ -442,7 +445,9 @@ def test_dist_bsr_spmm_bf16_pallas_rowgroup(mesh, rng, strategy):
         local_impl="pallas",
     )
     # int8 dist additionally ships group-scale quantization (r5)
-    assert rg_of(run_i8) == ("sorted_gs", 8, 8, 32)
+    assert rg_of(run_i8) == (
+        ("sorted_gs", 8, 8, 32) if avg >= 8.0 else 8
+    )
 
     run_f32 = dist_bsr_spmm_plan(
         bsr, mesh=mesh, strategy=strategy, local_impl="pallas"

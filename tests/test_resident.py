@@ -118,19 +118,28 @@ def test_int8_auto_routes_rowgroup(case, monkeypatch):
     mod = importlib.import_module(
         "spmm_denseblock_tpu.ops.bsr_spmm_pallas_int8"
     )
+    # r5: auto packs the row-group family — depth-SORTED when the
+    # occupancy gate passes (>= 8 real blocks/row for int8,
+    # sorted_grid_r5.jsonl), consecutive below it. Spy BOTH.
     calls = {"rowgroup": 0, "gather": 0}
-    orig_rg = mod._pallas_int8_spmm_sorted  # r5: auto packs depth-sorted
+    orig_srt = mod._pallas_int8_spmm_sorted
+    orig_con = mod._pallas_int8_spmm_rowgroup
     orig_gat = mod._pallas_int8_spmm
 
-    def spy_rg(*a, **k):
+    def spy_srt(*a, **k):
         calls["rowgroup"] += 1
-        return orig_rg(*a, **k)
+        return orig_srt(*a, **k)
+
+    def spy_con(*a, **k):
+        calls["rowgroup"] += 1
+        return orig_con(*a, **k)
 
     def spy_gat(*a, **k):
         calls["gather"] += 1
         return orig_gat(*a, **k)
 
-    monkeypatch.setattr(mod, "_pallas_int8_spmm_sorted", spy_rg)
+    monkeypatch.setattr(mod, "_pallas_int8_spmm_sorted", spy_srt)
+    monkeypatch.setattr(mod, "_pallas_int8_spmm_rowgroup", spy_con)
     monkeypatch.setattr(mod, "_pallas_int8_spmm", spy_gat)
     out = bsr_spmm_pallas_int8_plan(bsr)(dense)
     assert _rel(out, want) < 5e-2
@@ -207,7 +216,8 @@ def test_auto_routes_to_resident_when_fitting(monkeypatch):
     calls = {"resident": 0, "gather": 0, "rowgroup": 0}
     orig_res = mod._pallas_spmm_resident
     orig_gat = mod._pallas_spmm
-    orig_rg = mod._pallas_spmm_rowgroup_sorted  # r5 default layout
+    orig_rg = mod._pallas_spmm_rowgroup_sorted  # r5 layout (gate >= 2/row)
+    orig_rgc = mod._pallas_spmm_rowgroup
 
     def spy_res(*a, **k):
         calls["resident"] += 1
@@ -223,7 +233,12 @@ def test_auto_routes_to_resident_when_fitting(monkeypatch):
 
     monkeypatch.setattr(mod, "_pallas_spmm_resident", spy_res)
     monkeypatch.setattr(mod, "_pallas_spmm", spy_gat)
+    def spy_rgc(*a, **k):
+        calls["rowgroup"] += 1
+        return orig_rgc(*a, **k)
+
     monkeypatch.setattr(mod, "_pallas_spmm_rowgroup_sorted", spy_rg)
+    monkeypatch.setattr(mod, "_pallas_spmm_rowgroup", spy_rgc)
     # auto policy: residency only pays for 2-byte operands (measured —
     # resident_probe_r4.jsonl), and bf16 plans pack the ROW-GROUP
     # resident layout (R from _rowgroup_policy, the measured best

@@ -101,3 +101,35 @@ def test_int8_group_scale_matches_oracle():
         assert rel2 < 5e-2, rel2
     finally:
         os.environ.pop("SDB_INT8_GROUP_SCALE", None)
+
+
+def test_depth_sort_occupancy_gate():
+    """Auto depth-sort engages only above the measured occupancy
+    thresholds (sorted_grid_r5.jsonl: bf16 wins at >= ~2 real blocks
+    per block-row, int8 at >= ~8; both LOSE below). Explicit
+    depth_sort=True still forces it."""
+    from spmm_denseblock_tpu.ops.bsr_spmm_pallas_int8 import (
+        bsr_spmm_pallas_int8_plan,
+    )
+
+    sparse = random_bsr(0.05, 24, 24, block_size=16, seed=0)  # ~1.2/row
+    dense = random_bsr(0.5, 24, 24, block_size=16, seed=0)    # ~12/row
+    X = np.random.default_rng(0).standard_normal(
+        (sparse.shape[1], 64)
+    ).astype(np.float32)
+
+    p_sparse = bsr_spmm_pallas_plan(sparse, grad=False, dtype=jnp.bfloat16)
+    assert not (isinstance(p_sparse.statics[-1], tuple)
+                and str(p_sparse.statics[-1][0]).startswith("sorted"))
+    p_dense = bsr_spmm_pallas_plan(dense, grad=False, dtype=jnp.bfloat16)
+    assert p_dense.statics[-1][0] == "sorted"
+    p_forced = bsr_spmm_pallas_plan(
+        sparse, grad=False, dtype=jnp.bfloat16, depth_sort=True
+    )
+    assert p_forced.statics[-1][0] == "sorted"
+
+    i_sparse = bsr_spmm_pallas_int8_plan(sparse, calibration=X)
+    assert not (isinstance(i_sparse.statics[-1], tuple)
+                and str(i_sparse.statics[-1][0]).startswith("sorted"))
+    i_dense = bsr_spmm_pallas_int8_plan(dense, calibration=X)
+    assert i_dense.statics[-1][0] == "sorted_gs"
