@@ -1155,11 +1155,36 @@ def bsr_spmm_pallas_plan(
             _os.environ.get("SDB_DEPTH_SORT", "1") == "1"
             and avg_real >= 2.0
         )
+    # 4-byte tiers (f32 HIGHEST via dtype=None, bf16x3 via
+    # precision="high") join the sorted-resident regime too — the r4
+    # "f32/bf16x3 residency loses" negative FLIPPED once the sorted
+    # pack cut the pad slots 64.7% -> 15.5% (kernel_probe_r5.jsonl:
+    # bf16x3 gather 11.2 -> sorted-resident 10.29 ms (+9%), f32 15.04
+    # -> 14.46 (+4%), identical error grades). Conservatively gated at
+    # >= 8 real blocks/row (the probe's regime is ~20; the 4-pass block
+    # re-stream at ft=128 punishes sparse rows harder than bf16's 2).
+    wide_sorted_ok = (
+        resident is not False
+        and not fuse_dot and not lookahead
+        and f_tile is None
+        and (dtype is None or jnp.dtype(dtype).itemsize == 4)
+        and precision in (None, "high")
+        and depth_sort
+        and bsr.nnzb / max(covered.n_block_rows, 1) >= 8.0
+    )
+    if wide_sorted_ok:
+        ovh4 = _depth_sort_overheads(*_depth_sort_policy(4)[:2], b, 4,
+                                     _depth_sort_policy(4)[2])
+        wide_sorted_ok = (
+            _resident_f_tile(covered.n_block_cols, b, 128, 4,
+                             ovh4[0], ovh4[1]) is not None
+        )
     rowgroup = None
     pos_h = None
-    if resident_likely and depth_sort:
+    if (resident_likely or wide_sorted_ok) and depth_sort:
         Rs, ghs, W = _depth_sort_policy(
-            2, None if group_was_auto else group
+            2 if resident_likely else 4,
+            None if group_was_auto else group,
         )
         win_ids_h, pos_h, slot_cols_h, blocks_pad_h, n_win = (
             _pack_rowgroups_sorted(rows_h, cols_h, blocks_h, ghs, Rs, W)
