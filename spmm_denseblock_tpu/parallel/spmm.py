@@ -695,9 +695,9 @@ def dist_bsr_spmm_plan(
         stripe). Returns ("sorted", R, gh, W) or 0 (= single-row
         layout); SDB_DEPTH_SORT=0 falls back to the consecutive
         row-group form (plain R) like the single-chip plans."""
-        if local_impl != "pallas" or precision is not None:
+        if local_impl != "pallas":
             return 0
-        if dtype_key not in ("int8", "bfloat16"):
+        if precision not in (None, "high"):
             return 0
         import os as _os
 
@@ -709,6 +709,21 @@ def dist_bsr_spmm_plan(
             _rowgroup_policy,
         )
 
+        wide = dtype_key not in ("int8", "bfloat16")  # f32 / bf16x3
+        if wide or precision == "high":
+            # 4-byte local operands: sorted-resident only (the r4
+            # consecutive-layout negative holds; the sorted flip is
+            # kernel_probe_r5.jsonl) and only at deep occupancy
+            if (_os.environ.get("SDB_DEPTH_SORT", "1") != "1"
+                    or bsr.nnzb / max(bsr.n_block_rows, 1) < 8.0):
+                return 0
+            R, gh, W = _depth_sort_policy(4, group)
+            ovh = _depth_sort_overheads(R, gh, b, 4, W)
+            if _resident_f_tile(nbc_local, b, 128, 4, *ovh):
+                return ("sorted", R, gh, W)
+            return 0
+        if precision is not None:
+            return 0
         itemsize = 1 if int8_mode else 2
         # occupancy gate shared with the single-chip plans
         # (sorted_grid_r5.jsonl): sorted wins at >= ~2 (bf16) / ~8
