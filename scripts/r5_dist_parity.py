@@ -61,6 +61,10 @@ def main():
               flush=True)
 
     plans = {
+        "single_f32": lambda: bsr_spmm_pallas_plan(bsr, grad=False),
+        "dist_ag_f32": lambda: dist_bsr_spmm_plan(
+            bsr, mesh=mesh, strategy="allgather", local_impl="pallas",
+        ),
         "single_bf16": lambda: bsr_spmm_pallas_plan(
             bsr, grad=False, dtype=jnp.bfloat16
         ),
@@ -107,7 +111,8 @@ def main():
         plan_s = time.time() - t0
         t = time_repeats(plan, dense_dev, repeats=3)
         ms = t["secs"] * 1e3
-        fam = "bf16" if "bf16" in label else "int8"
+        fam = ("f32" if "f32" in label
+               else "bf16" if "bf16" in label else "int8")
         if label.startswith("single"):
             ref[fam] = ms
         is_dist = label.startswith("dist")

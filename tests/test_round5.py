@@ -133,3 +133,25 @@ def test_depth_sort_occupancy_gate():
                 and str(i_sparse.statics[-1][0]).startswith("sorted"))
     i_dense = bsr_spmm_pallas_int8_plan(dense, calibration=X)
     assert i_dense.statics[-1][0] == "sorted_gs"
+
+
+def test_wide_sorted_residency_routing():
+    """f32 / bf16x3 (4-byte) plans join the sorted-resident regime at
+    deep occupancy (the r4 negative flipped on the sorted pack,
+    kernel_probe_r5.jsonl) and keep the gather layout below the gate
+    or when fuse_dot/lookahead are requested."""
+    deep = random_bsr(0.5, 24, 24, block_size=16, seed=0)  # ~12/row
+    X = np.random.default_rng(0).standard_normal(
+        (deep.shape[1], 64)
+    ).astype(np.float32)
+    want = deep.to_scipy() @ X
+    for kw, tol in (({}, 1e-4), ({"precision": "high"}, 1e-3)):
+        p = bsr_spmm_pallas_plan(deep, grad=False, **kw)
+        assert p.statics[-1][0] == "sorted", p.statics[-1]
+        rel = np.abs(np.asarray(p(X), np.float32) - want).max() / np.abs(
+            want
+        ).max()
+        assert rel < tol, rel
+    # gather-only knobs keep the gather layout
+    p = bsr_spmm_pallas_plan(deep, grad=False, fuse_dot=True, group=4)
+    assert p.statics[-1] is None
